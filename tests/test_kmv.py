@@ -1,0 +1,201 @@
+"""KMV/theta kernel tests — replicate the reference's own assertions:
+
+* exact mode below k: estimate equals true count exactly
+  (theta/test/theta_sketch_test.cpp:112-141)
+* estimation mode: within 1% at n=8000, default lg_k=12
+  (theta_sketch_test.cpp:143-168)
+* set-op state matrix over {empty, exact, estimation}
+  (theta/test/theta_setop_test.cpp:136+)
+* jaccard half-overlap → 1/3 within ±0.01 at 10k items
+  (theta/test/theta_jaccard_similarity_test.cpp:82-101)
+* order independence: batch build == incremental unions (merge law)
+"""
+
+import numpy as np
+import pytest
+
+from datasketches_cpp_spark import kmv
+from datasketches_cpp_spark.hashing import hash63_int64
+from datasketches_cpp_spark.kmv import (
+    MAX_THETA,
+    ThetaSketch,
+    a_not_b,
+    empty,
+    from_hashes,
+    intersection,
+    jaccard,
+    jaccard_sig,
+    kmin_signature,
+    merge_signatures,
+    similarity_test,
+    union,
+)
+
+
+def sketch_of_range(lo, hi, k=1 << 12, seed=9001):
+    return from_hashes(hash63_int64(np.arange(lo, hi, dtype=np.int64), seed), k=k)
+
+
+def test_empty():
+    s = empty()
+    assert s.is_empty and not s.is_estimation_mode
+    assert s.get_estimate() == 0.0
+    assert s.get_bounds() == (0.0, 0.0)
+
+
+def test_exact_mode_is_exact():
+    # n=2000 < k=4096 → exact (theta_sketch_test.cpp:112-120)
+    s = sketch_of_range(0, 2000)
+    assert not s.is_estimation_mode
+    assert s.get_estimate() == 2000.0
+    lb, ub = s.get_bounds()
+    assert lb == 2000.0 == ub
+
+
+def test_duplicates_dont_count():
+    h = hash63_int64(np.array([1, 1, 2, 2, 3] * 100, dtype=np.int64))
+    s = from_hashes(h, k=1 << 12)
+    assert s.get_estimate() == 3.0
+
+
+def test_estimation_mode_within_1pct():
+    # n=8000 > k=4096, ±1% (theta_sketch_test.cpp:143-151)
+    n = 8000
+    s = sketch_of_range(0, n)
+    assert s.is_estimation_mode
+    assert abs(s.get_estimate() - n) / n < 0.01
+    lb, ub = s.get_bounds(2)
+    assert lb <= n <= ub
+
+
+def test_estimation_larger_n():
+    n = 100_000
+    s = sketch_of_range(0, n)
+    assert abs(s.get_estimate() - n) / n < 0.03
+    lb, ub = s.get_bounds(2)
+    assert lb <= n <= ub
+
+
+def test_union_equals_batch_build():
+    """Merge law: sketch(A ∪ B ∪ C) == union(sketch(A), sketch(B), sketch(C))
+    when built from the same hash stream — the property Catalyst's
+    partial/final aggregation relies on."""
+    h = hash63_int64(np.arange(0, 30_000, dtype=np.int64))
+    whole = from_hashes(h, k=1 << 12)
+    parts = [from_hashes(h[i::3], k=1 << 12) for i in range(3)]
+    merged = union(parts)
+    assert merged.theta == whole.theta
+    assert np.array_equal(merged.hashes, whole.hashes)
+
+
+def test_union_exact_mode():
+    a = sketch_of_range(0, 1000)
+    b = sketch_of_range(500, 1500)
+    u = union([a, b])
+    assert u.get_estimate() == 1500.0
+
+
+def test_intersection_exact():
+    a = sketch_of_range(0, 1000)
+    b = sketch_of_range(500, 1500)
+    assert intersection(a, b).get_estimate() == 500.0
+
+
+def test_a_not_b_exact():
+    a = sketch_of_range(0, 1000)
+    b = sketch_of_range(500, 1500)
+    assert a_not_b(a, b).get_estimate() == 500.0
+    assert a_not_b(b, a).get_estimate() == 500.0
+
+
+def test_setop_state_matrix():
+    """{empty, exact, estimation}² matrix like theta_setop_test.cpp:136+."""
+    e = empty(1 << 12)
+    x = sketch_of_range(0, 100)  # exact
+    m = sketch_of_range(0, 50_000)  # estimation
+    # unions
+    assert union([e, e]).get_estimate() == 0.0
+    assert union([e, x]).get_estimate() == 100.0
+    assert union([x, e]).get_estimate() == 100.0
+    assert abs(union([m, e]).get_estimate() - 50_000) / 50_000 < 0.03
+    # intersections
+    assert intersection(e, x).get_estimate() == 0.0
+    assert intersection(x, x).get_estimate() == 100.0
+    assert abs(intersection(m, m).get_estimate() - 50_000) / 50_000 < 0.03
+    # a_not_b
+    assert a_not_b(e, x).get_estimate() == 0.0
+    assert a_not_b(x, e).get_estimate() == 100.0
+    assert a_not_b(x, x).get_estimate() == 0.0
+
+
+def test_intersection_estimation_mode():
+    n = 20_000
+    a = sketch_of_range(0, n)
+    b = sketch_of_range(n // 2, n + n // 2)
+    est = intersection(a, b).get_estimate()
+    true = n // 2
+    assert abs(est - true) / true < 0.15  # intersection error compounds
+
+
+def test_jaccard_trivial_cases():
+    e = empty()
+    x = sketch_of_range(0, 100)
+    assert jaccard(e, e) == (1.0, 1.0, 1.0)
+    assert jaccard(e, x) == (0.0, 0.0, 0.0)
+    assert jaccard(x, x) == (1.0, 1.0, 1.0)
+
+
+def test_jaccard_half_overlap_exact_mode():
+    # A=0..1000, B=500..1500 → J = 500/1500 = 1/3, exact below k
+    a = sketch_of_range(0, 1000)
+    b = sketch_of_range(500, 1500)
+    lb, est, ub = jaccard(a, b)
+    assert est == pytest.approx(1 / 3, abs=1e-12)
+    assert lb <= est <= ub
+
+
+def test_jaccard_half_overlap_estimation():
+    # theta_jaccard_similarity_test.cpp:82-101: 10k per set, J=1/3 ± 0.01
+    a = sketch_of_range(0, 10_000, k=1 << 12)
+    b = sketch_of_range(5_000, 15_000, k=1 << 12)
+    lb, est, ub = jaccard(a, b)
+    assert est == pytest.approx(1 / 3, abs=0.03)
+    assert lb <= est <= ub
+
+
+def test_similarity_test_high_overlap():
+    # 95% overlap passes threshold 0.943 at lg_k=12, n=2^20 — the exact
+    # config of theta_jaccard_similarity_test.cpp:129-143
+    n = 1 << 20
+    a = sketch_of_range(0, n)
+    b = sketch_of_range(0, int(n * 0.95))  # J = 0.95
+    assert similarity_test(a, b, 0.943)
+    c = sketch_of_range(n, 2 * n)
+    assert not similarity_test(a, c, 0.1)
+
+
+def test_kmin_signature_and_merge_roundtrip():
+    h = hash63_int64(np.arange(0, 5000, dtype=np.int64))
+    k = 256
+    theta, sig = kmin_signature(h, k)
+    assert len(sig) == k and theta < MAX_THETA
+    t2, sig2 = merge_signatures(
+        np.array([theta, theta]), [sig[: k // 2], sig], k
+    )
+    assert t2 == theta
+    assert np.array_equal(sig2, sig)
+
+
+def test_jaccard_sig_exact():
+    a = np.array([1, 2, 3, 4], dtype=np.uint64)
+    b = np.array([3, 4, 5, 6], dtype=np.uint64)
+    assert jaccard_sig(a, b) == pytest.approx(2 / 6)
+
+
+def test_order_independence():
+    h = hash63_int64(np.arange(0, 9000, dtype=np.int64))
+    rng = np.random.default_rng(7)
+    s1 = from_hashes(h, k=1 << 10)
+    s2 = from_hashes(rng.permutation(h), k=1 << 10)
+    assert s1.theta == s2.theta
+    assert np.array_equal(s1.hashes, s2.hashes)
