@@ -200,6 +200,39 @@ def seed_hash(seed: int = DEFAULT_SEED) -> int:
     return h & 0xFFFF
 
 
+def hash63_bytes_many(bufs: list, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Vectorized murmur over a batch of variable-length byte strings by
+    length-bucketing: rows of equal length are stacked into one (m, L)
+    matrix and hashed in a single vectorized call. Worst case (all lengths
+    distinct) degrades to per-length calls, which is still batch-amortized
+    for natural-language tokens (few dozen distinct lengths per batch)."""
+    n = len(bufs)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lengths = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    for length in np.unique(lengths):
+        idx = np.nonzero(lengths == length)[0]
+        if length == 0:
+            # empty input is a no-op in the reference update path
+            # (theta_sketch_impl.hpp:196-199); callers filter these, but
+            # hash deterministically anyway
+            h, _ = murmur3_x64_128_fixed(np.empty((len(idx), 0), np.uint8), seed)
+        else:
+            rows = flat[starts[idx, None] + np.arange(length)]
+            h, _ = murmur3_x64_128_fixed(rows, seed)
+        out[idx] = h >> np.uint64(1)
+    return out
+
+
+def hash63_str_many(strings, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """UTF-8 encode + hash63 a batch of python strings."""
+    return hash63_bytes_many([s.encode("utf-8") for s in strings], seed)
+
+
 # ---------------------------------------------------------------------------
 # xxhash64 — vectorized for 8-byte messages, spark-compatible.
 #

@@ -1,0 +1,313 @@
+"""Signature kernels — pure numpy, shared by the Spark UDFs (operators/
+minhash.py) and the single-node oracle (oracle/pydedup.py).
+
+Everything is **batch-vectorized across documents**: a batch of N docs is
+flattened into one shingle-hash array with doc-boundary offsets, and every
+per-doc reduction (k-min selection, per-lane min, per-bit majority) is a
+single segmented numpy op (``reduceat`` / ``lexsort`` + rank arithmetic).
+This is the whole-batch replacement for the reference's per-item update loop
+(theta_update_sketch_base_impl.hpp:137-251) — same math, no Python-per-row.
+
+Config discipline mirrors the reference's fixed-seed contract
+(common_defs.hpp:34; seed-hash check theta_union_base_impl.hpp:41-42):
+every kernel takes the seed explicitly and `SigConfig.fingerprint()` stamps
+the full parameter set, so two runs can only be compared when fingerprints
+match.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass
+
+import numpy as np
+
+from ..hashing import (
+    DEFAULT_SEED,
+    hash63_bytes_scalar,
+    hash63_str_many,
+    murmur3_x64_128_fixed,
+    _fmix64,
+)
+
+MAX_HASH = np.uint64((1 << 63) - 1)
+MAX_THETA = 1 << 63
+
+
+@dataclass(frozen=True)
+class SigConfig:
+    """The (seed, shingle, signature, banding) configuration — the dedup
+    analog of the reference's (seed, lg_k, resize-factor) builder params."""
+
+    seed: int = DEFAULT_SEED
+    shingle_w: int = 3  # token n-gram width (text) / byte-window width (binary)
+    num_perm: int = 128  # MinHash lanes (k independent 1-min sketches)
+    kmv_k: int = 256  # bottom-k KMV signature size for verification
+    bands: int = 32  # LSH bands; rows per band = num_perm // bands
+    jaccard_threshold: float = 0.8
+    simhash_hamming: int = 3
+    phash_hamming: int = 7
+    phash_bands: int = 8
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.bands
+
+    def fingerprint(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return f"{hash63_bytes_scalar(payload, self.seed):016x}"
+
+
+def lane_seeds(cfg: SigConfig) -> np.ndarray:
+    """One 64-bit seed per MinHash lane, derived from the master seed the
+    same way for every worker (deterministic fan-out of DEFAULT_SEED)."""
+    base = np.arange(1, cfg.num_perm + 1, dtype=np.uint64)
+    return _fmix64(base * np.uint64(0x9E3779B97F4A7C15) + np.uint64(cfg.seed))
+
+
+# ---------------------------------------------------------------------------
+# Flattening: docs → (shingle hashes, offsets)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
+    """Whitespace tokens for a batch; returns flat token list + int64
+    offsets of length n+1 (doc i's tokens are flat[off[i]:off[i+1]])."""
+    flat: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split() if t else []
+        flat.extend(toks)
+        offsets[i + 1] = offsets[i] + len(toks)
+    return flat, offsets
+
+
+def token_hashes_batch(texts: list[str], seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-token 63-bit hashes with doc offsets. Distinct tokens are hashed
+    once (factorize + unique-hash + gather) — the batch analog of a
+    hash-memo, sound because murmur is pure."""
+    flat, offsets = tokenize_batch(texts)
+    if not flat:
+        return np.empty(0, np.uint64), offsets
+    import pandas as pd
+
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uh = hash63_str_many(list(uniques), seed)
+    return uh[codes], offsets
+
+
+def token_shingle_hashes(
+    texts: list[str], w: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Token w-gram shingle hashes per doc: per-token hashes are rolled into
+    w-grams and the 8*w little-endian bytes are murmur-hashed (fixed width ⇒
+    one vectorized call for the whole batch). Docs shorter than w tokens
+    contribute a single shingle over all their tokens."""
+    th, offsets = token_hashes_batch(texts, seed)
+    return _roll_and_hash(th, offsets, w, seed)
+
+
+def byte_shingle_hashes(
+    bufs: list[bytes], w: int, seed: int, stride: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Byte w-gram shingles over binary payloads (the image lane of S1).
+    All docs are concatenated; rolling windows are materialized via fancy
+    indexing and windows crossing doc boundaries are excluded. ``stride``
+    subsamples windows for very large payloads (deterministic, same for
+    every run)."""
+    n = len(bufs)
+    lengths = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+
+    win_counts = np.maximum((np.maximum(lengths - w, 0) // stride) + (lengths > 0), 0)
+    win_counts[lengths == 0] = 0
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(win_counts, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, np.uint64), offsets
+
+    # global start index of every window
+    doc_of_win = np.repeat(np.arange(n), win_counts)
+    rank_in_doc = np.arange(total) - offsets[doc_of_win]
+    win_start = starts[doc_of_win] + rank_in_doc * stride
+    # short docs (< w bytes): single window over what exists, zero-padded
+    width = np.minimum(w, lengths[doc_of_win])
+    idx = win_start[:, None] + np.arange(w)
+    # clamp out-of-doc reads to the window start (then mask below)
+    end = starts[doc_of_win] + lengths[doc_of_win]
+    over = idx >= end[:, None]
+    idx = np.where(over, win_start[:, None], idx)
+    rows = flat[idx]
+    rows[over] = 0
+    h1, _ = murmur3_x64_128_fixed(rows, seed)
+    _ = width
+    return (h1 >> np.uint64(1)), offsets
+
+
+def _roll_and_hash(
+    item_hashes: np.ndarray, offsets: np.ndarray, w: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """w-gram rolling windows over per-doc hash sequences → murmur of the
+    8w-byte window. Short docs yield one zero-padded window."""
+    n = len(offsets) - 1
+    counts = np.diff(offsets)
+    win_counts = np.where(counts == 0, 0, np.maximum(counts - w + 1, 1))
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(win_counts, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, np.uint64), out_off
+
+    doc_of_win = np.repeat(np.arange(n), win_counts)
+    rank = np.arange(total) - out_off[doc_of_win]
+    base = offsets[:-1][doc_of_win] + rank
+    idx = base[:, None] + np.arange(w)
+    end = offsets[1:][doc_of_win]
+    over = idx >= end[:, None]
+    idx = np.where(over, base[:, None], idx)
+    vals = item_hashes[idx]
+    vals[over] = 0
+    rows = np.ascontiguousarray(vals, dtype="<u8").view(np.uint8).reshape(total, 8 * w)
+    h1, _ = murmur3_x64_128_fixed(rows, seed)
+    return (h1 >> np.uint64(1)), out_off
+
+
+# ---------------------------------------------------------------------------
+# Segmented signature reductions
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: np.ndarray, offsets: np.ndarray, cfg: SigConfig
+) -> np.ndarray:
+    """Classic k-permutation MinHash, positionally aligned for LSH banding:
+    lane i keeps min over shingles of fmix64(h ^ seed_i) — k independent
+    1-minimum-value sketches (the k=1 corner of the reference's KMV loop).
+    Returns (n_docs, num_perm) uint64; empty docs get all-MAX sentinel."""
+    n = len(offsets) - 1
+    seeds = lane_seeds(cfg)
+    out = np.full((n, cfg.num_perm), MAX_HASH, dtype=np.uint64)
+    if len(shingles) == 0:
+        return out
+    nonempty = np.diff(offsets) > 0
+    red_off = offsets[:-1][nonempty]
+    for i in range(cfg.num_perm):
+        mixed = _fmix64(shingles ^ seeds[i]) >> np.uint64(1)
+        out[nonempty, i] = np.minimum.reduceat(mixed, red_off)
+    return out
+
+
+def kmv_signatures(
+    shingles: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Per-doc bottom-k KMV signature (theta + sorted k smallest distinct
+    shingle hashes) — the verification-side sketch (reference theta compact,
+    theta_sketch_impl.hpp:266-289). Segment-vectorized: one lexsort for the
+    whole batch, rank arithmetic for the k-min cut."""
+    n = len(offsets) - 1
+    doc_ids = np.repeat(np.arange(n), np.diff(offsets))
+    order = np.lexsort((shingles, doc_ids))
+    h = shingles[order]
+    d = doc_ids[order]
+    if len(h):
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        h, d = h[keep], d[keep]
+    doc_starts = np.searchsorted(d, np.arange(n))
+    doc_counts = np.searchsorted(d, np.arange(n), side="right") - doc_starts
+
+    # theta encoding for int64 Spark columns: -1 ⇔ MAX_THETA (exact mode),
+    # since 2^63 itself doesn't fit in a signed long
+    thetas = np.full(n, -1, dtype=np.int64)
+    over = doc_counts > k
+    thetas[over] = h[doc_starts[over] + k].astype(np.int64)
+    sigs = [
+        h[doc_starts[i] : doc_starts[i] + min(doc_counts[i], k)].copy()
+        for i in range(n)
+    ]
+    return thetas, sigs
+
+
+def decode_theta(theta_enc: int) -> int:
+    """int64 column value → true theta (−1 encodes MAX_THETA / exact)."""
+    return MAX_THETA if theta_enc < 0 else int(theta_enc)
+
+
+def simhash64(
+    token_hashes: np.ndarray, offsets: np.ndarray, seed: int = DEFAULT_SEED
+) -> np.ndarray:
+    """64-bit SimHash per doc: per-bit ±1 majority over token hashes —
+    the hash-bit-decomposition idiom of the reference's HLL coupons
+    (HllUtil.hpp:133-146), used here for near-identical caption detection.
+    Vectorized: unpack bits → segmented add → majority → pack."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    if len(token_hashes) == 0:
+        return out
+    th = _fmix64(token_hashes ^ np.uint64(seed))  # decorrelate from minhash
+    bits = np.unpackbits(
+        np.ascontiguousarray(th, dtype="<u8").view(np.uint8).reshape(-1, 8),
+        axis=1,
+        bitorder="little",
+    )  # (total_tokens, 64), values 0/1
+    counts = np.diff(offsets)
+    nonempty = counts > 0
+    red_off = offsets[:-1][nonempty]
+    sums = np.add.reduceat(bits.astype(np.int64), red_off, axis=0)  # (m, 64)
+    maj = (2 * sums) > counts[nonempty, None]
+    packed = np.packbits(maj.astype(np.uint8), axis=1, bitorder="little")
+    out[nonempty] = packed.view("<u8").ravel()
+    return out
+
+
+def band_hashes(sigs: np.ndarray, cfg: SigConfig) -> np.ndarray:
+    """LSH banding (S4): reshape the (n, num_perm) MinHash matrix into
+    (n, bands, rows) and murmur each band's 8*rows bytes → (n, bands)
+    uint64 band keys. Grouping key downstream is (band_idx, band_hash)."""
+    n, k = sigs.shape
+    b, r = cfg.bands, cfg.rows_per_band
+    assert b * r == k, "num_perm must equal bands * rows_per_band"
+    rows = (
+        np.ascontiguousarray(sigs, dtype="<u8")
+        .view(np.uint8)
+        .reshape(n * b, 8 * r)
+    )
+    h1, _ = murmur3_x64_128_fixed(rows, cfg.seed)
+    return (h1 >> np.uint64(1)).reshape(n, b)
+
+
+def phash_band_hashes(phashes: np.ndarray, num_bands: int = 8) -> np.ndarray:
+    """Multi-index blocking for 64-bit pHash: split into ``num_bands``
+    equal bit-slices; two hashes within hamming distance < num_bands share
+    at least one identical slice (pigeonhole) → guaranteed candidate
+    recall for hamming ≤ num_bands - 1."""
+    assert 64 % num_bands == 0
+    width = 64 // num_bands
+    ph = np.asarray(phashes, dtype=np.uint64)
+    out = np.empty((len(ph), num_bands), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    for i in range(num_bands):
+        out[:, i] = (ph >> np.uint64(i * width)) & mask
+    return out
+
+
+_POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR for uint64 arrays (byte-table lookup)."""
+    x = np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(8):
+        cnt += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.intp)]
+        x = x >> np.uint64(8)
+    return cnt
+
+
+def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Lane-agreement Jaccard estimate for aligned MinHash matrices
+    (n, k) × (n, k) → (n,) — the batched S7 verification kernel."""
+    return (sig_a == sig_b).mean(axis=1)
