@@ -1,0 +1,77 @@
+"""End-to-end near-duplicate detection pipeline (SURVEY.md §2B S0-S8).
+
+    content table ──S1/S2──▶ signatures ──S4-S6──▶ candidate pairs
+        ──S7──▶ verified pairs ──S8──▶ cluster assignments
+
+Each stage is a DataFrame → DataFrame function; `dedup_text` / `dedup`
+compose them. The signature stage is the only pass over raw content; every
+later stage moves ids + fixed-size signatures only, so the 100 TB scan cost
+is paid exactly once.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .cc import assign_clusters
+from .lsh import candidate_pairs
+from .minhash import compute_signatures
+from .sigkernel import SigConfig
+from .verify import verify_pairs
+
+
+def dedup(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    cfg: SigConfig | None = None,
+    kind: str = "text",
+    max_pairs_group: int = 256,
+    use_simhash: bool = True,
+    byte_stride: int = 1,
+    sig_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (assignments, verified_pairs, signatures).
+
+    assignments:    (id, cluster_id) — cluster_id = min member id
+    verified_pairs: (a, b, jaccard, mh_jaccard, simhash_hamming,
+                     exact_match, passed) — passed rows only
+    signatures:     the S1 output, reusable for checkpointing
+    """
+    cfg = cfg or SigConfig()
+    if sig_df is None:
+        sig_df = compute_signatures(
+            df, id_col, content_col, cfg, kind=kind, byte_stride=byte_stride
+        )
+    pairs = candidate_pairs(sig_df, max_pairs_group=max_pairs_group)
+    verified = verify_pairs(pairs, sig_df, cfg, use_simhash=use_simhash)
+    edges = verified.where("passed").select("a", "b")
+    assignments = assign_clusters(df.select(F.col(id_col).alias("id")), edges)
+    return assignments, verified.where("passed"), sig_df
+
+
+def cluster_stats(assignments: DataFrame) -> DataFrame:
+    """Per-cluster-size histogram: how many clusters of each size — the
+    standard dedup QA readout (JVM-only aggregates)."""
+    return (
+        assignments.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("num_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def duplicate_rate(assignments: DataFrame) -> DataFrame:
+    """One row: total docs, distinct clusters, duplicate docs (docs beyond
+    their cluster's first), dup fraction."""
+    return assignments.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("cluster_id").alias("num_clusters"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("duplicate_docs"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("cluster_id"))
+            / F.count(F.lit(1))
+        ).alias("dup_fraction"),
+    )

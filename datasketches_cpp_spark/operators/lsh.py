@@ -1,0 +1,96 @@
+"""S4-S6: LSH banding → hot-band skew defusal → candidate pair generation.
+
+Banding is a pure `posexplode` of the precomputed band-hash arrays followed
+by `groupBy(band_idx, band_hash)`. Two scale guards, both deterministic:
+
+1. **Singleton pruning** — band groups of size 1 (the vast majority on a
+   real corpus) are dropped *before* the Python pair-gen stage via a
+   semi-join against the band-size aggregate, so `applyInPandas` only ever
+   sees groups that can emit a pair. The size aggregate is the
+   frequent-items-style hot-key pre-pass of SURVEY.md §2B S5 (reference
+   heavy-hitter semantics: fi/include/frequent_items_sketch.hpp:143-175).
+
+2. **Hot-group capping** — a band shared by s documents emits s(s-1)/2
+   pairs; a degenerate band (e.g. a boilerplate caption) would emit
+   billions. Groups larger than ``max_pairs_group`` switch to
+   chain+hub edges (s-1 + s-1 edges): connectivity for connected
+   components is fully preserved, pair-level recall within the group is
+   delegated to the verifier over those edges. The cap is part of the
+   config fingerprint — the oracle applies the identical rule, so cluster
+   assignments still match exactly.
+
+Why not a SQL self-join? `bands JOIN bands ON band` is JVM-only but its
+output *is* the quadratic blowup — AQE can split the skewed partition but
+cannot cap the semantics. The cap must be applied while the group is in
+hand, which is exactly what `applyInPandas` gives us.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def explode_bands(sig_df: DataFrame) -> DataFrame:
+    """(id, bands[]) → (band_idx, band_hash, id); rows with no shingles are
+    excluded (their all-sentinel signatures would otherwise collide into one
+    giant false band group)."""
+    return (
+        sig_df.where(F.col("n_shingles") > 0)
+        .select("id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    )
+
+
+def band_group_sizes(bands_df: DataFrame) -> DataFrame:
+    """Group-size pre-count: one map-side-combinable agg. Doubles as the
+    skew diagnostic (top-N hottest bands = heavy hitters)."""
+    return bands_df.groupBy("band_idx", "band_hash").count()
+
+
+def candidate_pairs(
+    sig_df: DataFrame,
+    max_pairs_group: int = 256,
+) -> DataFrame:
+    """sig table → deduplicated candidate pair table (a < b)."""
+    bands_df = explode_bands(sig_df)
+    sizes = band_group_sizes(bands_df)
+    multi = sizes.where(F.col("count") >= 2).select("band_idx", "band_hash")
+    # semi-join prunes singleton groups before any Python runs
+    pruned = bands_df.join(multi, ["band_idx", "band_hash"], "left_semi")
+
+    id_type = dict(sig_df.dtypes)["id"]
+    out_schema = f"a {id_type}, b {id_type}"
+
+    def gen_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(pdf["id"].to_numpy())
+        ids = pd.unique(ids)
+        s = len(ids)
+        if s < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        if s <= max_pairs_group:
+            ia, ib = np.triu_indices(s, k=1)
+            return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+        # hot group: chain + hub — 2(s-1) edges, connectivity preserved
+        hub = ids[0]
+        a = np.concatenate([ids[:-1], np.full(s - 1, hub)])
+        b = np.concatenate([ids[1:], ids[1:]])
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        return out
+
+    pairs = pruned.groupBy("band_idx", "band_hash").applyInPandas(
+        gen_pairs, out_schema
+    )
+    return pairs.dropDuplicates(["a", "b"])
+
+
+def hot_bands(sig_df: DataFrame, threshold: int = 1000) -> DataFrame:
+    """Diagnostic: bands whose group size exceeds ``threshold`` — the
+    heavy-hitter report (reference fi semantics #27) surfaced to metrics."""
+    return (
+        band_group_sizes(explode_bands(sig_df))
+        .where(F.col("count") > threshold)
+        .orderBy(F.desc("count"))
+    )

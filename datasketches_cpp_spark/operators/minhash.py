@@ -1,0 +1,109 @@
+"""S1/S2: signature computation as one Arrow-batched Spark stage.
+
+One `mapInPandas` pass per content lane computes, per row:
+  * MinHash signature (num_perm aligned lanes) — for LSH banding,
+  * KMV bottom-k signature + theta — for tight Jaccard verification
+    (the reference's theta compact form, theta_sketch_impl.hpp:266-289),
+  * 64-bit SimHash — near-identical text detection,
+  * LSH band hashes — precomputed here so banding is a pure `posexplode`
+    downstream (no second pass over content).
+
+The stage is embarrassingly parallel (no shuffle); at 100 TB it scales
+linearly with input splits. Content bytes are dropped immediately after —
+everything downstream moves only ids + fixed-size signatures, which is the
+whole point of sketching the corpus instead of joining it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .sigkernel import (
+    SigConfig,
+    band_hashes,
+    byte_shingle_hashes,
+    kmv_signatures,
+    minhash_signatures,
+    simhash64,
+    token_hashes_batch,
+    token_shingle_hashes,
+)
+
+
+def signature_batch(
+    ids: list,
+    contents: list,
+    cfg: SigConfig,
+    kind: str = "text",
+    byte_stride: int = 1,
+) -> pd.DataFrame:
+    """Pure-numpy signature computation for one batch — shared verbatim by
+    the Spark UDF below and the single-node oracle (oracle/pydedup.py), so
+    'identical shingle/signature config ⇒ identical signatures' holds by
+    construction, the analog of the reference's seed-hash contract."""
+    if kind == "text":
+        sh, off = token_shingle_hashes(contents, cfg.shingle_w, cfg.seed)
+        tok, tok_off = token_hashes_batch(contents, cfg.seed)
+    elif kind == "binary":
+        bufs = [bytes(b) if b is not None else b"" for b in contents]
+        sh, off = byte_shingle_hashes(bufs, cfg.shingle_w, cfg.seed, stride=byte_stride)
+        tok, tok_off = sh, off  # simhash over the same shingle stream
+    else:
+        raise ValueError(f"unknown content kind {kind!r}")
+
+    mh = minhash_signatures(sh, off, cfg)
+    thetas, kmv_sigs = kmv_signatures(sh, off, cfg.kmv_k)
+    sim = simhash64(tok, tok_off, cfg.seed)
+    bands = band_hashes(mh, cfg)
+    n_shingles = np.diff(off)
+
+    return pd.DataFrame(
+        {
+            "id": ids,
+            "n_shingles": n_shingles.astype(np.int64),
+            "mh_sig": [row.astype(np.int64) for row in mh],
+            "kmv_theta": thetas,
+            "kmv_sig": [s.astype(np.int64) for s in kmv_sigs],
+            "simhash": sim.astype(np.int64),
+            "bands": [row.astype(np.int64) for row in bands],
+        }
+    )
+
+
+SIG_SCHEMA_SUFFIX = (
+    "n_shingles long, mh_sig array<long>, kmv_theta long, "
+    "kmv_sig array<long>, simhash long, bands array<long>"
+)
+
+
+def compute_signatures(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    cfg: SigConfig,
+    kind: str = "text",
+    byte_stride: int = 1,
+) -> DataFrame:
+    """DataFrame(id_col, content) → DataFrame(id, n_shingles, mh_sig,
+    kmv_theta, kmv_sig, simhash, bands). Narrow (no shuffle)."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"id {id_type}, {SIG_SCHEMA_SUFFIX}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            contents = (
+                pdf[content_col].fillna("").tolist()
+                if kind == "text"
+                else pdf[content_col].tolist()
+            )
+            yield signature_batch(
+                pdf[id_col].tolist(), contents, cfg, kind, byte_stride
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -1,0 +1,189 @@
+"""End-to-end dedup slice tests (SURVEY.md §7 step 3):
+
+* connected components vs a union-find oracle on random + adversarial graphs
+* planted exact dups → recall 1.0 (the reference's exact-mode discipline)
+* full Spark pipeline vs the single-node oracle at identical SigConfig —
+  the dup-pair-recall ≥ 0.99 BASELINE gate (expected: exact match)
+"""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_cpp_spark.operators.cc import assign_clusters, connected_components
+from datasketches_cpp_spark.operators.dedup import cluster_stats, dedup, duplicate_rate
+from datasketches_cpp_spark.operators.sigkernel import SigConfig
+from datasketches_cpp_spark.oracle.pydedup import (
+    UnionFind,
+    dup_pair_recall,
+    oracle_dedup,
+)
+
+CFG = SigConfig(num_perm=64, bands=16, kmv_k=128, shingle_w=2, jaccard_threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def _uf_assign(n, edges):
+    uf = UnionFind()
+    for i in range(n):
+        uf.find(i)
+    for a, b in edges:
+        uf.union(a, b)
+    return {i: uf.find(i) for i in range(n)}
+
+
+@pytest.mark.parametrize("n,m,seed", [(50, 40, 0), (200, 150, 1), (300, 600, 2)])
+def test_cc_matches_union_find_random(spark, n, m, seed):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    ids = spark.range(n).select(F.col("id"))
+    got = {r["id"]: r["cluster_id"] for r in assign_clusters(ids, edf).collect()}
+    want = _uf_assign(n, edges)
+    assert got == want
+
+
+def test_cc_long_chain(spark):
+    """Adversarial long chain (FIXTURES.md F2) — label propagation would
+    need O(n) rounds; large/small-star must converge in O(log n)."""
+    n = 512
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    comp = connected_components(edf, max_iter=15)  # log2(512)=9 ≪ 15
+    got = {r["id"]: r["cluster_id"] for r in comp.collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_cc_string_ids(spark):
+    edges = [("imgB", "imgA"), ("imgC", "imgB"), ("imgX", "imgY")]
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    ids = spark.createDataFrame(
+        pd.DataFrame({"id": ["imgA", "imgB", "imgC", "imgX", "imgY", "imgZ"]})
+    )
+    got = {r["id"]: r["cluster_id"] for r in assign_clusters(ids, edf).collect()}
+    assert got == {
+        "imgA": "imgA", "imgB": "imgA", "imgC": "imgA",
+        "imgX": "imgX", "imgY": "imgX", "imgZ": "imgZ",
+    }
+
+
+def test_cc_empty_edges(spark):
+    edf = spark.createDataFrame(pd.DataFrame({"a": [], "b": []}), "a long, b long")
+    ids = spark.range(5)
+    got = {r["id"]: r["cluster_id"] for r in assign_clusters(ids, edf).collect()}
+    assert got == {i: i for i in range(5)}
+
+
+# ---------------------------------------------------------------------------
+# planted-duplicate corpora
+# ---------------------------------------------------------------------------
+
+
+def _make_corpus(seed=7, n_base=60):
+    """Deterministic corpus: unique docs + exact dups + near dups (one token
+    changed) + a transitive chain — the FIXTURES.md F2 mix in miniature."""
+    rng = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(500)]
+    docs = {}
+    truth = {}  # id -> group representative
+    gid = 0
+    for i in range(n_base):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(20, 60)))
+        docs[f"d{gid:04d}_0"] = text
+        truth[f"d{gid:04d}_0"] = gid
+        if i % 5 == 0:  # exact duplicate
+            docs[f"d{gid:04d}_1"] = text
+            truth[f"d{gid:04d}_1"] = gid
+        if i % 7 == 0:  # near duplicate: change one token
+            toks = text.split()
+            toks[len(toks) // 2] = "CHANGED"
+            docs[f"d{gid:04d}_2"] = " ".join(toks)
+            truth[f"d{gid:04d}_2"] = gid
+        gid += 1
+    return docs, truth
+
+
+def test_pipeline_exact_dups_recall_1(spark):
+    """Every exact duplicate pair must be found (J = 1 ≥ any threshold,
+    identical band hashes ⇒ guaranteed candidates)."""
+    docs, truth = _make_corpus()
+    pdf = pd.DataFrame({"id": list(docs), "text": list(docs.values())})
+    df = spark.createDataFrame(pdf).repartition(4)
+    assignments, verified, _ = dedup(df, "id", "text", CFG)
+    got = {r["id"]: r["cluster_id"] for r in assignments.collect()}
+    # exact dup pairs (same text) must land in the same cluster
+    by_text = {}
+    for i, t in docs.items():
+        by_text.setdefault(t, []).append(i)
+    for members in by_text.values():
+        roots = {got[m] for m in members}
+        assert len(roots) == 1, f"exact dups split: {members}"
+
+
+def test_pipeline_matches_oracle(spark):
+    """The BASELINE gate: Spark assignments vs single-node oracle at the
+    identical SigConfig — dup-pair recall ≥ 0.99 (expected exactly 1.0 and
+    identical assignments, since both sides share kernels and rules)."""
+    docs, _ = _make_corpus(seed=11, n_base=80)
+    ids, texts = list(docs), list(docs.values())
+    oracle_assign, oracle_pairs, _ = oracle_dedup(ids, texts, CFG)
+
+    pdf = pd.DataFrame({"id": ids, "text": texts})
+    df = spark.createDataFrame(pdf).repartition(5)
+    assignments, verified, _ = dedup(df, "id", "text", CFG)
+    got = {r["id"]: r["cluster_id"] for r in assignments.collect()}
+
+    recall = dup_pair_recall(oracle_assign, got)
+    assert recall >= 0.99
+    # and in fact identical cluster assignments (min-id labels both sides)
+    assert got == oracle_assign
+
+
+def test_pipeline_partitioning_invariance(spark):
+    """Same corpus at different partition counts → identical assignments
+    (the property that makes the N vs 4N scaling run return identical
+    results — BASELINE.md scaling protocol)."""
+    docs, _ = _make_corpus(seed=3, n_base=40)
+    pdf = pd.DataFrame({"id": list(docs), "text": list(docs.values())})
+    results = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        assignments, _, _ = dedup(df, "id", "text", CFG)
+        results.append({r["id"]: r["cluster_id"] for r in assignments.collect()})
+    assert results[0] == results[1]
+
+
+def test_hot_band_capping_preserves_clustering(spark):
+    """Adversarial skew fixture (FIXTURES.md F2): one text duplicated 300×
+    — a single hot band group. Capping must keep them one cluster while
+    emitting O(s) not O(s²) pairs."""
+    base = "the same boilerplate caption repeated everywhere in the corpus"
+    docs = {f"hot{i:04d}": base for i in range(300)}
+    docs.update({f"uniq{i:04d}": f"unique text number {i} with filler {i*7}" for i in range(50)})
+    pdf = pd.DataFrame({"id": list(docs), "text": list(docs.values())})
+    df = spark.createDataFrame(pdf).repartition(6)
+    assignments, verified, _ = dedup(df, "id", "text", CFG, max_pairs_group=32)
+    got = {r["id"]: r["cluster_id"] for r in assignments.collect()}
+    hot_roots = {got[f"hot{i:04d}"] for i in range(300)}
+    assert hot_roots == {"hot0000"}
+    n_pairs = verified.count()
+    assert n_pairs < 300 * 299 / 2 / 10  # far below quadratic
+
+
+def test_cluster_stats_and_duprate(spark):
+    docs = {"a": "x y z w", "b": "x y z w", "c": "totally different things here"}
+    pdf = pd.DataFrame({"id": list(docs), "text": list(docs.values())})
+    assignments, _, _ = dedup(spark.createDataFrame(pdf), "id", "text", CFG)
+    stats = {r["cluster_size"]: r["num_clusters"] for r in cluster_stats(assignments).collect()}
+    assert stats == {1: 1, 2: 1}
+    dr = duplicate_rate(assignments).collect()[0]
+    assert dr["total_docs"] == 3 and dr["duplicate_docs"] == 1
