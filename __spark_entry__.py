@@ -1,38 +1,316 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-dup pipeline on sf0.001 documents.
+``queries()`` exposes the SQL-expressible operators from SURVEY.md §2 with
+DuckDB oracles in ``oracle_sql()``; genuinely non-SQL operators (LSH
+clustering, MinHash signatures) are registered without oracles → the driver
+records rows-only checks for those, by design.
+
+Column-name and value-determinism discipline: every aggregate is aliased
+identically on both sides; doubles are only emitted when both engines
+compute them with the identical single IEEE operation (one division), or as
+exact decimals; sums of floating columns go through decimal(18,2).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from datasketches_cpp_spark.functions.theta import (
+    theta_pair_set_ops,
+    theta_sketch_agg,
+    with_estimate,
+)
+from datasketches_cpp_spark.operators.dedup import dedup
+from datasketches_cpp_spark.operators.knn import brute_force_topk
+from datasketches_cpp_spark.operators.sigkernel import SigConfig
+from datasketches_cpp_spark.operators.substring import substring_pairs
+from datasketches_cpp_spark.operators.textstats import (
+    exact_ngram_jaccard_pairs,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+)
+
+DOC_CFG = SigConfig(num_perm=64, bands=32, kmv_k=128, shingle_w=2, jaccard_threshold=0.5)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-duplicate clustering of sf0.001 documents: signatures → LSH →
+    verify → connected components; returns (id, cluster_id)."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    assignments, _, _ = dedup(docs, "doc_id", "text", DOC_CFG)
+    return assignments
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_theta_distinct_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sk = theta_sketch_agg(li, [], "l_orderkey", lg_k=18)  # exact ≤ 262k ndv
+    return with_estimate(sk).select(
+        F.col("estimate").cast("long").alias("distinct_orderkeys")
+    )
+
+
+def q_theta_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    sk = theta_sketch_agg(orders, ["o_orderstatus"], "o_custkey", lg_k=14)
+    return with_estimate(sk).select(
+        "o_orderstatus", F.col("estimate").cast("long").alias("distinct_custkeys")
+    )
+
+
+def _custkey_sketches(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").withColumn("g", F.lit("all"))
+    cust = _t(spark, sf_dir, "customer").withColumn("g", F.lit("all"))
+    ska = theta_sketch_agg(orders, ["g"], "o_custkey", lg_k=14)
+    skb = theta_sketch_agg(cust, ["g"], "c_custkey", lg_k=14)
+    return theta_pair_set_ops(ska, skb, ["g"], k=1 << 14)
+
+
+def q_theta_union_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkey_sketches(spark, sf_dir).select(
+        F.col("est_union").cast("long").alias("union_custkeys")
+    )
+
+
+def q_theta_intersection_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkey_sketches(spark, sf_dir).select(
+        F.col("est_intersection").cast("long").alias("intersection_custkeys")
+    )
+
+
+def q_theta_anotb_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers (b) minus customers-with-orders (a) — a_not_b(b, a) is
+    computed as est_a_not_b with sides swapped below."""
+    orders = _t(spark, sf_dir, "orders").withColumn("g", F.lit("all"))
+    cust = _t(spark, sf_dir, "customer").withColumn("g", F.lit("all"))
+    skb = theta_sketch_agg(cust, ["g"], "c_custkey", lg_k=14)
+    ska = theta_sketch_agg(orders, ["g"], "o_custkey", lg_k=14)
+    return theta_pair_set_ops(skb, ska, ["g"], k=1 << 14).select(
+        F.col("est_a_not_b").cast("long").alias("customers_without_orders")
+    )
+
+
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_fingerprint(_t(spark, sf_dir, "documents"), "text")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("fingerprint").alias("unique_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("dup_docs"),
+    )
+
+
+def q_bigram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, w=2).select(
+        "a", "b", "jaccard"
+    )
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return substring_pairs(
+        docs, "doc_id", "text", DOC_CFG, max_posting_list=4096
+    ).select("a", "b")
+
+
+def q_frequent_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+
+
+def q_language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_language_id(_t(spark, sf_dir, "documents"), "text")
+    return docs.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_quality_score(_t(spark, sf_dir, "documents"), "text")
+    return docs.select(
+        "doc_id", "token_count", "n_chars",
+        F.round("punct_ratio", 6).alias("punct_ratio_r"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, probes, "vec_id", "embedding", k=5).select(
+        "probe_id", "neighbor_id", "rank"
+    )
+
+
+# ---- non-SQL-expressible (rows-only checks, documented) -------------------
+
+
+def q_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assignments, _, _ = dedup(docs, "doc_id", "text", DOC_CFG)
+    return assignments
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_cpp_spark.operators.minhash import compute_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = compute_signatures(docs, "doc_id", "text", DOC_CFG, kind="text")
+    return sig.select("id", "n_shingles", "simhash", F.size("mh_sig").alias("sig_len"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "theta_distinct_orderkey": q_theta_distinct_orderkey,
+        "theta_distinct_by_status": q_theta_distinct_by_status,
+        "theta_union_custkeys": q_theta_union_custkeys,
+        "theta_intersection_custkeys": q_theta_intersection_custkeys,
+        "theta_anotb_custkeys": q_theta_anotb_custkeys,
+        "exact_dedup_stats": q_exact_dedup_stats,
+        "bigram_jaccard_pairs": q_bigram_jaccard_pairs,
+        "substring_pairs": q_substring_pairs,
+        "frequent_event_types": q_frequent_event_types,
+        "events_hourly": q_events_hourly,
+        "language_id_counts": q_language_id_counts,
+        "text_quality": q_text_quality,
+        "knn_bruteforce": q_knn_bruteforce,
+        "lsh_dedup_clusters": q_lsh_dedup_clusters,
+        "minhash_signatures": q_minhash_signatures,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORDS_SQL = "'the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "theta_distinct_orderkey": (
+            "SELECT COUNT(DISTINCT l_orderkey) AS distinct_orderkeys FROM lineitem"
+        ),
+        "theta_distinct_by_status": (
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_custkeys "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+        "theta_union_custkeys": (
+            "SELECT COUNT(*) AS union_custkeys FROM "
+            "(SELECT DISTINCT o_custkey AS k FROM orders "
+            " UNION SELECT DISTINCT c_custkey FROM customer)"
+        ),
+        "theta_intersection_custkeys": (
+            "SELECT COUNT(*) AS intersection_custkeys FROM "
+            "(SELECT DISTINCT o_custkey AS k FROM orders "
+            " INTERSECT SELECT DISTINCT c_custkey FROM customer)"
+        ),
+        "theta_anotb_custkeys": (
+            "SELECT COUNT(*) AS customers_without_orders FROM "
+            "(SELECT DISTINCT c_custkey AS k FROM customer "
+            " EXCEPT SELECT DISTINCT o_custkey FROM orders)"
+        ),
+        "exact_dedup_stats": (
+            "SELECT COUNT(*) AS total_docs, "
+            "COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS unique_docs, "
+            "COUNT(*) - COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dup_docs "
+            "FROM documents"
+        ),
+        "bigram_jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents), "
+            "dt AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts)-1), "
+            "  i -> ts[i] || ' ' || ts[i+1])) AS g FROM toks WHERE len(ts) >= 2), "
+            "sz AS (SELECT doc_id, count(*) n FROM dt GROUP BY doc_id), "
+            "inter AS (SELECT x.doc_id a, y.doc_id b, count(*) c FROM dt x "
+            "  JOIN dt y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
+            "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5"
+        ),
+        "substring_pairs": (
+            "SELECT LEAST(x.doc_id, y.doc_id) AS a, GREATEST(x.doc_id, y.doc_id) AS b "
+            "FROM documents x JOIN documents y ON x.doc_id <> y.doc_id "
+            "AND len(string_split_regex(trim(x.text), '\\s+')) >= 3 "
+            "AND len(string_split_regex(trim(x.text), '\\s+')) < len(string_split_regex(trim(y.text), '\\s+')) "
+            "AND position((' ' || trim(x.text) || ' ') IN (' ' || trim(y.text) || ' ')) > 0 "
+            "GROUP BY 1, 2"
+        ),
+        "frequent_event_types": (
+            "SELECT event_type, COUNT(*) AS cnt FROM events "
+            "GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt, "
+            "SUM(CAST(value AS DECIMAL(18,2))) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "language_id_counts": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents), "
+            "votes AS (SELECT doc_id, "
+            " len(list_filter(ts, t -> t IN ('the','and','of','is','to'))) AS en, "
+            " len(list_filter(ts, t -> t IN ('der','die','und','ist','das'))) AS de, "
+            " len(list_filter(ts, t -> t IN ('le','la','et','est','les'))) AS fr "
+            " FROM toks), "
+            "guess AS (SELECT CASE WHEN greatest(en, de, fr) = 0 THEN 'unknown' "
+            " WHEN en = greatest(en, de, fr) THEN 'en' "
+            " WHEN de = greatest(en, de, fr) THEN 'de' ELSE 'fr' END AS lang_guess FROM votes) "
+            "SELECT lang_guess, COUNT(*) AS cnt FROM guess GROUP BY lang_guess"
+        ),
+        "text_quality": (
+            "WITH b AS (SELECT doc_id, trim(text) AS t FROM documents), "
+            "f AS (SELECT doc_id, t, "
+            " CASE WHEN t = '' THEN 0 ELSE len(string_split_regex(t, '\\s+')) END AS token_count, "
+            " length(t) AS n_chars, "
+            " length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g')) AS n_punct, "
+            " CASE WHEN t = '' THEN 0 ELSE len(list_filter(string_split_regex(lower(t), '\\s+'), "
+            f"   x -> x IN ({_STOPWORDS_SQL}))) END AS n_stop "
+            " FROM b) "
+            "SELECT doc_id, token_count, n_chars, "
+            "round(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END, 6) AS punct_ratio_r, "
+            "round(CASE WHEN token_count > 0 THEN n_stop * 1.0 / token_count ELSE 0 END, 6) AS stopword_ratio_r "
+            "FROM f"
+        ),
+        "knn_bruteforce": (
+            "WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT p.probe_id, e.vec_id AS neighbor_id, "
+            " list_cosine_similarity(p.pv, e.embedding) AS cos "
+            " FROM p JOIN embeddings e ON e.vec_id <> p.probe_id), "
+            "ranked AS (SELECT probe_id, neighbor_id, "
+            " row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+            " FROM scored) "
+            "SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        # lsh_dedup_clusters, minhash_signatures: intentionally no oracle —
+        # LSH banding + sketch internals aren't ANSI-SQL-expressible; the
+        # driver records rows-only checks for these.
+    }

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark. Runs the flagship pipelines + representative sketch
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The image corpus for the flagship lane is synthesized deterministically
+(sources/images.generate_images, seed 42) and cached as parquet next to
+this script — no external data. Image count via $BENCH_IMAGES (default
+20000 ≈ the sf0.1 tier of FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from datasketches_cpp_spark.session import get_spark
+    from datasketches_cpp_spark.sources.images import write_images_parquet
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"images_{n_images}_s42"
+    )
+    img_parquet = os.path.join(cache_dir, "images.parquet")
+    if not os.path.exists(img_parquet):
+        os.makedirs(cache_dir, exist_ok=True)
+        write_images_parquet(cache_dir, n_images, seed=42)
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entry_mod
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+    from datasketches_cpp_spark.operators.sigkernel import SigConfig
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # flagship: multi-lane image dedup on the synthetic corpus
+    img_cfg = SigConfig(num_perm=64, bands=32, kmv_k=128, shingle_w=3, jaccard_threshold=0.5)
+    bytes_cfg = SigConfig(num_perm=64, bands=16, kmv_k=128, shingle_w=16, jaccard_threshold=0.9)
+
+    def flagship():
+        images = spark.read.parquet(img_parquet)
+        res = dedup_images(images, img_cfg, bytes_cfg, byte_stride=4)
+        return res["assignments"].count()
+
+    n_assigned = run("image_dedup", flagship)
+    assert n_assigned == n_images, (n_assigned, n_images)
+
+    # text dedup over driver-provided documents
+    run("doc_dedup", lambda: entry_mod.q_lsh_dedup_clusters(spark, sf_dir).count())
+    # sketch queries over driver tables
+    run("theta_distinct", lambda: entry_mod.q_theta_distinct_orderkey(spark, sf_dir).collect())
+    run("theta_setops", lambda: entry_mod.q_theta_intersection_custkeys(spark, sf_dir).collect())
+    run("frequent_items", lambda: entry_mod.q_frequent_event_types(spark, sf_dir).collect())
+    run("events_hourly", lambda: entry_mod.q_events_hourly(spark, sf_dir).count())
+    run("knn", lambda: entry_mod.q_knn_bruteforce(spark, sf_dir).count())
+    run("substring", lambda: entry_mod.q_substring_pairs(spark, sf_dir).count())
+    run("text_quality", lambda: entry_mod.q_text_quality(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    images_per_sec = round(n_images / timings["image_dedup"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images": n_images,
+                "images_per_sec": images_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

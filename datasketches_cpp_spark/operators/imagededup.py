@@ -1,0 +1,133 @@
+"""The flagship pipeline: multi-lane near-duplicate detection over the
+image+caption table (BASELINE.json north_star / input_hint shape
+``(image_id, bytes, w, h, fmt, caption, phash)``).
+
+Four candidate lanes, OR-fused (SURVEY.md §2B S7), one clustering pass:
+
+  caption lane   MinHash(token shingles) → LSH bands → jaccard/simhash verify
+  bytes lane     MinHash(byte shingles of pixel payload) → LSH → jaccard
+  phash lane     64-bit pHash multi-index blocking (8×8-bit slices —
+                 pigeonhole-guaranteed recall for hamming ≤ 7) → verify
+                 entirely JVM-side with bit_count(phash_a ^ phash_b)
+  substring lane exact token-substring captions (suffix-array verified)
+
+Scale notes: each lane's candidate generation is one explode + one capped
+groupBy; the only passes over raw image bytes are the two signature stages
+(narrow, no shuffle). The pHash lane never leaves the JVM. All lanes emit
+(a, b) edges into a single connected-components run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .cc import assign_clusters
+from .lsh import candidate_pairs, pairs_from_bands
+from .minhash import compute_signatures
+from .sigkernel import SigConfig
+from .substring import substring_pairs
+from .verify import verify_pairs
+
+
+def phash_pairs(
+    images: DataFrame,
+    cfg: SigConfig,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_pairs_group: int = 256,
+) -> DataFrame:
+    """pHash lane, fully JVM-side except the shared capped pair-gen:
+    64-bit hash → ``phash_bands`` bit-slices; two images within hamming
+    distance < phash_bands share ≥ 1 slice (pigeonhole), so blocking on
+    (slice_idx, slice_value) has guaranteed recall for the configured
+    radius. Verification is bit_count(xor) ≤ phash_hamming."""
+    nb = cfg.phash_bands
+    width = 64 // nb
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            (F.shiftrightunsigned(F.col(phash_col), i * width).bitwiseAND(F.lit(mask)))
+            # tag each slice with its index so slices only collide within
+            # the same band position
+            for i in range(nb)
+        ]
+    )
+    bands_df = (
+        images.select(F.col(id_col).alias("id"), F.posexplode(slices).alias("band_idx", "band_hash"))
+    )
+    pairs = pairs_from_bands(bands_df, max_pairs_group=max_pairs_group)
+    ph = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+    verified = (
+        pairs.join(ph.select(F.col("id").alias("a"), F.col("ph").alias("ph_a")), "a")
+        .join(ph.select(F.col("id").alias("b"), F.col("ph").alias("ph_b")), "b")
+        .withColumn(
+            "phash_hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .where(F.col("phash_hamming") <= cfg.phash_hamming)
+        .select("a", "b", "phash_hamming")
+    )
+    return verified
+
+
+def dedup_images(
+    images: DataFrame,
+    cfg: SigConfig | None = None,
+    bytes_cfg: SigConfig | None = None,
+    max_pairs_group: int = 256,
+    byte_stride: int = 4,
+    enable_lanes: tuple = ("caption", "bytes", "phash", "substring"),
+) -> dict:
+    """Full multi-lane dedup. Returns dict with 'assignments', 'edges',
+    per-lane pair DataFrames, and the two signature tables."""
+    cfg = cfg or SigConfig()
+    bytes_cfg = bytes_cfg or SigConfig(
+        seed=cfg.seed,
+        shingle_w=16,  # 16-byte pixel windows
+        num_perm=cfg.num_perm,
+        kmv_k=cfg.kmv_k,
+        bands=cfg.bands,
+        jaccard_threshold=0.9,  # binary payloads: near-identical or not
+    )
+    out: dict = {}
+    edge_parts = []
+
+    if "caption" in enable_lanes:
+        cap_sig = compute_signatures(images, "image_id", "caption", cfg, kind="text")
+        cap_sig = cap_sig.localCheckpoint(eager=False)
+        cap_pairs = candidate_pairs(cap_sig, max_pairs_group=max_pairs_group)
+        cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True).where("passed")
+        out["caption_sig"] = cap_sig
+        out["caption_pairs"] = cap_ver
+        edge_parts.append(cap_ver.select("a", "b"))
+
+    if "bytes" in enable_lanes:
+        byt_sig = compute_signatures(
+            images, "image_id", "bytes", bytes_cfg, kind="binary", byte_stride=byte_stride
+        )
+        byt_sig = byt_sig.localCheckpoint(eager=False)
+        byt_pairs = candidate_pairs(byt_sig, max_pairs_group=max_pairs_group)
+        byt_ver = verify_pairs(byt_pairs, byt_sig, bytes_cfg, use_simhash=False).where("passed")
+        out["bytes_sig"] = byt_sig
+        out["bytes_pairs"] = byt_ver
+        edge_parts.append(byt_ver.select("a", "b"))
+
+    if "phash" in enable_lanes:
+        ph_ver = phash_pairs(images, cfg, max_pairs_group=max_pairs_group)
+        out["phash_pairs"] = ph_ver
+        edge_parts.append(ph_ver.select("a", "b"))
+
+    if "substring" in enable_lanes:
+        sub = substring_pairs(images, "image_id", "caption", cfg)
+        out["substring_pairs"] = sub
+        edge_parts.append(sub)
+
+    edges = edge_parts[0]
+    for e in edge_parts[1:]:
+        edges = edges.union(e)
+    edges = edges.dropDuplicates(["a", "b"])
+    out["edges"] = edges
+    out["assignments"] = assign_clusters(
+        images.select(F.col("image_id").alias("id")), edges
+    )
+    return out

@@ -54,13 +54,23 @@ def candidate_pairs(
     max_pairs_group: int = 256,
 ) -> DataFrame:
     """sig table → deduplicated candidate pair table (a < b)."""
-    bands_df = explode_bands(sig_df)
+    return pairs_from_bands(explode_bands(sig_df), max_pairs_group)
+
+
+def pairs_from_bands(
+    bands_df: DataFrame,
+    max_pairs_group: int = 256,
+) -> DataFrame:
+    """(band_idx, band_hash, id) → deduplicated (a, b) candidate pairs.
+    Shared by the MinHash lane and the pHash multi-index lane (and any
+    future blocking scheme): singleton pruning + hot-group capping live
+    here once."""
     sizes = band_group_sizes(bands_df)
     multi = sizes.where(F.col("count") >= 2).select("band_idx", "band_hash")
     # semi-join prunes singleton groups before any Python runs
     pruned = bands_df.join(multi, ["band_idx", "band_hash"], "left_semi")
 
-    id_type = dict(sig_df.dtypes)["id"]
+    id_type = dict(bands_df.dtypes)["id"]
     out_schema = f"a {id_type}, b {id_type}"
 
     def gen_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,195 @@
+"""S3: exact-substring caption dedup lane.
+
+Finds pairs (A, B) where A's caption is an exact substring of B's caption —
+the case MinHash misses (a short caption inside a long one has low Jaccard).
+
+Two phases, both linear in corpus size:
+
+1. **Candidate blocking — min-shingle inverted index.** If A ⊆ B then every
+   token w-gram of A occurs in B; in particular A's *minimum* shingle hash
+   is one of B's shingles. So: post every doc's full shingle set into an
+   inverted index (shingle_hash → host ids; one explode, linear rows), and
+   probe it with each doc's single min shingle. Posting lists for common
+   shingles are capped (deterministically, smallest host ids kept) — the
+   same bounded-skew discipline as the LSH lane.
+
+2. **Verification — suffix-array search.** Within each candidate pair the
+   host caption's token suffix array is built (prefix-doubling rank sort,
+   O(n log² n) per host, shared across that host's candidates) and the
+   needle is located by binary search over suffixes — exact containment,
+   O(m log n) per probe. This is the reference-exactness tier: like theta
+   below k (theta_sketch_impl.hpp:53), the answer is exact, not estimated.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..hashing import DEFAULT_SEED
+from .sigkernel import SigConfig, token_shingle_hashes
+
+
+def suffix_array(tokens: list[str]) -> np.ndarray:
+    """Suffix array over a token sequence by prefix doubling on ranks."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    _, rank = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    rank = rank.astype(np.int64)
+    k = 1
+    idx = np.arange(n)
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new_rank = np.zeros(n, dtype=np.int64)
+        prev = order[0]
+        r = 0
+        for i in order[1:]:
+            if rank[i] != rank[prev] or key2[i] != key2[prev]:
+                r += 1
+            new_rank[i] = r
+            prev = i
+        rank = new_rank
+        if r == n - 1:
+            break
+        k *= 2
+        if k >= n:
+            # all ranks distinct not reached only for identical suffixes —
+            # impossible with distinct positions; guard anyway
+            order = np.argsort(rank, kind="stable")
+            break
+    _ = idx
+    return np.argsort(rank, kind="stable")
+
+
+def _contains(host_tokens: list[str], sa: np.ndarray, needle: list[str]) -> bool:
+    """Binary search the suffix array for ``needle`` as a contiguous run."""
+    n, m = len(host_tokens), len(needle)
+    if m == 0 or m > n:
+        return False
+    lo, hi = 0, n
+    # lower bound of suffixes >= needle
+    while lo < hi:
+        mid = (lo + hi) // 2
+        suf = host_tokens[sa[mid] : sa[mid] + m]
+        if suf < needle:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo < n and host_tokens[sa[lo] : sa[lo] + m] == needle
+
+
+def substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: SigConfig | None = None,
+    max_posting_list: int = 64,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """→ (a, b) pairs where one caption is an exact token-level substring of
+    the other (a < b by id). Equal captions are excluded here (the MinHash
+    lane owns exact equality at J=1)."""
+    cfg = cfg or SigConfig()
+    seed = cfg.seed
+    w = cfg.shingle_w
+    id_type = dict(df.dtypes)[id_col]
+
+    shingle_schema = f"id {id_type}, shingle long, is_min boolean, n_tokens int"
+
+    def post(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[text_col].fillna("").tolist()
+            sh, off = token_shingle_hashes(texts, w, seed)
+            n_tok = [len(t.split()) for t in texts]
+            ids_out, sh_out, ismin, ntok_out = [], [], [], []
+            for i, rid in enumerate(pdf[id_col]):
+                seg = np.unique(sh[off[i] : off[i + 1]])
+                if len(seg) == 0 or n_tok[i] < min_tokens:
+                    continue
+                ids_out.extend([rid] * len(seg))
+                sh_out.append(seg.astype(np.int64))
+                flags = np.zeros(len(seg), dtype=bool)
+                flags[0] = True  # seg is sorted → index 0 is the min shingle
+                ismin.append(flags)
+                ntok_out.extend([n_tok[i]] * len(seg))
+            if not ids_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": ids_out,
+                    "shingle": np.concatenate(sh_out),
+                    "is_min": np.concatenate(ismin),
+                    "n_tokens": np.array(ntok_out, dtype=np.int32),
+                }
+            )
+
+    postings = df.select(id_col, text_col).mapInPandas(post, shingle_schema)
+    postings = postings.localCheckpoint(eager=False)
+
+    # cap hot posting lists deterministically (keep smallest host ids) via a
+    # windowed rank — unlike collect_list this spills instead of
+    # materializing a degenerate shingle's full posting list in memory
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("shingle").orderBy("id")
+    hosts = (
+        postings.withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= max_posting_list)
+        .select(
+            "shingle",
+            F.col("id").alias("host_id"),
+            F.col("n_tokens").alias("host_tokens"),
+        )
+    )
+    probes = postings.where("is_min").select(
+        F.col("id").alias("needle_id"),
+        F.col("n_tokens").alias("needle_tokens"),
+        "shingle",
+    )
+    cand = (
+        probes.join(hosts, "shingle")
+        # a strict substring is strictly shorter; equality excluded
+        .where(
+            (F.col("needle_id") != F.col("host_id"))
+            & (F.col("needle_tokens") < F.col("host_tokens"))
+        )
+        .dropDuplicates(["needle_id", "host_id"])
+    )
+
+    texts_df = df.select(F.col(id_col).alias("tid"), F.col(text_col).alias("ttext"))
+    pairs = (
+        cand.join(texts_df.withColumnRenamed("tid", "needle_id").withColumnRenamed("ttext", "needle_text"), "needle_id")
+        .join(texts_df.withColumnRenamed("tid", "host_id").withColumnRenamed("ttext", "host_text"), "host_id")
+    )
+
+    out_schema = f"a {id_type}, b {id_type}"
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_out, b_out = [], []
+            # build each host's suffix array once per batch
+            sa_cache: dict = {}
+            for _, r in pdf.iterrows():
+                host = r["host_text"].split()
+                needle = r["needle_text"].split()
+                key = r["host_id"]
+                if key not in sa_cache:
+                    sa_cache[key] = suffix_array(host)
+                if _contains(host, sa_cache[key], needle):
+                    x, y = r["needle_id"], r["host_id"]
+                    a_out.append(min(x, y))
+                    b_out.append(max(x, y))
+            yield pd.DataFrame({"a": a_out, "b": b_out})
+
+    return pairs.mapInPandas(check, out_schema).dropDuplicates(["a", "b"])

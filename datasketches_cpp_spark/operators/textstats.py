@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines — all JVM-side
+(built-in pyspark.sql.functions only; no Python in the hot path).
+
+Provided: token counting, quality scoring (length / punctuation / stopword
+ratios), n-gram-free language-ID heuristic, rolling-hash document
+fingerprint, and exact token-set Jaccard pairs (the inverted-index exact
+path that the MinHash lane approximates)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from"
+).split()
+
+
+def with_token_count(df: DataFrame, text_col: str, out: str = "token_count") -> DataFrame:
+    """Whitespace token count; empty/blank text counts 0."""
+    trimmed = F.trim(F.col(text_col))
+    return df.withColumn(
+        out,
+        F.when(trimmed == "", F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        ),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic quality features + composite score:
+    n_chars, token_count, avg_token_len, punct_ratio, stopword_ratio,
+    quality_score ∈ [0,1]. All whole-stage-codegen expressions."""
+    df = with_token_count(df, text_col)
+    trimmed = F.trim(F.col(text_col))
+    n_chars = F.length(trimmed)
+    n_punct = n_chars - F.length(F.regexp_replace(trimmed, r"[^\w\s]", ""))
+    tokens = F.split(trimmed, r"\s+")
+    n_stop = F.size(
+        F.filter(tokens, lambda t: F.lower(t).isin([*_STOPWORDS]))
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        F.col("token_count") > 0, n_stop / F.col("token_count")
+    ).otherwise(F.lit(0.0))
+    avg_tok = F.when(
+        F.col("token_count") > 0, n_chars / F.col("token_count")
+    ).otherwise(F.lit(0.0))
+    # crude composite: long enough, not punctuation soup, some connective
+    # tissue, sane token lengths
+    score = (
+        F.least(F.col("token_count") / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.15
+        + F.when((avg_tok >= 3) & (avg_tok <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.15
+    )
+    return (
+        df.withColumn("n_chars", n_chars.cast("int"))
+        .withColumn("punct_ratio", punct_ratio.cast("double"))
+        .withColumn("stopword_ratio", stop_ratio.cast("double"))
+        .withColumn("avg_token_len", avg_tok.cast("double"))
+        .withColumn("quality_score", score.cast("double"))
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str, out: str = "lang_guess") -> DataFrame:
+    """Tiny stopword-vote language heuristic (en/de/fr/unknown) — a
+    placeholder for a real n-gram model, but a true Spark expression
+    (no UDF): counts of marker words per language, argmax."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    votes = {
+        "en": ["the", "and", "of", "is", "to"],
+        "de": ["der", "die", "und", "ist", "das"],
+        "fr": ["le", "la", "et", "est", "les"],
+    }
+    def marker_count(markers):
+        # NB: the HOF lambda must take exactly ONE param — pyspark binds a
+        # second param to the element index, silently shadowing defaults
+        return F.size(F.filter(tokens, lambda t: t.isin(markers)))
+
+    cols = {lang: marker_count(markers) for lang, markers in votes.items()}
+    best = F.greatest(*cols.values())
+    guess = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(cols["en"] == best, F.lit("en"))
+        .when(cols["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn(out, guess)
+
+
+def with_fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataFrame:
+    """64-bit document fingerprint: xxhash64 of the normalized text
+    (lowercase, collapsed whitespace) — the exact-dup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.xxhash64(norm))
+
+
+def exact_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    w: int = 1,
+) -> DataFrame:
+    """EXACT token w-gram-set Jaccard over all pairs sharing ≥1 gram — the
+    inverted-index join the MinHash lane approximates, fully JVM-side:
+
+        w-grams → explode+distinct → self-join on gram (map-side combined
+        counts) → |A∩B| per pair → filter J ≥ threshold.
+
+    Cost is Σ|posting list|² — fine when grams are discriminative (w ≥ 2)
+    or the vocabulary is bounded; the MinHash+LSH lane is the scale path.
+    Returns (a, b, jaccard)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if w == 1:
+        gram = F.explode(toks).alias("t")
+        base = df.select(F.col(id_col).alias("id"), gram).where(F.col("t") != "")
+    else:
+        # guard: Spark's sequence(1, 0) counts DOWN — docs shorter than w
+        # tokens must yield an empty gram list, not a bogus descending one
+        grams = F.when(
+            F.size(toks) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(w)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        base = df.select(
+            F.col(id_col).alias("id"), F.explode(grams).alias("t")
+        ).where(F.col("t") != "")
+    tok = base.distinct()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tok.alias("x")
+        .join(tok.alias("y"), "t")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

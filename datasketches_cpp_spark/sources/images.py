@@ -99,7 +99,7 @@ def generate_images(
     chain_tokens = [f"w{t:05d}" for t in rng.integers(0, VOCAB_SIZE, size=40)]
     for j in range(min(chain_len, max(0, n - i))):
         pixels = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
-        pos = rng.integers(0, 40, size=4)
+        pos = rng.integers(0, 40, size=3)
         for p in pos:
             chain_tokens[p] = f"w{rng.integers(0, VOCAB_SIZE):05d}"
         emit(f"img{i:09d}", pixels, w, h, " ".join(chain_tokens), gid, "near_caption", 0.8)
@@ -110,8 +110,14 @@ def generate_images(
     while i < n:
         w = h = int(rng.choice(_SIZES))
         pixels = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
-        caption = _caption(rng, int(rng.integers(5, 41)))
         r = rng.random()
+        # near_caption groups need captions long enough that a ≤2-token
+        # edit keeps shingle-set overlap ≈ 0.9 (FIXTURES.md F2) — a 2-token
+        # edit in a 6-token caption is not a near-dup by any measure
+        if 0.20 <= r < 0.27:
+            caption = _caption(rng, int(rng.integers(16, 41)))
+        else:
+            caption = _caption(rng, int(rng.integers(5, 41)))
         emit(f"img{i:09d}", pixels, w, h, caption, gid, "unique", 1.0)
         i += 1
         if i >= n:
@@ -124,9 +130,10 @@ def generate_images(
             noisy = np.clip(pixels.astype(np.int16) + noise, 0, 255).astype(np.uint8)
             emit(f"img{i:09d}", noisy, w, h, caption, gid, "near_pixel", 1.0)
             i += 1
-        elif r < 0.27:  # near_caption: ≤2 token edits
+        elif r < 0.27:  # near_caption: ≤2 token edits (1 for shorter texts)
             toks = caption.split()
-            for p in rng.integers(0, len(toks), size=min(2, len(toks))):
+            n_edits = 1 if len(toks) < 28 else 2
+            for p in rng.integers(0, len(toks), size=n_edits):
                 toks[p] = f"w{rng.integers(0, VOCAB_SIZE):05d}"
             pixels2 = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
             emit(f"img{i:09d}", pixels2, w, h, " ".join(toks), gid, "near_caption", 0.9)

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: run the flagship multi-lane image dedup once
+and print a JSON timing line. Used by scripts/scaling_bench.py at two
+parallelism levels (the sandbox stand-in for N vs 4N executors).
+
+    spark-submit --master local[8] --py-files dist/datasketches_cpp_spark.zip \
+        scripts/run_pipeline.py <images.parquet> [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    img_parquet = sys.argv[1]
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    master = spark.conf.get("spark.master")
+
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+    from datasketches_cpp_spark.operators.sigkernel import SigConfig
+
+    img_cfg = SigConfig(num_perm=64, bands=32, kmv_k=128, shingle_w=3, jaccard_threshold=0.5)
+    bytes_cfg = SigConfig(num_perm=64, bands=16, kmv_k=128, shingle_w=16, jaccard_threshold=0.9)
+
+    images = spark.read.parquet(img_parquet)
+    n = images.count()
+
+    t0 = time.time()
+    res = dedup_images(images, img_cfg, bytes_cfg, byte_stride=4)
+    n_assigned = res["assignments"].count()
+    wall = time.time() - t0
+    assert n_assigned == n
+
+    # a partition-order-insensitive checksum of the assignments proves the
+    # two cluster-size runs computed the identical result
+    import pyspark.sql.functions as F
+
+    checksum = res["assignments"].agg(
+        F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)")).alias("cs")
+    ).collect()[0]["cs"]
+
+    out = {
+        "master": master,
+        "images": n,
+        "wall_sec": round(wall, 3),
+        "images_per_sec": round(n / wall, 2),
+        "assignments_checksum": str(checksum),
+    }
+    print(json.dumps(out))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+Packages the library as a --py-files zip, then runs the identical flagship
+image-dedup job via ``spark-submit`` at local[N] and local[4N] on the same
+deterministic input, and writes BENCH/BASELINE.md with throughput at both
+levels + scaling efficiency ( (R_4N / R_N) / 4 ), gate ≥ 0.8. Also asserts
+the two runs produced the identical assignment checksum — scaling must not
+change answers.
+
+Usage: python scripts/scaling_bench.py [--images 20000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip() -> str:
+    dist = os.path.join(ROOT, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "datasketches_cpp_spark.zip")
+    pkg = os.path.join(ROOT, "datasketches_cpp_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, ROOT))
+    return zpath
+
+
+def run_once(master: str, zpath: str, img_parquet: str, shuffle_parts: int) -> dict:
+    out_json = os.path.join(ROOT, "BENCH", f"run_{master.replace('[', '_').replace(']', '')}.json")
+    cmd = [
+        "spark-submit",
+        "--master", master,
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=4096",
+        "--conf", "spark.driver.memory=16g",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zpath,
+        os.path.join(ROOT, "scripts", "run_pipeline.py"),
+        img_parquet,
+        out_json,
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, cwd=ROOT)
+    with open(out_json) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=int(os.environ.get("BENCH_IMAGES", "20000")))
+    ap.add_argument("--n", type=int, default=8, help="small cluster size (big = 4n)")
+    args = ap.parse_args()
+
+    from datasketches_cpp_spark.sources.images import write_images_parquet
+
+    cache_dir = os.path.join(ROOT, ".bench_data", f"images_{args.images}_s42")
+    img_parquet = os.path.join(cache_dir, "images.parquet")
+    if not os.path.exists(img_parquet):
+        os.makedirs(cache_dir, exist_ok=True)
+        write_images_parquet(cache_dir, args.images, seed=42)
+
+    zpath = build_zip()
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+
+    small = run_once(f"local[{args.n}]", zpath, img_parquet, 2 * args.n)
+    big = run_once(f"local[{4 * args.n}]", zpath, img_parquet, 8 * args.n)
+
+    assert small["assignments_checksum"] == big["assignments_checksum"], (
+        "scaling changed the answer!"
+    )
+    eff = (big["images_per_sec"] / small["images_per_sec"]) / 4.0
+
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+North rule: ≥ 0.8 throughput scaling efficiency from N to 4N executors
+(BASELINE.json). Sandbox stand-in: the identical spark-submit --py-files
+job at `local[{args.n}]` vs `local[{4 * args.n}]` over the same deterministic
+{args.images}-image corpus (sources/images.generate_images, seed 42).
+
+| cluster size | master | wall (s) | images/sec |
+|---|---|---|---|
+| N = {args.n} cores | local[{args.n}] | {small['wall_sec']} | {small['images_per_sec']} |
+| 4N = {4 * args.n} cores | local[{4 * args.n}] | {big['wall_sec']} | {big['images_per_sec']} |
+
+**Scaling efficiency = (R_4N / R_N) / 4 = {eff:.3f}** (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+Assignment checksum identical across both runs: `{small['assignments_checksum']}`
+(the pipeline is partition-layout-invariant — scaling changes wall time,
+never answers; see tests/test_dedup_pipeline.py::test_pipeline_partitioning_invariance).
+"""
+    out_md = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    with open(out_md, "w") as f:
+        f.write(md)
+    print(md)
+    print(json.dumps({"efficiency": round(eff, 3), "small": small, "big": big}))
+
+
+if __name__ == "__main__":
+    main()
