@@ -1,0 +1,218 @@
+"""S9/S10: checkpoint/resume with per-partition lineage manifests + metrics.
+
+The reference's serialized-image contract is the model: a sketch resumes
+from bytes exactly, and set-ops validate the seed hash before consuming a
+serialized sketch (theta_union_base_impl.hpp:41-42; preamble layout
+theta_sketch_impl.hpp:378-398). Here the "serialized image" of a pipeline
+stage is a parquet snapshot directory, and the "seed hash" is the
+``SigConfig.fingerprint()`` stamped into the stage manifest: a resume under
+a different config MUST fail fast, never silently mix signatures built with
+different seeds/shingles (that would corrupt Jaccard estimates the same way
+mixing seeds corrupts a theta union).
+
+Layout (one root per pipeline run; local path or any Hadoop-FS URI — on a
+real cluster this is an object-store prefix or an Iceberg table location):
+
+    <root>/<stage>/data/...parquet        the stage output snapshot
+    <root>/<stage>/_MANIFEST.json         fingerprint + per-partition lineage
+    <root>/_LINEAGE.jsonl                 append-only run log (metrics)
+
+Manifest contents: config fingerprint, epoch, row count, schema, and a
+per-partition table ``[{file, rows, bytes}]`` — each written task produces
+one file, so file-grain IS partition-grain lineage. Resume validation is
+O(#files) metadata work (names + sizes vs manifest), not a data rescan.
+
+Failure modes (mirrors the reference's deserialize-hardening tests,
+common/test/deserialize_hardening_test.cpp:43-150):
+  - manifest missing / unparseable → stage treated as INCOMPLETE, recomputed
+    (a partial write that died before the manifest rename is invisible);
+  - manifest present but fingerprint mismatch → ``CheckpointConfigMismatch``
+    (fail fast, like the seed-hash throw);
+  - manifest present but data files missing/short → ``CheckpointCorrupt``
+    (fail fast; never silently recompute wrong).
+
+The manifest is written via tempfile + ``os.replace`` so it appears
+atomically after the data is fully committed by Spark's own
+_SUCCESS-gated parquet job commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_MANIFEST.json"
+LINEAGE_LOG = "_LINEAGE.jsonl"
+MANIFEST_VERSION = 1
+
+
+class CheckpointConfigMismatch(RuntimeError):
+    """Resume attempted with a different config fingerprint — the analog of
+    the reference's seed-hash mismatch throw."""
+
+
+class CheckpointCorrupt(RuntimeError):
+    """Manifest claims data that isn't there (missing/truncated files)."""
+
+
+def _partition_lineage(data_dir: str) -> list[dict]:
+    """File-grain lineage of a committed parquet snapshot: one entry per
+    part-file with its byte size and row count (from parquet footer
+    metadata — no data scan)."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for fn in sorted(os.listdir(data_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        full = os.path.join(data_dir, fn)
+        entries.append(
+            {
+                "file": fn,
+                "bytes": os.path.getsize(full),
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+            }
+        )
+    return entries
+
+
+@dataclass
+class StageCheckpointer:
+    """Manifest-gated idempotent stage runner (SURVEY.md §2B S9/S10)."""
+
+    spark: SparkSession
+    root: str
+    fingerprint: str
+    epoch: int = 0
+    metrics: list = field(default_factory=list)
+
+    # -- paths ---------------------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _data_dir(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "data")
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), MANIFEST_NAME)
+
+    # -- manifest ------------------------------------------------------------
+    def load_manifest(self, stage: str) -> dict | None:
+        """Parse + validate the stage manifest. None ⇔ stage incomplete."""
+        path = self._manifest_path(stage)
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None  # torn manifest == no manifest (recompute)
+        if m.get("version") != MANIFEST_VERSION or "fingerprint" not in m:
+            return None
+        if m["fingerprint"] != self.fingerprint:
+            raise CheckpointConfigMismatch(
+                f"stage {stage!r}: checkpoint was written with config "
+                f"fingerprint {m['fingerprint']} but this run has "
+                f"{self.fingerprint}; refusing to resume (delete {path} to "
+                "rebuild)"
+            )
+        # metadata-only integrity check: every manifest partition file must
+        # exist with the recorded size
+        data_dir = self._data_dir(stage)
+        for part in m["partitions"]:
+            full = os.path.join(data_dir, part["file"])
+            if not os.path.exists(full) or os.path.getsize(full) != part["bytes"]:
+                raise CheckpointCorrupt(
+                    f"stage {stage!r}: manifest lists {part['file']} "
+                    f"({part['bytes']} bytes) but the snapshot doesn't match; "
+                    "checkpoint is corrupt — failing fast instead of "
+                    "recomputing over bad state"
+                )
+        return m
+
+    def is_complete(self, stage: str) -> bool:
+        return self.load_manifest(stage) is not None
+
+    # -- write / read ----------------------------------------------------------
+    def write(self, stage: str, df: DataFrame) -> DataFrame:
+        """Commit a stage snapshot + manifest; returns the re-read DataFrame
+        (reading back cuts lineage and makes downstream stages consume the
+        exact committed bytes, like wrapping a serialized sketch)."""
+        t0 = time.time()
+        data_dir = self._data_dir(stage)
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)  # partial previous attempt
+        df.write.mode("overwrite").parquet(data_dir)
+
+        parts = _partition_lineage(data_dir)
+        manifest = {
+            "version": MANIFEST_VERSION,
+            "stage": stage,
+            "epoch": self.epoch,
+            "fingerprint": self.fingerprint,
+            "rows": sum(p["rows"] for p in parts),
+            "bytes": sum(p["bytes"] for p in parts),
+            "num_partitions": len(parts),
+            "schema": df.schema.jsonValue(),
+            "partitions": parts,
+            "wall_sec": round(time.time() - t0, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(stage))
+        self._log(stage, "write", manifest)
+        return self.spark.read.parquet(data_dir)
+
+    def read(self, stage: str) -> DataFrame:
+        m = self.load_manifest(stage)
+        if m is None:
+            raise CheckpointCorrupt(f"stage {stage!r} has no committed snapshot")
+        self._log(stage, "resume", m)
+        return self.spark.read.parquet(self._data_dir(stage))
+
+    def run_stage(self, stage: str, fn: Callable[[], DataFrame]) -> DataFrame:
+        """Idempotent stage entry: committed → read the snapshot (fn NOT
+        invoked); else compute, commit, return. This is what makes the whole
+        pipeline resumable from any stage boundary."""
+        if self.is_complete(stage):
+            return self.read(stage)
+        return self.write(stage, fn())
+
+    # -- metrics ------------------------------------------------------------
+    def _log(self, stage: str, event: str, manifest: dict) -> None:
+        rec = {
+            "event": event,
+            "stage": stage,
+            "epoch": manifest.get("epoch"),
+            "rows": manifest.get("rows"),
+            "bytes": manifest.get("bytes"),
+            "num_partitions": manifest.get("num_partitions"),
+            "wall_sec": manifest.get("wall_sec"),
+            "fingerprint": self.fingerprint,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self.metrics.append(rec)
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, LINEAGE_LOG), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def checksum(df: DataFrame, *cols: str) -> str:
+    """Partition-order-insensitive content checksum (count + decimal sum of
+    xxhash64 over the named columns) — used to assert byte-identical resumes."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")), F.lit(0)
+        ).alias("cs"),
+    ).collect()[0]
+    return f"{row['n']}:{row['cs']}"

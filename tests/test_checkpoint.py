@@ -1,0 +1,164 @@
+"""S9/S10 checkpoint/resume tests — the pipeline-state analog of the
+reference's isomorphism + deserialize-hardening suites
+(hll/test/IsomorphicTest.cpp:95-137; common/test/deserialize_hardening_test.cpp:43-150):
+
+  - kill-and-resume: committed stages are read, not recomputed, and the
+    final cluster assignments are byte-identical (checksum);
+  - config-fingerprint mismatch on resume fails fast (seed-hash analog,
+    theta_union_base_impl.hpp:41-42);
+  - corrupt snapshots (truncated part file) fail fast;
+  - torn manifests (died before the atomic rename) are invisible — the
+    stage recomputes.
+"""
+
+import json
+import os
+
+import pytest
+
+from datasketches_cpp_spark.operators.imagededup import dedup_images
+from datasketches_cpp_spark.operators.sigkernel import SigConfig
+from datasketches_cpp_spark.plans.checkpoint import (
+    CheckpointConfigMismatch,
+    CheckpointCorrupt,
+    StageCheckpointer,
+    checksum,
+)
+from datasketches_cpp_spark.plans.pipeline import dedup_images_resumable
+from datasketches_cpp_spark.sources.images import generate_images
+
+CFG = SigConfig(num_perm=64, bands=32, kmv_k=128, shingle_w=3, jaccard_threshold=0.5)
+BYTES_CFG = SigConfig(
+    num_perm=64, bands=16, kmv_k=128, shingle_w=16, jaccard_threshold=0.9
+)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    images, _ = generate_images(300, seed=7)
+    return spark.createDataFrame(images).repartition(6).cache()
+
+
+# ---------------------------------------------------------------------------
+# StageCheckpointer unit behavior
+# ---------------------------------------------------------------------------
+
+
+def test_run_stage_computes_once_then_resumes(spark, tmp_path):
+    ck = StageCheckpointer(spark, str(tmp_path / "ck"), fingerprint="fp1")
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(100).withColumnRenamed("id", "x")
+
+    out1 = ck.run_stage("s1", make)
+    assert out1.count() == 100 and calls["n"] == 1
+    out2 = ck.run_stage("s1", make)
+    assert out2.count() == 100 and calls["n"] == 1  # resumed, not recomputed
+
+    # manifest carries per-partition lineage that sums to the row count
+    m = ck.load_manifest("s1")
+    assert m["rows"] == 100
+    assert sum(p["rows"] for p in m["partitions"]) == 100
+    assert all(p["bytes"] > 0 for p in m["partitions"])
+    # lineage log recorded one write + one resume
+    events = [
+        json.loads(line)
+        for line in open(os.path.join(str(tmp_path / "ck"), "_LINEAGE.jsonl"))
+    ]
+    assert [e["event"] for e in events if e["stage"] == "s1"] == ["write", "resume"]
+
+
+def test_fingerprint_mismatch_fails_fast(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    ck1 = StageCheckpointer(spark, root, fingerprint="fpA")
+    ck1.run_stage("s1", lambda: spark.range(10))
+    ck2 = StageCheckpointer(spark, root, fingerprint="fpB")
+    with pytest.raises(CheckpointConfigMismatch):
+        ck2.run_stage("s1", lambda: spark.range(10))
+
+
+def test_corrupt_snapshot_fails_fast(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    ck = StageCheckpointer(spark, root, fingerprint="fp")
+    ck.run_stage("s1", lambda: spark.range(1000))
+    data_dir = os.path.join(root, "s1", "data")
+    part = next(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    with open(os.path.join(data_dir, part), "r+b") as f:
+        f.truncate(8)  # torn part file
+    with pytest.raises(CheckpointCorrupt):
+        ck.run_stage("s1", lambda: spark.range(1000))
+
+
+def test_torn_manifest_recomputes(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    ck = StageCheckpointer(spark, root, fingerprint="fp")
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(50)
+
+    ck.run_stage("s1", make)
+    with open(os.path.join(root, "s1", "_MANIFEST.json"), "w") as f:
+        f.write('{"version": 1, "trunc')  # died mid-write before os.replace
+    ck.run_stage("s1", make)
+    assert calls["n"] == 2  # torn manifest == incomplete stage
+
+
+# ---------------------------------------------------------------------------
+# Kill-and-resume isomorphism on the flagship pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_resume_is_isomorphic(spark, images_df, tmp_path):
+    root = str(tmp_path / "run1")
+
+    res = dedup_images_resumable(spark, images_df, root, CFG, BYTES_CFG)
+    cs_full = checksum(res["assignments"], "id", "cluster_id")
+
+    # the non-checkpointed pipeline agrees (checkpointing changes nothing)
+    direct = dedup_images(images_df, CFG, BYTES_CFG, byte_stride=4)
+    assert checksum(direct["assignments"], "id", "cluster_id") == cs_full
+
+    # simulate a crash after the signature stages: wipe downstream stages
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "edges"))
+    shutil.rmtree(os.path.join(root, "assignments"))
+
+    # resume: signature stage closures must NOT run again — poison them
+    def boom(*a, **k):
+        raise AssertionError("signature stage recomputed on resume")
+
+    import datasketches_cpp_spark.plans.pipeline as plmod
+
+    orig = plmod.compute_signatures
+    plmod.compute_signatures = boom
+    try:
+        res2 = dedup_images_resumable(spark, images_df, root, CFG, BYTES_CFG)
+    finally:
+        plmod.compute_signatures = orig
+    assert checksum(res2["assignments"], "id", "cluster_id") == cs_full
+
+    # full re-run with everything committed: answers identical again
+    res3 = dedup_images_resumable(spark, images_df, root, CFG, BYTES_CFG)
+    assert checksum(res3["assignments"], "id", "cluster_id") == cs_full
+
+    # per-stage lineage is present for every snapshot stage
+    for stage in ("caption_sig", "bytes_sig", "edges", "assignments"):
+        m = StageCheckpointer(
+            spark, root, res3["checkpointer"].fingerprint
+        ).load_manifest(stage)
+        assert m is not None and m["rows"] == sum(p["rows"] for p in m["partitions"])
+
+
+def test_pipeline_resume_rejects_config_change(spark, images_df, tmp_path):
+    root = str(tmp_path / "run2")
+    dedup_images_resumable(spark, images_df, root, CFG, BYTES_CFG)
+    other = SigConfig(
+        num_perm=64, bands=32, kmv_k=128, shingle_w=4, jaccard_threshold=0.5
+    )
+    with pytest.raises(CheckpointConfigMismatch):
+        dedup_images_resumable(spark, images_df, root, other, BYTES_CFG)
