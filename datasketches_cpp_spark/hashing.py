@@ -57,6 +57,18 @@ def murmur3_x64_128_fixed(data: np.ndarray, seed: int = DEFAULT_SEED):
     if data.ndim != 2 or data.dtype != np.uint8:
         raise ValueError("expected uint8 array of shape (n, L)")
     n, length = data.shape
+    # slab the row dimension so the ~20 temporaries stay cache-resident —
+    # one giant pass makes every op a DRAM round-trip, which collapses
+    # under many parallel workers (memory-bandwidth-bound, not CPU-bound)
+    slab = 1 << 15
+    if n > slab:
+        h1 = np.empty(n, dtype=np.uint64)
+        h2 = np.empty(n, dtype=np.uint64)
+        for s in range(0, n, slab):
+            h1[s : s + slab], h2[s : s + slab] = murmur3_x64_128_fixed(
+                data[s : s + slab], seed
+            )
+        return h1, h2
     h1 = np.full(n, seed, dtype=np.uint64)
     h2 = np.full(n, seed, dtype=np.uint64)
     nblocks = length // 16

@@ -38,19 +38,31 @@ def phash_pairs(
     max_pairs_group: int = 256,
 ) -> DataFrame:
     """pHash lane, fully JVM-side except the shared capped pair-gen:
-    64-bit hash → ``phash_bands`` bit-slices; two images within hamming
-    distance < phash_bands share ≥ 1 slice (pigeonhole), so blocking on
-    (slice_idx, slice_value) has guaranteed recall for the configured
-    radius. Verification is bit_count(xor) ≤ phash_hamming."""
+    64-bit hash → ``phash_bands`` bit-slices → one band per unordered
+    slice PAIR (C(nb,2) 2·width-bit keys). Two images within hamming
+    distance ≤ nb - 2 leave ≥ 2 slices clean (pigeonhole), so some
+    pair-band matches → guaranteed candidate recall at the configured
+    radius, with 2^width× fewer random bucket collisions than
+    single-slice blocking (which is quadratic in corpus size).
+    Verification is bit_count(xor) ≤ phash_hamming. Mirrors
+    sigkernel.phash_slice_pair_hashes; the oracle applies the identical
+    scheme."""
     nb = cfg.phash_bands
     width = 64 // nb
     mask = (1 << width) - 1
+
+    def _slice(i: int):
+        return F.shiftrightunsigned(F.col(phash_col), i * width).bitwiseAND(
+            F.lit(mask)
+        )
+
     slices = F.array(
         *[
-            (F.shiftrightunsigned(F.col(phash_col), i * width).bitwiseAND(F.lit(mask)))
-            # tag each slice with its index so slices only collide within
-            # the same band position
+            _slice(i).bitwiseOR(F.shiftleft(_slice(j), width))
+            # band position = index of the (i, j) pair, so keys only
+            # collide within the same slice pair
             for i in range(nb)
+            for j in range(i + 1, nb)
         ]
     )
     bands_df = (

@@ -64,36 +64,56 @@ def pairs_from_bands(
     """(band_idx, band_hash, id) → deduplicated (a, b) candidate pairs.
     Shared by the MinHash lane and the pHash multi-index lane (and any
     future blocking scheme): singleton pruning + hot-group capping live
-    here once."""
-    sizes = band_group_sizes(bands_df)
-    multi = sizes.where(F.col("count") >= 2).select("band_idx", "band_hash")
-    # semi-join prunes singleton groups before any Python runs
-    pruned = bands_df.join(multi, ["band_idx", "band_hash"], "left_semi")
+    here once.
 
+    Hybrid physical plan: groups of size 2..max_pairs_group — the
+    overwhelming majority — pair up via a JVM-side equi-self-join on
+    (band_idx, band_hash) (whole-stage codegen, AQE-splittable, zero
+    Python). Only groups *above* the cap are routed to the Python
+    chain+hub path; excluding them from the join is what makes the join
+    safe (the quadratic blowup cannot occur — every joined group is
+    ≤ max_pairs_group wide). Semantics are identical to the previous
+    all-Python version: same pairs, same capped edges."""
+    sizes = band_group_sizes(bands_df)
+    normal_keys = sizes.where(
+        (F.col("count") >= 2) & (F.col("count") <= max_pairs_group)
+    ).select("band_idx", "band_hash")
+    hot_keys = sizes.where(F.col("count") > max_pairs_group).select(
+        "band_idx", "band_hash"
+    )
+
+    # common path: self-join, a < b — no Python
+    normal = bands_df.join(normal_keys, ["band_idx", "band_hash"], "left_semi")
+    left = normal.select("band_idx", "band_hash", F.col("id").alias("a"))
+    right = normal.select("band_idx", "band_hash", F.col("id").alias("b"))
+    join_pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+
+    # hot path: chain + hub — 2(s-1) edges, connectivity preserved; pair
+    # recall within the group is delegated to the verifier over those edges
+    hot = bands_df.join(hot_keys, ["band_idx", "band_hash"], "left_semi")
     id_type = dict(bands_df.dtypes)["id"]
     out_schema = f"a {id_type}, b {id_type}"
 
-    def gen_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def gen_capped(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(pdf["id"].to_numpy())
         ids = pd.unique(ids)
         s = len(ids)
         if s < 2:
             return pd.DataFrame({"a": [], "b": []})
-        if s <= max_pairs_group:
-            ia, ib = np.triu_indices(s, k=1)
-            return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
-        # hot group: chain + hub — 2(s-1) edges, connectivity preserved
         hub = ids[0]
         a = np.concatenate([ids[:-1], np.full(s - 1, hub)])
         b = np.concatenate([ids[1:], ids[1:]])
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
-        return out
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
 
-    pairs = pruned.groupBy("band_idx", "band_hash").applyInPandas(
-        gen_pairs, out_schema
+    hot_pairs = hot.groupBy("band_idx", "band_hash").applyInPandas(
+        gen_capped, out_schema
     )
-    return pairs.dropDuplicates(["a", "b"])
+    return join_pairs.union(hot_pairs).dropDuplicates(["a", "b"])
 
 
 def hot_bands(sig_df: DataFrame, threshold: int = 1000) -> DataFrame:

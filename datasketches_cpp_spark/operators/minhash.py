@@ -34,6 +34,9 @@ from .sigkernel import (
 )
 
 
+_BINARY_SUBBATCH = 128  # docs per cache-resident pass (see note below)
+
+
 def signature_batch(
     ids: list,
     contents: list,
@@ -44,7 +47,27 @@ def signature_batch(
     """Pure-numpy signature computation for one batch — shared verbatim by
     the Spark UDF below and the single-node oracle (oracle/pydedup.py), so
     'identical shingle/signature config ⇒ identical signatures' holds by
-    construction, the analog of the reference's seed-hash contract."""
+    construction, the analog of the reference's seed-hash contract.
+
+    Binary payloads are processed in sub-batches of ``_BINARY_SUBBATCH``
+    docs run through ALL stages (shingle→minhash→kmv→bands) before the
+    next sub-batch: the per-stage intermediates (window matrix, shingle
+    hashes) then fit in cache instead of making full-batch DRAM round
+    trips between stages — with 32 parallel workers the full-batch version
+    is memory-bandwidth-bound and stops scaling. Per-doc results are
+    independent, so chunking cannot change any output."""
+    if kind == "binary" and len(ids) > _BINARY_SUBBATCH:
+        frames = [
+            signature_batch(
+                ids[s : s + _BINARY_SUBBATCH],
+                contents[s : s + _BINARY_SUBBATCH],
+                cfg,
+                kind,
+                byte_stride,
+            )
+            for s in range(0, len(ids), _BINARY_SUBBATCH)
+        ]
+        return pd.concat(frames, ignore_index=True)
     if kind == "text":
         sh, off = token_shingle_hashes(contents, cfg.shingle_w, cfg.seed)
         tok, tok_off = token_hashes_batch(contents, cfg.seed)
@@ -57,7 +80,14 @@ def signature_batch(
 
     mh = minhash_signatures(sh, off, cfg)
     thetas, kmv_sigs = kmv_signatures(sh, off, cfg.kmv_k)
-    sim = simhash64(tok, tok_off, cfg.seed)
+    # SimHash is a caption-lane verifier (use_simhash=True only for text);
+    # for binary payloads it is never consulted, and computing it over the
+    # full shingle stream costs ~40% of the stage — emit the empty-doc
+    # sentinel (0) instead. The oracle shares this function, so parity holds.
+    if kind == "text":
+        sim = simhash64(tok, tok_off, cfg.seed)
+    else:
+        sim = np.zeros(len(ids), dtype=np.uint64)
     bands = band_hashes(mh, cfg)
     n_shingles = np.diff(off)
 
@@ -92,6 +122,17 @@ def compute_signatures(
     kmv_theta, kmv_sig, simhash, bands). Narrow (no shuffle)."""
     id_type = dict(df.dtypes)[id_col]
     schema = f"id {id_type}, {SIG_SCHEMA_SUFFIX}"
+
+    # CPU-heavy narrow stage: if the scan yields fewer splits than the
+    # cluster has cores (one fat parquet file, small corpus), rebalance
+    # first. The signature math costs ~100× the one-time shuffle of the
+    # content bytes, and without this a 32-core cluster runs the hottest
+    # stage on 2 tasks. At 100 TB the scan already has >> cores splits and
+    # this is a no-op.
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(target)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -46,7 +46,12 @@ class SigConfig:
     bands: int = 32  # LSH bands; rows per band = num_perm // bands
     jaccard_threshold: float = 0.8
     simhash_hamming: int = 3
-    phash_hamming: int = 7
+    # pHash verification radius; slice-PAIR blocking (C(phash_bands,2)
+    # 16-bit band keys) guarantees candidate recall for hamming ≤
+    # phash_bands - 2, so the default radius is 6 — single-slice blocking
+    # (radius 7) had 256-way-bucket collision volume ~n²/64, quadratic in
+    # the corpus and unusable at 10^12 rows
+    phash_hamming: int = 6
     phash_bands: int = 8
 
     @property
@@ -133,17 +138,24 @@ def byte_shingle_hashes(
     doc_of_win = np.repeat(np.arange(n), win_counts)
     rank_in_doc = np.arange(total) - offsets[doc_of_win]
     win_start = starts[doc_of_win] + rank_in_doc * stride
+
+    # full windows (doc length ≥ w): row-gather from a zero-copy sliding
+    # view — no per-element index matrix, no boundary masks (every window
+    # starting inside a long-enough doc is fully in-doc by construction)
+    rows = np.empty((total, w), dtype=np.uint8)
+    full = lengths[doc_of_win] >= w
+    if full.any():
+        swv = np.lib.stride_tricks.sliding_window_view(flat, w)
+        rows[full] = swv[win_start[full]]
     # short docs (< w bytes): single window over what exists, zero-padded
-    width = np.minimum(w, lengths[doc_of_win])
-    idx = win_start[:, None] + np.arange(w)
-    # clamp out-of-doc reads to the window start (then mask below)
-    end = starts[doc_of_win] + lengths[doc_of_win]
-    over = idx >= end[:, None]
-    idx = np.where(over, win_start[:, None], idx)
-    rows = flat[idx]
-    rows[over] = 0
+    short_wins = np.nonzero(~full)[0]
+    if len(short_wins):
+        rows[short_wins] = 0
+        for j in short_wins:
+            d = doc_of_win[j]
+            ln = lengths[d]
+            rows[j, :ln] = flat[starts[d] : starts[d] + ln]
     h1, _ = murmur3_x64_128_fixed(rows, seed)
-    _ = width
     return (h1 >> np.uint64(1)), offsets
 
 
@@ -180,23 +192,68 @@ def _roll_and_hash(
 # ---------------------------------------------------------------------------
 
 
+_MH_BLOCK = 1 << 15  # shingles per cache block (2 × 256 KiB buffers ≈ L2)
+
+
 def minhash_signatures(
     shingles: np.ndarray, offsets: np.ndarray, cfg: SigConfig
 ) -> np.ndarray:
     """Classic k-permutation MinHash, positionally aligned for LSH banding:
     lane i keeps min over shingles of fmix64(h ^ seed_i) — k independent
     1-minimum-value sketches (the k=1 corner of the reference's KMV loop).
-    Returns (n_docs, num_perm) uint64; empty docs get all-MAX sentinel."""
+    Returns (n_docs, num_perm) uint64; empty docs get all-MAX sentinel.
+
+    Cache-blocked: the naive loop makes num_perm full DRAM passes over the
+    shingle array (~num_perm × 8 B × n_shingles of traffic — at 32 parallel
+    workers this saturates memory bandwidth and collapses scaling); instead
+    we walk doc-aligned blocks that fit in L2 and run every lane over the
+    resident block with in-place fmix arithmetic. Identical outputs."""
     n = len(offsets) - 1
     seeds = lane_seeds(cfg)
     out = np.full((n, cfg.num_perm), MAX_HASH, dtype=np.uint64)
     if len(shingles) == 0:
         return out
-    nonempty = np.diff(offsets) > 0
-    red_off = offsets[:-1][nonempty]
-    for i in range(cfg.num_perm):
-        mixed = _fmix64(shingles ^ seeds[i]) >> np.uint64(1)
-        out[nonempty, i] = np.minimum.reduceat(mixed, red_off)
+
+    counts = np.diff(offsets)
+    mixed = np.empty(min(_MH_BLOCK * 2, len(shingles)), dtype=np.uint64)
+    scratch = np.empty_like(mixed)
+    one = np.uint64(1)
+    c33 = np.uint64(33)
+    m1 = np.uint64(0xFF51AFD7ED558CCD)
+    m2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+    start_doc = 0
+    while start_doc < n:
+        # grow the block doc-by-doc up to _MH_BLOCK shingles (≥ 1 doc)
+        end_doc = start_doc + 1
+        span0 = offsets[start_doc]
+        while end_doc < n and offsets[end_doc + 1] - span0 <= _MH_BLOCK:
+            end_doc += 1
+        seg = shingles[span0 : offsets[end_doc]]
+        sub_counts = counts[start_doc:end_doc]
+        sub_nonempty = sub_counts > 0
+        red_off = (offsets[start_doc:end_doc] - span0)[sub_nonempty]
+        rows = np.arange(start_doc, end_doc)[sub_nonempty]
+        if len(seg):
+            m = len(seg)
+            if m > len(mixed):  # single doc larger than the block
+                mixed = np.empty(m, dtype=np.uint64)
+                scratch = np.empty_like(mixed)
+            mx, sx = mixed[:m], scratch[:m]
+            for i in range(cfg.num_perm):
+                # in-place fmix64(seg ^ seed) >> 1 — two L2-resident buffers
+                np.bitwise_xor(seg, seeds[i], out=mx)
+                np.right_shift(mx, c33, out=sx)
+                np.bitwise_xor(mx, sx, out=mx)
+                np.multiply(mx, m1, out=mx)
+                np.right_shift(mx, c33, out=sx)
+                np.bitwise_xor(mx, sx, out=mx)
+                np.multiply(mx, m2, out=mx)
+                np.right_shift(mx, c33, out=sx)
+                np.bitwise_xor(mx, sx, out=mx)
+                np.right_shift(mx, one, out=mx)
+                out[rows, i] = np.minimum.reduceat(mx, red_off)
+        start_doc = end_doc
     return out
 
 
@@ -292,6 +349,28 @@ def phash_band_hashes(phashes: np.ndarray, num_bands: int = 8) -> np.ndarray:
     for i in range(num_bands):
         out[:, i] = (ph >> np.uint64(i * width)) & mask
     return out
+
+
+def phash_slice_pair_hashes(phashes: np.ndarray, num_slices: int = 8) -> np.ndarray:
+    """Slice-PAIR multi-index blocking: the 64-bit pHash splits into
+    ``num_slices`` equal slices; every unordered pair (i<j) of slices forms
+    one band whose key packs both slice values. Pigeonhole: hamming ≤
+    num_slices - 2 dirties at most num_slices - 2 slices, leaving ≥ 2 clean
+    slices whose pair-band matches → guaranteed candidate recall at radius
+    num_slices - 2, with per-band collision probability 2^-(2·width)
+    (65536× fewer random collisions than single slices at width 8)."""
+    assert 64 % num_slices == 0
+    width = 64 // num_slices
+    ph = np.asarray(phashes, dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    slices = [
+        (ph >> np.uint64(i * width)) & mask for i in range(num_slices)
+    ]
+    cols = []
+    for i in range(num_slices):
+        for j in range(i + 1, num_slices):
+            cols.append(slices[i] | (slices[j] << np.uint64(width)))
+    return np.stack(cols, axis=1)
 
 
 _POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)

@@ -23,9 +23,11 @@ def oracle_phash_pairs(ids, phashes, cfg: SigConfig, max_pairs_group: int = 256)
     mask = (1 << width) - 1
     groups = defaultdict(list)
     ph = {i: int(np.uint64(np.int64(p))) for i, p in zip(ids, phashes)}
+    pair_idx = [(x, y) for x in range(nb) for y in range(x + 1, nb)]
     for i in ids:
-        for s in range(nb):
-            groups[(s, (ph[i] >> (s * width)) & mask)].append(i)
+        sl = [(ph[i] >> (s * width)) & mask for s in range(nb)]
+        for b, (x, y) in enumerate(pair_idx):
+            groups[(b, sl[x] | (sl[y] << width))].append(i)
     pairs = set()
     for members in groups.values():
         m = sorted(set(members))

@@ -39,6 +39,9 @@ def get_spark(
         # bound Arrow batch size so per-batch numpy state (shingle matrices,
         # lane mixing buffers) stays well inside executor memory at 100 TB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # image corpora are byte-heavy: finer scan splits keep the
+        # signature stages parallel even over a handful of fat files
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -178,6 +178,15 @@ def write_images_parquet(path: str, n: int, seed: int = 42) -> tuple[str, str]:
     images, truth = generate_images(n, seed=seed)
     img_path = f"{path}/images.parquet"
     truth_path = f"{path}/images_truth.parquet"
-    pq.write_table(pa.Table.from_pandas(images, preserve_index=False), img_path)
-    pq.write_table(pa.Table.from_pandas(truth, preserve_index=False), truth_path)
+    # small row groups (~25 MB of pixel payload) so Spark's scan can split
+    # one file across many tasks — a single default-size row group would
+    # force the whole corpus into ONE partition and serialize the pipeline
+    pq.write_table(
+        pa.Table.from_pandas(images, preserve_index=False), img_path,
+        row_group_size=2048,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(truth, preserve_index=False), truth_path,
+        row_group_size=65536,
+    )
     return img_path, truth_path

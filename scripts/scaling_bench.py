@@ -48,6 +48,7 @@ def run_once(master: str, zpath: str, img_parquet: str, shuffle_parts: int) -> d
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=4096",
+        "--conf", "spark.sql.files.maxPartitionBytes=33554432",
         "--conf", "spark.driver.memory=16g",
         "--conf", "spark.ui.enabled=false",
         "--py-files", zpath,

@@ -193,3 +193,23 @@ def test_hamming64():
 def test_config_fingerprint():
     assert SigConfig().fingerprint() == SigConfig().fingerprint()
     assert SigConfig().fingerprint() != SigConfig(shingle_w=5).fingerprint()
+
+
+def test_phash_slice_pair_pigeonhole():
+    """hamming ≤ num_slices-2 ⇒ at least one slice-PAIR band matches
+    (the guarantee behind the production pHash blocking scheme)."""
+    from datasketches_cpp_spark.operators.sigkernel import phash_slice_pair_hashes
+
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        a = np.uint64(rng.integers(0, 1 << 63))
+        nflips = int(rng.integers(0, 7))  # ≤ 6
+        bits = rng.choice(64, size=nflips, replace=False)
+        b = a
+        for bit in bits:
+            b = np.uint64(b) ^ (np.uint64(1) << np.uint64(bit))
+        ka = phash_slice_pair_hashes(np.array([a]), 8)[0]
+        kb = phash_slice_pair_hashes(np.array([b]), 8)[0]
+        assert (ka == kb).any(), (hex(int(a)), hex(int(b)), nflips)
+    # shape: C(8,2) = 28 bands
+    assert phash_slice_pair_hashes(np.array([np.uint64(5)]), 8).shape == (1, 28)
