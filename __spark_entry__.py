@@ -179,6 +179,112 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- non-SQL-expressible (rows-only checks, documented) -------------------
 
 
+def q_exact_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+    )
+
+
+def q_frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries in exact mode (map size > ndv ⇒ offset 0 ⇒ exact counts,
+    the reference's exact-mode corner)."""
+    from datasketches_cpp_spark.functions.freq import frequent_items_agg
+
+    ev = _t(spark, sf_dir, "events")
+    sk = frequent_items_agg(ev, [], "event_type", max_map_size=64)
+    return sk.select("item", "estimate", "lower_bound")
+
+
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join == plain join (no false negatives; exact join
+    drops false positives) — result parity IS the membership contract."""
+    from datasketches_cpp_spark.functions.bloom import bloom_prefilter_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where("c_custkey % 7 = 0")
+    j = bloom_prefilter_join(orders, cust, "o_custkey", "c_custkey", fpp=0.01)
+    return j.agg(
+        F.count(F.lit(1)).alias("matched_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    )
+
+
+def q_varopt_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """var_opt with k ≥ n keeps everything ⇒ subset-sum exact (the sampling
+    analog of theta exact mode)."""
+    from datasketches_cpp_spark.functions.sampling import (
+        estimate_subset_sum,
+        var_opt_agg,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    sample = var_opt_agg(cust, [], "c_custkey", weight_col=None, k=1 << 20)
+    est = estimate_subset_sum(sample, F.col("item") % 3 == 0)
+    return est.select(F.col("estimate").cast("long").alias("custkeys_mod3"))
+
+
+def q_tuple_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple sketch (max policy) in exact mode: distinct customers whose
+    max order price ≥ 300k — engagement_test.cpp analog."""
+    from datasketches_cpp_spark.functions.tuplesketch import (
+        filtered_key_estimate,
+        tuple_sketch_agg,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = tuple_sketch_agg(orders, [], "o_custkey", "o_totalprice", "max", lg_k=18)
+    return filtered_key_estimate(sk, 300_000.0).select(
+        F.col("keys_passing").cast("long").alias("big_spenders")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_cpp_spark.operators.knn import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).select(
+        "a", "b"
+    )
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL sketch medians (estimation mode → no SQL oracle; rank-error
+    envelope asserted in tests/test_sketch_families.py)."""
+    from datasketches_cpp_spark.functions.quantiles import (
+        kll_sketch_agg,
+        with_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kll_sketch_agg(li, ["l_returnflag"], "l_quantity", k=200)
+    return with_quantiles(sk, [0.5]).select(
+        "l_returnflag", "kll_n", F.col("quantiles")[0].alias("median_est")
+    )
+
+
+def q_hll_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate (approximate → rows-only check; bounds tested in
+    tests/test_sketch_families.py)."""
+    from datasketches_cpp_spark.functions.hll import hll_distinct_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_distinct_agg(li, [], "l_suppkey", lg_k=13)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate by construction → rows-only; recall vs
+    brute force asserted in tests)."""
+    from datasketches_cpp_spark.operators.knn import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, probes, dim=64, k=5, n_tables=16, n_bits=6).select(
+        "probe_id", "neighbor_id", "rank"
+    )
+
+
 def q_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     assignments, _, _ = dedup(docs, "doc_id", "text", DOC_CFG)
@@ -208,6 +314,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_counts": q_language_id_counts,
         "text_quality": q_text_quality,
         "knn_bruteforce": q_knn_bruteforce,
+        "exact_median_by_flag": q_exact_median_by_flag,
+        "frequent_items_sketch": q_frequent_items_sketch,
+        "bloom_prefilter_join": q_bloom_prefilter_join,
+        "varopt_subset_sum": q_varopt_subset_sum,
+        "tuple_engagement": q_tuple_engagement,
+        "embedding_near_dup": q_embedding_near_dup,
+        "kll_quantiles": q_kll_quantiles,
+        "hll_distinct_suppliers": q_hll_distinct_suppliers,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "lsh_dedup_clusters": q_lsh_dedup_clusters,
         "minhash_signatures": q_minhash_signatures,
     }
@@ -310,7 +425,39 @@ def oracle_sql() -> dict[str, str]:
             " FROM scored) "
             "SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
         ),
-        # lsh_dedup_clusters, minhash_signatures: intentionally no oracle —
-        # LSH banding + sketch internals aren't ANSI-SQL-expressible; the
-        # driver records rows-only checks for these.
+        "exact_median_by_flag": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, "
+            "round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "frequent_items_sketch": (
+            "SELECT event_type AS item, COUNT(*) AS estimate, "
+            "COUNT(*) AS lower_bound FROM events GROUP BY event_type"
+        ),
+        "bloom_prefilter_join": (
+            "SELECT COUNT(*) AS matched_orders, "
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_custkey % 7 = 0"
+        ),
+        "varopt_subset_sum": (
+            "SELECT COUNT(*) AS custkeys_mod3 FROM customer "
+            "WHERE c_custkey % 3 = 0"
+        ),
+        "tuple_engagement": (
+            "SELECT COUNT(*) AS big_spenders FROM "
+            "(SELECT o_custkey FROM orders GROUP BY o_custkey "
+            " HAVING MAX(o_totalprice) >= 300000.0)"
+        ),
+        "embedding_near_dup": (
+            "SELECT x.vec_id AS a, y.vec_id AS b "
+            "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id "
+            "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4"
+        ),
+        # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
+        # hll_distinct_suppliers, ann_lsh_topk: intentionally no oracle —
+        # LSH banding, sketch internals, and approximate estimators aren't
+        # ANSI-SQL-expressible; the driver records rows-only checks for
+        # these, and their error envelopes are pytest-asserted instead.
     }

@@ -1,0 +1,322 @@
+"""KLL quantile sketch — numpy kernel + two-stage Spark aggregate.
+
+Re-expresses the reference's KLL semantics (kll_sketch.hpp:171-393;
+level-buffer compaction kll_helper_impl.hpp:96-199) in whole-batch numpy:
+
+  state   = levels[i] (items of weight 2^i), level 0 is the update buffer
+  update  = append to level 0; when total retained ≥ capacity, sort the
+            lowest over-full level and keep a random odd/even half one
+            level up ("randomly_halve", kll_helper.hpp:43-94)
+  merge   = concatenate levels index-wise, re-compact (associative within
+            the usual KLL error envelope)
+  query   = sorted view with cumulative weights (quantiles_sorted_view.hpp:
+            38-152): get_quantile / get_rank / get_PMF / get_CDF
+
+Level capacities follow the reference's geometric decay: cap(depth d from
+the top) = max(ceil(k * (2/3)^d), 8) (kll_helper: capacity_of_height with
+MIN_WIDE = 8). Normalized rank error uses the published KLL constants
+(get_normalized_rank_error, kll_helper_impl.hpp: 2.296/k^0.9 one-sided,
+2.446/k^0.9 PMF).
+
+The random halving bit is drawn from an rng seeded by (seed, level,
+len(buffer)) — deterministic for a fixed partitioning (re-runs reproduce),
+while keeping the halving unbiased across levels/compactions, which is what
+the error analysis needs. Exactness below capacity mirrors the reference's
+exact mode: until the first compaction the sketch IS the data.
+
+Spark mapping: partial sketches per input partition via ``mapInPandas``
+(map-side combine — the shuffle carries O(groups × partitions × k) floats,
+never raw rows), final merge via ``groupBy().applyInPandas``. Same explicit
+two-stage shape as functions/theta.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_K = 200
+_C = 2.0 / 3.0
+_MIN_CAP = 8
+
+
+def _level_cap(k: int, depth_from_top: int) -> int:
+    return max(int(math.ceil(k * (_C ** depth_from_top))), _MIN_CAP)
+
+
+class KllSketch:
+    """Mutable KLL state over float64 items (pure numpy, no Spark)."""
+
+    __slots__ = ("k", "seed", "levels", "n", "min_item", "max_item")
+
+    def __init__(self, k: int = DEFAULT_K, seed: int = 9001):
+        self.k = k
+        self.seed = seed
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self.min_item = math.inf
+        self.max_item = -math.inf
+
+    # -- update ---------------------------------------------------------------
+    def update_batch(self, items: np.ndarray) -> None:
+        items = np.asarray(items, np.float64)
+        items = items[~np.isnan(items)]
+        if len(items) == 0:
+            return
+        self.n += len(items)
+        self.min_item = min(self.min_item, float(items.min()))
+        self.max_item = max(self.max_item, float(items.max()))
+        self.levels[0] = np.concatenate([self.levels[0], items])
+        self._compress()
+
+    def _capacity(self) -> int:
+        h = len(self.levels)
+        return sum(_level_cap(self.k, h - 1 - lvl) for lvl in range(h))
+
+    def _compress(self) -> None:
+        while sum(len(b) for b in self.levels) >= self._capacity():
+            h = len(self.levels)
+            lvl = next(
+                (
+                    i
+                    for i in range(h)
+                    if len(self.levels[i]) >= _level_cap(self.k, h - 1 - i)
+                ),
+                None,
+            )
+            if lvl is None:
+                break
+            buf = np.sort(self.levels[lvl])
+            # deterministic-for-fixed-input unbiased halving
+            rng = np.random.default_rng((self.seed * 1_000_003 + lvl) ^ len(buf))
+            start = int(rng.integers(0, 2))
+            promoted = buf[start::2]
+            self.levels[lvl] = np.empty(0, np.float64)
+            if lvl + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[lvl + 1] = np.concatenate([self.levels[lvl + 1], promoted])
+
+    # -- merge ----------------------------------------------------------------
+    def merge(self, other: "KllSketch") -> None:
+        assert self.k == other.k, "merging sketches with different k"
+        self.n += other.n
+        self.min_item = min(self.min_item, other.min_item)
+        self.max_item = max(self.max_item, other.max_item)
+        for i, buf in enumerate(other.levels):
+            if i >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            if len(buf):
+                self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compress()
+
+    # -- queries ----------------------------------------------------------------
+    def sorted_view(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted items, cumulative weights) — quantiles_sorted_view."""
+        items = np.concatenate(
+            [b for b in self.levels if len(b)] or [np.empty(0, np.float64)]
+        )
+        weights = np.concatenate(
+            [np.full(len(b), 1 << i, np.int64) for i, b in enumerate(self.levels) if len(b)]
+            or [np.empty(0, np.int64)]
+        )
+        order = np.argsort(items, kind="stable")
+        return items[order], np.cumsum(weights[order])
+
+    def get_quantile(self, rank: float) -> float:
+        if self.n == 0:
+            return math.nan
+        items, cw = self.sorted_view()
+        target = rank * cw[-1]
+        idx = int(np.searchsorted(cw, target, side="left"))
+        return float(items[min(idx, len(items) - 1)])
+
+    def get_rank(self, item: float, inclusive: bool = True) -> float:
+        if self.n == 0:
+            return math.nan
+        items, cw = self.sorted_view()
+        side = "right" if inclusive else "left"
+        idx = int(np.searchsorted(items, item, side=side))
+        return float(cw[idx - 1] / cw[-1]) if idx > 0 else 0.0
+
+    def get_cdf(self, splits: np.ndarray) -> np.ndarray:
+        return np.array([self.get_rank(s) for s in splits] + [1.0])
+
+    def get_pmf(self, splits: np.ndarray) -> np.ndarray:
+        cdf = self.get_cdf(splits)
+        return np.diff(np.concatenate([[0.0], cdf]))
+
+    def is_estimation_mode(self) -> bool:
+        return len(self.levels) > 1
+
+    @staticmethod
+    def normalized_rank_error(k: int, pmf: bool = False) -> float:
+        """Published KLL error constants (kll_helper_impl.hpp)."""
+        return (2.446 if pmf else 2.296) / (k ** 0.9)
+
+    # -- serde to Spark row ------------------------------------------------------
+    def to_row(self) -> dict:
+        return {
+            "kll_n": self.n,
+            "kll_min": self.min_item if self.n else math.nan,
+            "kll_max": self.max_item if self.n else math.nan,
+            "kll_levels": [lvl.tolist() for lvl in self.levels],
+        }
+
+    @classmethod
+    def from_row(cls, k: int, seed: int, row) -> "KllSketch":
+        sk = cls(k, seed)
+        sk.n = int(row["kll_n"])
+        sk.min_item = float(row["kll_min"])
+        sk.max_item = float(row["kll_max"])
+        sk.levels = [np.asarray(b, np.float64) for b in row["kll_levels"]]
+        if not sk.levels:
+            sk.levels = [np.empty(0, np.float64)]
+        return sk
+
+
+# ---------------------------------------------------------------------------
+# KS test (kolmogorov_smirnov.hpp:28-66)
+# ---------------------------------------------------------------------------
+
+
+def ks_delta(a: KllSketch, b: KllSketch) -> float:
+    """Max |CDF_a - CDF_b| over the union of retained items."""
+    ia, ca = a.sorted_view()
+    ib, cb = b.sorted_view()
+    if len(ia) == 0 or len(ib) == 0:
+        return 0.0
+    pts = np.union1d(ia, ib)
+    ra = np.searchsorted(ia, pts, side="right")
+    rb = np.searchsorted(ib, pts, side="right")
+    fa = np.where(ra > 0, ca[np.maximum(ra - 1, 0)], 0) / ca[-1]
+    fb = np.where(rb > 0, cb[np.maximum(rb - 1, 0)], 0) / cb[-1]
+    return float(np.abs(fa - fb).max())
+
+
+def ks_threshold(a: KllSketch, b: KllSketch, p_value: float) -> float:
+    """sqrt(-ln(p/2)/2) * sqrt((na+nb)/(na*nb)) + rank errors (reference
+    adds both sketches' normalized rank errors to the classical statistic)."""
+    na, nb = a.n, b.n
+    stat = math.sqrt(-0.5 * math.log(p_value / 2.0)) * math.sqrt((na + nb) / (na * nb))
+    return stat + KllSketch.normalized_rank_error(a.k) + KllSketch.normalized_rank_error(b.k)
+
+
+def ks_test(a: KllSketch, b: KllSketch, p_value: float) -> bool:
+    """True ⇔ the two distributions differ at the given p-value."""
+    return ks_delta(a, b) > ks_threshold(a, b, p_value)
+
+
+# ---------------------------------------------------------------------------
+# Spark two-stage aggregate
+# ---------------------------------------------------------------------------
+
+
+def _sketch_fields() -> list[StructField]:
+    return [
+        StructField("kll_n", LongType(), False),
+        StructField("kll_min", DoubleType(), True),
+        StructField("kll_max", DoubleType(), True),
+        StructField("kll_levels", ArrayType(ArrayType(DoubleType(), False), False), False),
+    ]
+
+
+def kll_sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = DEFAULT_K,
+    seed: int = 9001,
+) -> DataFrame:
+    """groupBy(group_cols).kll(item_col): partial per partition → shuffle of
+    sketch rows only → final merge. Output one row per group with the
+    serialized level structure."""
+    group_fields = [f for f in df.schema.fields if f.name in group_cols]
+    schema = StructType(list(group_fields) + _sketch_fields())
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, KllSketch] = {}
+        for pdf in batches:
+            vals = pdf[item_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            if group_cols:
+                grouped = pdf.groupby(group_cols, sort=False, dropna=False).indices
+            else:
+                grouped = {(): np.arange(len(pdf))}
+            for key, idx in grouped.items():
+                key = key if isinstance(key, tuple) else (key,)
+                sk = state.setdefault(key, KllSketch(k, seed))
+                sk.update_batch(vals[idx])
+        rows = []
+        for key, sk in state.items():
+            r = {c: key[i] for i, c in enumerate(group_cols)}
+            r.update(sk.to_row())
+            rows.append(r)
+        yield pd.DataFrame(rows, columns=group_cols + [f.name for f in _sketch_fields()])
+
+    partials = df.select(group_cols + [item_col]).mapInPandas(partial, schema)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KllSketch(k, seed)
+        for _, row in pdf.iterrows():
+            sk.merge(KllSketch.from_row(k, seed, row))
+        r = {c: [pdf[c].iloc[0]] for c in group_cols}
+        r.update({kk: [vv] for kk, vv in sk.to_row().items()})
+        return pd.DataFrame(r, columns=group_cols + [f.name for f in _sketch_fields()])
+
+    if group_cols:
+        return partials.groupBy(*group_cols).applyInPandas(final, schema)
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(final, schema)
+
+
+def with_quantiles(
+    sketch_df: DataFrame,
+    ranks: list[float],
+    k: int = DEFAULT_K,
+    seed: int = 9001,
+    out_col: str = "quantiles",
+) -> DataFrame:
+    """Append array<double> of quantile estimates at the given ranks."""
+    ranks_arr = list(ranks)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def q(n: pd.Series, mn: pd.Series, mx: pd.Series, levels: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(n)):
+            sk = KllSketch.from_row(
+                k, seed,
+                {"kll_n": n.iloc[i], "kll_min": mn.iloc[i], "kll_max": mx.iloc[i],
+                 "kll_levels": levels.iloc[i]},
+            )
+            out.append([sk.get_quantile(r) for r in ranks_arr])
+        return pd.Series(out)
+
+    return sketch_df.withColumn(
+        out_col, q("kll_n", "kll_min", "kll_max", "kll_levels")
+    )
+
+
+def exact_percentiles(
+    df: DataFrame, group_cols: list[str], item_col: str, percents: list[float]
+) -> DataFrame:
+    """The exact relational twin (Spark builtin `percentile`, discrete
+    interpolation-free variant via sort) — used as the oracle-checkable
+    quantile query; the KLL path above covers the sketched/mergeable role
+    at scale (one pass, bounded memory, re-aggregatable)."""
+    agg = [
+        F.expr(
+            f"percentile_approx({item_col}, {p}, 2147483647)"
+        ).alias(f"p{int(p * 100):02d}")
+        for p in percents
+    ]
+    return df.groupBy(*group_cols).agg(*agg) if group_cols else df.agg(*agg)

@@ -1,0 +1,207 @@
+"""Weighted reservoir sampling with subset-sum estimation (var_opt).
+
+Reference semantics (sampling/include/var_opt_sketch.hpp:72-163,
+var_opt_union.hpp): keep at most k weighted items such that any
+predicate's weight sum over the stream is estimable from the sample with
+variance-optimal guarantees. The structure: items heavier than a threshold
+tau are kept exactly ("heavy" region, weight preserved); lighter items are
+sampled with probability w/tau and stored with adjusted weight tau. tau
+solves  Σ min(w_i/tau, 1) = k. ``estimate_subset_sum(predicate)`` returns
+{lb, estimate, ub, total_weight} (var_opt_sketch.hpp:163).
+
+Exact corner: k ≥ n keeps everything with original weights → subset sums
+are exact (the oracle-checkable mode, like theta below k).
+
+Our merge strategy: partial per-partition var-opt samples (adjusted
+weights) are concatenated and re-sampled at the final stage. This is the
+pseudo-lightweight union — unbiasedness of subset-sum estimates is
+preserved (each resample step keeps E[adjusted weight sum] invariant by
+construction of tau), though the variance guarantee is slightly weaker
+than the reference's full weight-corrected union (var_opt_union.hpp
+marking rules). Documented deviation; exactness when k ≥ n still holds
+end-to-end because no stage ever downsamples below k retained items.
+
+Randomness is seeded per (group, partition content hash) — deterministic
+re-runs for a fixed partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _tau_for(weights: np.ndarray, k: int) -> float:
+    """Smallest tau with Σ min(w/tau, 1) ≤ k: classic var-opt threshold.
+    Computed exactly by scanning the descending weight prefix."""
+    if len(weights) <= k:
+        return 0.0  # no sampling needed
+    w = np.sort(weights)[::-1].astype(np.float64)
+    light_sum = w.sum()
+    # try h = number of heavies kept exactly (prefix of descending order)
+    for h in range(k + 1):
+        if h > 0:
+            light_sum -= w[h - 1]
+        slots = k - h
+        if slots == 0:
+            continue
+        tau = light_sum / slots
+        if (h == 0 or w[h - 1] > tau) and (h >= len(w) or w[h] <= tau):
+            return float(tau)
+    return float(light_sum / max(k, 1))
+
+
+def _varopt_sample(
+    items: np.ndarray, weights: np.ndarray, k: int, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray]:
+    """One var-opt pass over a materialized batch: heavies kept exactly,
+    lights kept w.p. w/tau at adjusted weight tau. E[Σ adjusted over any
+    subset] = Σ true weights of that subset."""
+    if len(items) <= k:
+        return items, weights.astype(np.float64)
+    tau = _tau_for(weights, k)
+    heavy = weights > tau
+    keep_light = rng.random(len(items)) < (weights / tau)
+    light = ~heavy & keep_light
+    out_items = np.concatenate([items[heavy], items[light]])
+    out_w = np.concatenate(
+        [weights[heavy].astype(np.float64), np.full(light.sum(), tau)]
+    )
+    return out_items, out_w
+
+
+def var_opt_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    weight_col: str | None,
+    k: int,
+    seed: int = 9001,
+) -> DataFrame:
+    """groupBy(group_cols).var_opt_sample(item, weight) → one row per
+    (group, retained item): (group..., item, adjusted_weight double,
+    total_weight double, n long). weight_col None ⇒ uniform weight 1."""
+    item_type = dict(df.dtypes)[item_col]
+    group_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in group_cols
+    )
+    prefix = f"{group_fields}, " if group_fields else ""
+    schema = (
+        f"{prefix}item {item_type}, adjusted_weight double, "
+        "total_weight double, n long"
+    )
+    # partial rows additionally carry a unique per-partial tag so the final
+    # stage can sum each partial's (total_weight, n) exactly once
+    partial_schema = schema + ", part_tag string"
+    cols = group_cols + [item_col] + ([weight_col] if weight_col else [])
+
+    def sample_pdf(pdf: pd.DataFrame, key: tuple) -> pd.DataFrame:
+        items = pdf[item_col].to_numpy()
+        w = (
+            pdf[weight_col].to_numpy(dtype=np.float64)
+            if weight_col
+            else np.ones(len(pdf), dtype=np.float64)
+        )
+        # content-derived deterministic seed (order-insensitive)
+        content = int(np.bitwise_xor.reduce(
+            pd.util.hash_pandas_object(pdf[item_col]).to_numpy()
+        )) if len(pdf) else 0
+        rng = np.random.default_rng((seed, content & 0xFFFFFFFF))
+        si, sw = _varopt_sample(items, w, k, rng)
+        out = {c: [key[i]] * len(si) for i, c in enumerate(group_cols)}
+        out["item"] = si
+        out["adjusted_weight"] = sw
+        out["total_weight"] = [float(w.sum())] * len(si)
+        out["n"] = [len(pdf)] * len(si)
+        return pd.DataFrame(
+            out, columns=group_cols + ["item", "adjusted_weight", "total_weight", "n"]
+        )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
+        acc: dict[tuple, list[pd.DataFrame]] = {}
+        for pdf in batches:
+            grouped = (
+                pdf.groupby(group_cols, sort=False, dropna=False).indices
+                if group_cols
+                else {(): np.arange(len(pdf))}
+            )
+            for key, idx in grouped.items():
+                key = key if isinstance(key, tuple) else (key,)
+                acc.setdefault(key, []).append(pdf.iloc[idx])
+        for key, parts in acc.items():
+            whole = pd.concat(parts, ignore_index=True)
+            out = sample_pdf(whole, key)
+            out["part_tag"] = uuid.uuid4().hex
+            yield out
+
+    partials = df.select(cols).mapInPandas(partial, partial_schema)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = tuple(pdf[c].iloc[0] for c in group_cols)
+        items = pdf["item"].to_numpy()
+        w = pdf["adjusted_weight"].to_numpy(dtype=np.float64)
+        content = int(np.bitwise_xor.reduce(
+            pd.util.hash_pandas_object(pdf["item"]).to_numpy()
+        )) if len(pdf) else 0
+        rng = np.random.default_rng((seed ^ 0xABCD, content & 0xFFFFFFFF))
+        si, sw = _varopt_sample(items, w, k, rng)
+        per_partial = pdf.drop_duplicates(subset=["part_tag"])
+        tot = float(per_partial["total_weight"].sum())
+        n = int(per_partial["n"].sum())
+        out = {c: [key[i]] * len(si) for i, c in enumerate(group_cols)}
+        out["item"] = si
+        out["adjusted_weight"] = sw
+        out["total_weight"] = [tot] * len(si)
+        out["n"] = [n] * len(si)
+        return pd.DataFrame(
+            out, columns=group_cols + ["item", "adjusted_weight", "total_weight", "n"]
+        )
+
+    if group_cols:
+        return partials.groupBy(*group_cols).applyInPandas(final, schema)
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(final, schema)
+
+
+def estimate_subset_sum(
+    sample_df: DataFrame,
+    predicate,
+    group_cols: list[str] | None = None,
+    num_std_devs: float = 2.0,
+) -> DataFrame:
+    """var_opt_sketch.hpp:163 analog on the sample table: Σ adjusted_weight
+    over rows matching ``predicate`` (a Column), with normal-approx bounds
+    (exact sample ⇒ lb == est == ub)."""
+    group_cols = group_cols or []
+    matched = F.when(predicate, F.col("adjusted_weight")).otherwise(F.lit(0.0))
+    agg = (
+        sample_df.groupBy(*group_cols)
+        if group_cols
+        else sample_df.groupBy(F.lit(1).alias("_g"))
+    )
+    out = agg.agg(
+        F.sum(matched).alias("estimate"),
+        F.sum("adjusted_weight").alias("retained_weight"),
+        F.first("total_weight").alias("total_weight"),
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).alias("k_retained"),
+    )
+    # exact when nothing was ever downsampled (retained == total)
+    exact = F.abs(F.col("retained_weight") - F.col("total_weight")) < F.lit(1e-9)
+    # normal-approx CI on the sampled part, proportional to estimate share
+    z = F.lit(float(num_std_devs))
+    rel = z / F.sqrt(F.greatest(F.col("k_retained").cast("double"), F.lit(1.0)))
+    lb = F.when(exact, F.col("estimate")).otherwise(
+        F.greatest(F.lit(0.0), F.col("estimate") * (F.lit(1.0) - rel))
+    )
+    ub = F.when(exact, F.col("estimate")).otherwise(
+        F.col("estimate") * (F.lit(1.0) + rel)
+    )
+    return out.withColumn("lower_bound", lb).withColumn("upper_bound", ub)

@@ -1,6 +1,7 @@
-"""Similarity search over embedding columns (array<float>).
+"""Similarity search + embedding near-dup over embedding columns
+(array<float>).
 
-Two paths:
+Paths:
   * brute_force_topk — exact cosine top-k: broadcast the (small) probe set
     against the corpus, JVM-side dot product via F.zip_with + F.aggregate,
     window row_number for the top-k cut. The correctness baseline.
@@ -8,6 +9,15 @@ Two paths:
     compare against corpus rows sharing a hash bucket in ≥1 of several
     hash tables — the 100 TB scale path (candidates shrink by the bucket
     selectivity; recall tunable via tables × bits).
+  * cosine_near_dup_pairs / cosine_near_dup_pairs_lsh — all-pairs
+    embedding near-duplicate edges (cosine ≥ τ): exact self-join baseline
+    vs hyperplane-bucketed candidates + exact verify (the dedup lane for
+    embedding-bearing corpora).
+  * ivf_train_centroids / ivf_topk — inverted-file ANN: k-means-lite centroids, each
+    vector assigned to its nearest centroid partition; probes scan only
+    the ``nprobe`` nearest inverted lists. Vectorized numpy matmuls inside
+    Arrow batches — the classic billion-scale layout (coarse quantizer +
+    list scan), minus product quantization (vectors stay raw).
 """
 
 from __future__ import annotations
@@ -132,6 +142,200 @@ def lsh_topk(
         .select("probe_id", "probe_vec", "neighbor_id", "vec")
         .dropDuplicates(["probe_id", "neighbor_id"])
         .withColumn("cosine", _cosine(F.col("probe_vec"), F.col("vec")))
+    )
+    wnd = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact embedding near-dup edges: all (a < b) with cosine ≥ threshold.
+    Quadratic self-join — the correctness baseline and the oracle twin of
+    the LSH-bucketed variant below. Fine for probe sets / golden tests,
+    never for a 10^12-row corpus."""
+    l = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_tables: int = 16,
+    n_bits: int = 10,
+    seed: int = 9001,
+    max_bucket: int = 2048,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane bucket
+    self-join + exact cosine verify. A pair at angle θ collides in one
+    table w.p. (1-θ/π)^n_bits; n_tables tables OR-ed ⇒ recall
+    1-(1-p)^T (≈0.98 for cosine 0.9 at 16×10). Buckets larger than
+    ``max_bucket`` are dropped (degenerate hubs — same cap discipline as
+    LSH banding; at web scale a bucket that big means a near-constant
+    embedding region better handled by exact clustering of that slice)."""
+    import pandas as pd
+    from typing import Iterator
+
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    id_type = dict(df.dtypes)[id_col]
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)  # (n, dim)
+            out_ids, out_tables, out_buckets = [], [], []
+            for t in range(n_tables):
+                proj = vecs @ planes[t].T  # (n, n_bits)
+                bits = (proj > 0).astype(np.int64)
+                bucket = (bits << np.arange(n_bits)).sum(axis=1)
+                out_ids.append(pdf[id_col].to_numpy())
+                out_tables.append(np.full(len(pdf), t, dtype=np.int64))
+                out_buckets.append(bucket)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(out_ids),
+                    "band_idx": np.concatenate(out_tables),
+                    "band_hash": np.concatenate(out_buckets),
+                }
+            )
+
+    buckets = df.select(id_col, vec_col).mapInPandas(
+        bucketize, f"id {id_type}, band_idx long, band_hash long"
+    )
+    from .lsh import pairs_from_bands
+
+    cand = pairs_from_bands(buckets, max_pairs_group=max_bucket)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    vec_col: str = "embedding",
+    sample_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 9001,
+) -> np.ndarray:
+    """k-means-lite coarse quantizer: Lloyd iterations on a driver-side
+    sample (the standard IVF recipe — training is O(sample), never a full
+    scan). Returns (n_centroids, dim) float32, L2-normalized."""
+    frac = min(1.0, sample_size / max(df.count(), 1))
+    sample = np.stack(
+        df.sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float32)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-9)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, list_id, vec): each vector replicated into its ``nprobe``
+    nearest inverted lists (corpus side uses nprobe=1; probe side uses
+    nprobe>1 to trade recall for scan width). Repartitioned by list_id so
+    each inverted list is scan-local."""
+    import pandas as pd
+    from typing import Iterator
+
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+    cent = centroids.astype(np.float32)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
+            sims = norm @ cent.T  # (n, C)
+            top = np.argsort(-sims, axis=1)[:, :nprobe]  # (n, nprobe)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "list_id": top.ravel().astype(np.int64),
+                    "vec": list(np.repeat(pdf[vec_col].to_numpy(), nprobe)),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"id {id_type}, list_id long, vec {vec_type}"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN query: corpus lives in 1 list each; every probe scans its
+    ``nprobe`` nearest lists. The join is on list_id — at scale the corpus
+    side is bucketed/partitioned by list_id on disk so a probe batch reads
+    only its lists (partition pruning), the IVF point."""
+    from pyspark.sql import Window
+
+    c = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col("id").alias("neighbor_id"), "list_id", F.col("vec").alias("v")
+    )
+    p = ivf_assign(probes, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("probe_id"), "list_id", F.col("vec").alias("pv")
+    )
+    cand = (
+        c.join(broadcast(p), "list_id")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .withColumn("cosine", _cosine(F.col("pv"), F.col("v")))
     )
     wnd = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

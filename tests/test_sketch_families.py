@@ -1,0 +1,354 @@
+"""Sketch-family tests mirroring the reference's per-operator test strategy
+(SURVEY.md §5): exact-mode oracles, estimation-mode statistical margins,
+merge laws, and the published error guarantees.
+
+Families: KLL quantiles (+KS), Misra-Gries frequent items, count-min,
+bloom filter, var_opt sampling, tuple sketch, HLL wrapper.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_cpp_spark.functions.bloom import (
+    bloom_filter_agg,
+    bloom_prefilter_join,
+    might_contain,
+    suggest_num_bits,
+    suggest_num_hashes_from,
+)
+from datasketches_cpp_spark.functions.countmin import (
+    count_min_agg,
+    estimate_frequencies,
+    suggest_num_buckets,
+    suggest_num_hashes,
+)
+from datasketches_cpp_spark.functions.freq import (
+    NO_FALSE_NEGATIVES,
+    NO_FALSE_POSITIVES,
+    MGState,
+    frequent_items_agg,
+    get_frequent_items,
+)
+from datasketches_cpp_spark.functions.hll import hll_distinct_agg, rse
+from datasketches_cpp_spark.functions.quantiles import (
+    KllSketch,
+    kll_sketch_agg,
+    ks_delta,
+    ks_test,
+    with_quantiles,
+)
+from datasketches_cpp_spark.functions.sampling import (
+    estimate_subset_sum,
+    var_opt_agg,
+)
+from datasketches_cpp_spark.functions.tuplesketch import (
+    filtered_key_estimate,
+    tuple_sketch_agg,
+    with_key_estimate,
+    with_summary_sum_estimate,
+)
+
+
+# ---------------------------------------------------------------------------
+# KLL (kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_kll_exact_below_capacity():
+    """Until the first compaction the sketch IS the data (theta exact-mode
+    analog, kll level-0 buffer)."""
+    sk = KllSketch(k=200)
+    data = np.arange(100, dtype=np.float64)
+    sk.update_batch(data)
+    assert not sk.is_estimation_mode()
+    for q in (0.0, 0.25, 0.5, 0.9):
+        assert sk.get_quantile(q) == pytest.approx(np.quantile(data, q, method="inverted_cdf"), abs=1.0)
+    assert sk.get_rank(50.0) == pytest.approx(51 / 100, abs=1e-9)
+    assert sk.min_item == 0.0 and sk.max_item == 99.0 and sk.n == 100
+
+
+def test_kll_estimation_rank_error():
+    """n=100k uniform: rank error within the published envelope
+    (reference kll_sketch_test asserts ±RANK_EPS_FOR_K_200 = 0.0133)."""
+    rng = np.random.default_rng(1)
+    data = rng.random(100_000)
+    sk = KllSketch(k=200)
+    for chunk in np.array_split(data, 25):
+        sk.update_batch(chunk)
+    assert sk.is_estimation_mode()
+    eps = KllSketch.normalized_rank_error(200)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        est = sk.get_quantile(q)
+        true_rank = (data <= est).mean()
+        assert abs(true_rank - q) <= 2 * eps, (q, est, true_rank)
+    assert sk.n == 100_000
+
+
+def test_kll_merge_law():
+    rng = np.random.default_rng(2)
+    a_data, b_data = rng.normal(size=30_000), rng.normal(size=30_000) + 0.1
+    a, b = KllSketch(k=200), KllSketch(k=200)
+    a.update_batch(a_data)
+    b.update_batch(b_data)
+    a.merge(b)
+    full = np.concatenate([a_data, b_data])
+    assert a.n == 60_000
+    eps = KllSketch.normalized_rank_error(200)
+    med = a.get_quantile(0.5)
+    assert abs((full <= med).mean() - 0.5) <= 2.5 * eps
+
+
+def test_ks_test():
+    rng = np.random.default_rng(3)
+    a, b, c = KllSketch(400), KllSketch(400), KllSketch(400)
+    a.update_batch(rng.normal(size=50_000))
+    b.update_batch(rng.normal(size=50_000))
+    c.update_batch(rng.normal(loc=1.0, size=50_000))
+    assert not ks_test(a, b, p_value=0.01)  # same distribution
+    assert ks_test(a, c, p_value=0.01)  # shifted by 1 sd
+    assert ks_delta(a, c) > ks_delta(a, b)
+
+
+def test_kll_spark_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = kll_sketch_agg(li, ["l_returnflag"], "l_quantity", k=200)
+    out = with_quantiles(sk, [0.5]).select("l_returnflag", "kll_n", "quantiles").collect()
+    pdf = li.select("l_returnflag", "l_quantity").toPandas()
+    eps = KllSketch.normalized_rank_error(200)
+    assert len(out) == pdf["l_returnflag"].nunique()
+    for row in out:
+        vals = pdf.loc[pdf["l_returnflag"] == row["l_returnflag"], "l_quantity"].to_numpy()
+        assert row["kll_n"] == len(vals)
+        est_med = row["quantiles"][0]
+        assert abs((vals <= est_med).mean() - 0.5) <= 3 * eps
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items
+# ---------------------------------------------------------------------------
+
+
+def test_mg_exact_mode():
+    st = MGState(64)
+    rng = np.random.default_rng(4)
+    items = pd.Series(rng.integers(0, 50, size=10_000))  # ndv < m
+    st.update_batch(items)
+    assert st.offset == 0  # never purged ⇒ exact
+    vc = items.value_counts()
+    for item, cnt in vc.items():
+        assert st.counts[item] == cnt
+
+
+def test_mg_bounds_and_heavy_hitters():
+    rng = np.random.default_rng(5)
+    zipf = np.minimum(rng.zipf(1.5, size=200_000), 10_000)
+    st = MGState(128)
+    for chunk in np.array_split(zipf, 40):
+        st.update_batch(pd.Series(chunk))
+    true = pd.Series(zipf).value_counts()
+    total = len(zipf)
+    # per-item: lb ≤ true ≤ ub for every retained item
+    for item, est in st.counts.items():
+        t = int(true.get(item, 0))
+        assert est - st.offset <= t <= est, (item, est, st.offset, t)
+    # a-priori bound: offset ≤ 3.5/m · total (reference ε)
+    assert st.offset <= 3.5 / 128 * total
+    # every true heavy hitter above ε·total is retained (no false negatives)
+    eps_w = 3.5 / 128 * total
+    for item, t in true.items():
+        if t > eps_w:
+            assert item in st.counts
+
+
+def test_mg_spark_exact_vs_groupby(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ndv = ev.select("event_type").distinct().count()
+    sk = frequent_items_agg(ev, [], "event_type", max_map_size=max(64, ndv + 1))
+    got = {r["item"]: r["estimate"] for r in sk.collect()}
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == exact  # exact mode: never purged
+    # result modes both return everything when offset == 0 and threshold 0
+    nfp = get_frequent_items(sk, NO_FALSE_POSITIVES).count()
+    nfn = get_frequent_items(sk, NO_FALSE_NEGATIVES).count()
+    assert nfp == nfn == len(exact)
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_suggestions():
+    """Reference builder formulas: the bench harness shape 7×2719 comes from
+    suggest_num_hashes(0.999) and suggest_num_buckets(0.001)
+    (benchmark_count_min_sketch.cpp:33-36)."""
+    assert suggest_num_hashes(0.999) == 7
+    assert suggest_num_buckets(0.001) == 2719
+    assert suggest_num_buckets(0.1) == 28
+
+
+def test_count_min_guarantee(spark):
+    rng = np.random.default_rng(6)
+    keys = np.minimum(rng.zipf(1.3, size=50_000), 5_000).astype(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    d, w = 5, 1024
+    sk = count_min_agg(df, [], "k", num_hashes=d, num_buckets=w)
+    true = pd.Series(keys).value_counts()
+    probe = spark.createDataFrame(pd.DataFrame({"k": true.index.to_numpy()[:500]}))
+    est = {r["k"]: r["estimate"] for r in estimate_frequencies(sk, probe, "k").collect()}
+    n = len(keys)
+    eps = math.e / w
+    over = 0
+    for k_, e in est.items():
+        t = int(true[k_])
+        assert e >= t, "count-min must never under-estimate"
+        if e > t + eps * n:
+            over += 1
+    # confidence 1-δ with δ = e^-d ≈ 0.0067 ⇒ essentially none exceed the bound
+    assert over <= max(2, int(0.01 * len(est)))
+
+
+def test_count_min_merge_is_exact_sum(spark):
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 100, size=20_000).astype(np.int64)
+    pdf = pd.DataFrame({"k": keys})
+    df = spark.createDataFrame(pdf).repartition(8)  # many partial matrices
+    sk = count_min_agg(df, [], "k", num_hashes=3, num_buckets=512).collect()[0]
+    # single-partition reference build
+    df1 = spark.createDataFrame(pdf).coalesce(1)
+    sk1 = count_min_agg(df1, [], "k", num_hashes=3, num_buckets=512).collect()[0]
+    assert list(sk["cm_matrix"]) == list(sk1["cm_matrix"])  # merge = elementwise sum
+    assert sk["cm_total"] == sk1["cm_total"] == 20_000
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    n = 20_000
+    m = suggest_num_bits(n, 0.01)
+    k = suggest_num_hashes_from(n, m)
+    members = spark.range(n).withColumnRenamed("id", "x")
+    filt = bloom_filter_agg(members, "x", m, k)
+    # every member passes
+    hits = might_contain(members, filt, "x")
+    assert hits.where(~F.col("might_contain")).count() == 0
+    # false-positive rate near target on disjoint probes
+    probes = spark.range(n, 2 * n).withColumnRenamed("id", "x")
+    fp = might_contain(probes, filt, "x").where("might_contain").count()
+    assert fp / n < 0.03  # target 0.01, generous margin
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where("c_custkey % 7 = 0")
+    got = (
+        bloom_prefilter_join(orders, cust, "o_custkey", "c_custkey", fpp=0.01)
+        .select("o_orderkey", "c_custkey")
+        .sort("o_orderkey")
+        .collect()
+    )
+    want = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "c_custkey")
+        .sort("o_orderkey")
+        .collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# var_opt sampling
+# ---------------------------------------------------------------------------
+
+
+def test_varopt_exact_when_k_ge_n(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sample = var_opt_agg(nation, [], "n_nationkey", weight_col=None, k=100)
+    est = estimate_subset_sum(sample, F.col("item") < 10).collect()[0]
+    true = nation.where("n_nationkey < 10").count()
+    assert est["estimate"] == pytest.approx(true)
+    assert est["lower_bound"] == pytest.approx(true)
+    assert est["upper_bound"] == pytest.approx(true)
+
+
+def test_varopt_sampled_estimate(spark):
+    rng = np.random.default_rng(8)
+    pdf = pd.DataFrame(
+        {"i": np.arange(50_000), "w": rng.exponential(2.0, size=50_000) + 0.1}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    sample = var_opt_agg(df, [], "i", "w", k=2048)
+    row = estimate_subset_sum(sample, F.col("item") % 2 == 0).collect()[0]
+    true = pdf.loc[pdf["i"] % 2 == 0, "w"].sum()
+    # half the weight, k=2048 ⇒ tight estimate; assert within ±10%
+    assert row["estimate"] == pytest.approx(true, rel=0.10)
+    assert row["total_weight"] == pytest.approx(pdf["w"].sum(), rel=1e-6)
+    assert row["n"] == 50_000
+
+
+# ---------------------------------------------------------------------------
+# tuple sketch
+# ---------------------------------------------------------------------------
+
+
+def test_tuple_exact_mode_sum_policy(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = tuple_sketch_agg(
+        orders, [], "o_custkey", "o_totalprice", policy="sum", lg_k=18
+    )
+    row = with_summary_sum_estimate(with_key_estimate(sk)).collect()[0]
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("ndv"),
+        F.sum("o_totalprice").alias("tot"),
+    ).collect()[0]
+    assert row["theta"] == -1  # exact mode
+    assert row["estimate"] == pytest.approx(exact["ndv"])
+    assert row["summary_sum"] == pytest.approx(exact["tot"], rel=1e-9)
+
+
+def test_tuple_filtered_estimate_exact(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = tuple_sketch_agg(orders, [], "o_custkey", "o_totalprice", "max", lg_k=18)
+    row = filtered_key_estimate(sk, 100_000.0).collect()[0]
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("mx"))
+        .where("mx >= 100000.0")
+        .count()
+    )
+    assert row["keys_passing"] == pytest.approx(exact)
+
+
+def test_tuple_estimation_mode(spark):
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {"k": np.arange(100_000).astype(np.int64), "v": np.ones(100_000)}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    sk = tuple_sketch_agg(df, [], "k", "v", "sum", lg_k=12)
+    row = with_key_estimate(sk).collect()[0]
+    assert row["theta"] != -1
+    assert row["estimate"] == pytest.approx(100_000, rel=0.05)  # ±1% envelope @3sd≈5%
+
+
+# ---------------------------------------------------------------------------
+# HLL wrapper
+# ---------------------------------------------------------------------------
+
+
+def test_hll_within_bounds(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = hll_distinct_agg(li, [], "l_orderkey", lg_k=12, num_std_devs=3).collect()[0]
+    exact = li.select("l_orderkey").distinct().count()
+    assert row["lower_bound"] <= exact <= row["upper_bound"]
+    assert row["estimate"] == pytest.approx(exact, rel=4 * rse(12))
