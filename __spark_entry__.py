@@ -168,6 +168,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_cpp_spark.operators.textstats import with_bpe_token_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_bpe_token_estimate(docs, "text").select("doc_id", "bpe_token_est")
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 5)
@@ -314,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_counts": q_language_id_counts,
         "text_quality": q_text_quality,
         "knn_bruteforce": q_knn_bruteforce,
+        "bpe_token_counts": q_bpe_token_counts,
         "exact_median_by_flag": q_exact_median_by_flag,
         "frequent_items_sketch": q_frequent_items_sketch,
         "bloom_prefilter_join": q_bloom_prefilter_join,
@@ -424,6 +432,11 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
             " FROM scored) "
             "SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(trim(text), "
+            "'''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) "
+            "AS bpe_token_est FROM documents"
         ),
         "exact_median_by_flag": (
             "SELECT l_returnflag, "

@@ -76,11 +76,15 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 40
+    edges: DataFrame, max_iter: int = 40, min_rounds: int = 3
 ) -> DataFrame:
     """Edge list (a, b) → assignments (id, cluster_id) where cluster_id is
     the component's minimum node id. Nodes absent from the edge list are
-    the caller's to add back (singletons keep their own id)."""
+    the caller's to add back (singletons keep their own id).
+
+    Convergence checks (a blocking driver collect each) start only after
+    ``min_rounds`` — any graph with a path of length > 2 needs multiple
+    rounds, so early checks are pure latency."""
     cur = _canonical(edges).localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
     if prev_sig[0] == 0:
@@ -89,8 +93,10 @@ def connected_components(
                 edges["a"].alias("id"), edges["b"].alias("cluster_id")
             ).schema,
         )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        if rnd + 1 < min_rounds:
+            continue
         sig = _checksum(cur)
         if sig == prev_sig:
             break

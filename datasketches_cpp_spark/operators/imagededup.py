@@ -30,24 +30,14 @@ from .substring import substring_pairs
 from .verify import verify_pairs
 
 
-def phash_pairs(
-    images: DataFrame,
-    cfg: SigConfig,
-    id_col: str = "image_id",
-    phash_col: str = "phash",
-    max_pairs_group: int = 256,
-) -> DataFrame:
-    """pHash lane, fully JVM-side except the shared capped pair-gen:
-    64-bit hash → ``phash_bands`` bit-slices → one band per unordered
-    slice PAIR (C(nb,2) 2·width-bit keys). Two images within hamming
-    distance ≤ nb - 2 leave ≥ 2 slices clean (pigeonhole), so some
-    pair-band matches → guaranteed candidate recall at the configured
-    radius, with 2^width× fewer random bucket collisions than
-    single-slice blocking (which is quadratic in corpus size).
-    Verification is bit_count(xor) ≤ phash_hamming. Mirrors
-    sigkernel.phash_slice_pair_hashes; the oracle applies the identical
-    scheme."""
-    nb = cfg.phash_bands
+def phash_combo_keys_expr(phash_col: str, cfg: SigConfig):
+    """JVM array expression of the slice-COMBO band keys — the Catalyst
+    twin of sigkernel.phash_slice_combo_hashes (the oracle uses the numpy
+    one; parity by construction). Shared by the batch and streaming pHash
+    lanes."""
+    from itertools import combinations
+
+    nb, combo = cfg.phash_bands, cfg.phash_combo
     width = 64 // nb
     mask = (1 << width) - 1
 
@@ -56,15 +46,32 @@ def phash_pairs(
             F.lit(mask)
         )
 
-    slices = F.array(
-        *[
-            _slice(i).bitwiseOR(F.shiftleft(_slice(j), width))
-            # band position = index of the (i, j) pair, so keys only
-            # collide within the same slice pair
-            for i in range(nb)
-            for j in range(i + 1, nb)
-        ]
-    )
+    keys = []
+    for comb in combinations(range(nb), combo):
+        # band position = index of the combo, so keys only collide within
+        # the same slice subset
+        key = _slice(comb[0])
+        for j, c in enumerate(comb[1:], start=1):
+            key = key.bitwiseOR(F.shiftleft(_slice(c), j * width))
+        keys.append(key)
+    return F.array(*keys)
+
+
+def phash_pairs(
+    images: DataFrame,
+    cfg: SigConfig,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_pairs_group: int = 256,
+) -> DataFrame:
+    """pHash lane, fully JVM-side: 64-bit hash → slice-COMBO band keys
+    (C(nb, combo) bands of combo·width bits). Two images within hamming
+    distance ≤ nb - combo leave ≥ combo slices clean (pigeonhole), so some
+    combo-band matches → guaranteed candidate recall at the configured
+    radius, with exponentially fewer random bucket collisions per key bit
+    than single-slice blocking (which is quadratic in corpus size).
+    Verification is bit_count(xor) ≤ phash_hamming."""
+    slices = phash_combo_keys_expr(phash_col, cfg)
     bands_df = (
         images.select(F.col(id_col).alias("id"), F.posexplode(slices).alias("band_idx", "band_hash"))
     )

@@ -27,8 +27,6 @@ hand, which is exactly what `applyInPandas` gives us.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -66,54 +64,69 @@ def pairs_from_bands(
     future blocking scheme): singleton pruning + hot-group capping live
     here once.
 
-    Hybrid physical plan: groups of size 2..max_pairs_group — the
-    overwhelming majority — pair up via a JVM-side equi-self-join on
-    (band_idx, band_hash) (whole-stage codegen, AQE-splittable, zero
-    Python). Only groups *above* the cap are routed to the Python
-    chain+hub path; excluding them from the join is what makes the join
-    safe (the quadratic blowup cannot occur — every joined group is
-    ≤ max_pairs_group wide). Semantics are identical to the previous
-    all-Python version: same pairs, same capped edges."""
-    sizes = band_group_sizes(bands_df)
-    normal_keys = sizes.where(
-        (F.col("count") >= 2) & (F.col("count") <= max_pairs_group)
-    ).select("band_idx", "band_hash")
-    hot_keys = sizes.where(F.col("count") > max_pairs_group).select(
-        "band_idx", "band_hash"
+    Physical plan: ONE wide shuffle — ``groupBy(band).collect_set(id)``
+    (map-side combined) — then everything is JVM array algebra:
+
+      * normal groups (2..max_pairs_group members): all C(s,2) pairs via
+        ``posexplode`` + ``slice`` over the sorted id array (sorted ⇒ a < b
+        by construction, whole-stage codegen, zero Python);
+      * hot groups (> cap): chain + hub edges from the same sorted array —
+        2(s-1) edges, connectivity preserved, pair-level recall within the
+        group delegated to the verifier.
+
+    A final ``dropDuplicates`` de-dups pairs co-banded more than once
+    (second shuffle, over pairs). Previous designs (per-group Python, or
+    self-join with a sizes pre-pass) shuffled the exploded band table 3-5×;
+    this shuffles it once.
+
+    Memory note for 10^12-row corpora: a band with H members materializes
+    one H-element array in a single task. LSH band keys are 64-bit content
+    hashes, so H is bounded by true content duplication — exactly the mass
+    the hot path caps — but a degenerate corpus (billions of IDENTICAL
+    payloads) should be pre-collapsed by the exact-dup fingerprint pass
+    before LSH (operators/textstats.with_fingerprint), which is also the
+    cheaper plan for that data."""
+    grouped = (
+        bands_df.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
 
-    # common path: self-join, a < b — no Python
-    normal = bands_df.join(normal_keys, ["band_idx", "band_hash"], "left_semi")
-    left = normal.select("band_idx", "band_hash", F.col("id").alias("a"))
-    right = normal.select("band_idx", "band_hash", F.col("id").alias("b"))
-    join_pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+    ids = F.col("ids")
+    sz = F.size("ids")
+    # all pairs (a at 0-based position i, every b strictly after): sorted
+    # array ⇒ a < b by construction
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + F.lit(2), sz),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
     )
-
-    # hot path: chain + hub — 2(s-1) edges, connectivity preserved; pair
-    # recall within the group is delegated to the verifier over those edges
-    hot = bands_df.join(hot_keys, ["band_idx", "band_hash"], "left_semi")
-    id_type = dict(bands_df.dtypes)["id"]
-    out_schema = f"a {id_type}, b {id_type}"
-
-    def gen_capped(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(pdf["id"].to_numpy())
-        ids = pd.unique(ids)
-        s = len(ids)
-        if s < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        hub = ids[0]
-        a = np.concatenate([ids[:-1], np.full(s - 1, hub)])
-        b = np.concatenate([ids[1:], ids[1:]])
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
-
-    hot_pairs = hot.groupBy("band_idx", "band_hash").applyInPandas(
-        gen_capped, out_schema
+    # hot: chain (consecutive) + hub (first → everyone after the second)
+    chain = F.transform(
+        F.slice(ids, 1, sz - 1),
+        lambda a, i: F.struct(
+            a.alias("a"), F.element_at(ids, i + F.lit(2)).alias("b")
+        ),
     )
-    return join_pairs.union(hot_pairs).dropDuplicates(["a", "b"])
+    hub = F.transform(
+        F.slice(ids, 3, sz),
+        lambda b: F.struct(F.element_at(ids, 1).alias("a"), b.alias("b")),
+    )
+    pair_arr = F.when(sz <= max_pairs_group, all_pairs).otherwise(
+        F.concat(chain, hub)
+    )
+    # ONE expression per group → the (python-stage) upstream is evaluated
+    # exactly once; a when/otherwise inside separate union branches would
+    # recompute the whole signature scan per branch
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def hot_bands(sig_df: DataFrame, threshold: int = 1000) -> DataFrame:

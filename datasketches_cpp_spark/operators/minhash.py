@@ -110,6 +110,37 @@ SIG_SCHEMA_SUFFIX = (
 )
 
 
+def _binary_flat_frames(
+    ids: list, flat: "np.ndarray", starts_abs: "np.ndarray",
+    cfg: SigConfig, byte_stride: int,
+):
+    """Sub-batched signature computation over an Arrow-layout flat buffer
+    (absolute doc offsets into ``flat``) — the zero-copy twin of
+    signature_batch(kind='binary'). Yields pandas frames per sub-batch."""
+    from .sigkernel import byte_shingle_hashes_flat
+
+    n = len(ids)
+    for lo in range(0, n, _BINARY_SUBBATCH):
+        hi = min(lo + _BINARY_SUBBATCH, n)
+        sh, off = byte_shingle_hashes_flat(
+            flat, starts_abs[lo : hi + 1], cfg.shingle_w, cfg.seed, byte_stride
+        )
+        mh = minhash_signatures(sh, off, cfg)
+        thetas, kmv_sigs = kmv_signatures(sh, off, cfg.kmv_k)
+        bands = band_hashes(mh, cfg)
+        yield pd.DataFrame(
+            {
+                "id": ids[lo:hi],
+                "n_shingles": np.diff(off).astype(np.int64),
+                "mh_sig": [row.astype(np.int64) for row in mh],
+                "kmv_theta": thetas,
+                "kmv_sig": [s.astype(np.int64) for s in kmv_sigs],
+                "simhash": np.zeros(hi - lo, dtype=np.int64),
+                "bands": [row.astype(np.int64) for row in bands],
+            }
+        )
+
+
 def compute_signatures(
     df: DataFrame,
     id_col: str,
@@ -119,7 +150,13 @@ def compute_signatures(
     byte_stride: int = 1,
 ) -> DataFrame:
     """DataFrame(id_col, content) → DataFrame(id, n_shingles, mh_sig,
-    kmv_theta, kmv_sig, simhash, bands). Narrow (no shuffle)."""
+    kmv_theta, kmv_sig, simhash, bands). Narrow (no shuffle).
+
+    The binary lane uses ``mapInArrow`` and reads the BinaryArray's
+    (offsets, data) buffers directly — the raw payload bytes are never
+    copied into Python objects (at 100 TB the marshalling copies would
+    cost more memory bandwidth than the hashing itself). The text lane
+    stays on pandas (token hashing materializes Python strings anyway)."""
     id_type = dict(df.dtypes)[id_col]
     schema = f"id {id_type}, {SIG_SCHEMA_SUFFIX}"
 
@@ -134,15 +171,45 @@ def compute_signatures(
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(target)
 
+    if kind == "binary":
+
+        def run_arrow(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                ids = rb.column(0).to_pylist()
+                arr = rb.column(1)
+                if arr.null_count or not isinstance(
+                    arr, (pa.BinaryArray, pa.LargeBinaryArray)
+                ):
+                    # nulls / exotic layouts: correctness fallback via the
+                    # list-based kernel (same outputs)
+                    bufs = [b if b is not None else b"" for b in arr.to_pylist()]
+                    frames = [signature_batch(ids, bufs, cfg, "binary", byte_stride)]
+                else:
+                    off_dtype = (
+                        np.int64 if isinstance(arr, pa.LargeBinaryArray) else np.int32
+                    )
+                    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
+                    starts_abs = offs[arr.offset : arr.offset + len(arr) + 1].astype(
+                        np.int64
+                    )
+                    flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                    frames = list(
+                        _binary_flat_frames(ids, flat, starts_abs, cfg, byte_stride)
+                    )
+                for f in frames:
+                    yield pa.RecordBatch.from_pandas(f, preserve_index=False)
+
+        return df.select(id_col, content_col).mapInArrow(run_arrow, schema)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            contents = (
-                pdf[content_col].fillna("").tolist()
-                if kind == "text"
-                else pdf[content_col].tolist()
-            )
+            contents = pdf[content_col].fillna("").tolist()
             yield signature_batch(
                 pdf[id_col].tolist(), contents, cfg, kind, byte_stride
             )

@@ -46,13 +46,17 @@ class SigConfig:
     bands: int = 32  # LSH bands; rows per band = num_perm // bands
     jaccard_threshold: float = 0.8
     simhash_hamming: int = 3
-    # pHash verification radius; slice-PAIR blocking (C(phash_bands,2)
-    # 16-bit band keys) guarantees candidate recall for hamming ≤
-    # phash_bands - 2, so the default radius is 6 — single-slice blocking
-    # (radius 7) had 256-way-bucket collision volume ~n²/64, quadratic in
-    # the corpus and unusable at 10^12 rows
-    phash_hamming: int = 6
+    # pHash verification radius; slice-COMBO blocking (every
+    # ``phash_combo``-subset of the ``phash_bands`` slices forms one band
+    # key of combo·(64/bands) bits) guarantees candidate recall for
+    # hamming ≤ phash_bands - phash_combo (pigeonhole). Wider keys =
+    # exponentially fewer random bucket collisions: single slices (8-bit
+    # keys) collide ~n²/64 pair-candidates, pairs (16-bit) ~n²/4681,
+    # triples (24-bit) ~n²/599k — triples are the first tier that stays
+    # sane at web scale, at radius 8-3 = 5
+    phash_hamming: int = 5
     phash_bands: int = 8
+    phash_combo: int = 3
 
     @property
     def rows_per_band(self) -> int:
@@ -115,16 +119,27 @@ def token_shingle_hashes(
 def byte_shingle_hashes(
     bufs: list[bytes], w: int, seed: int, stride: int = 1
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Byte w-gram shingles over binary payloads (the image lane of S1).
-    All docs are concatenated; rolling windows are materialized via fancy
-    indexing and windows crossing doc boundaries are excluded. ``stride``
-    subsamples windows for very large payloads (deterministic, same for
-    every run)."""
+    """Byte w-gram shingles over binary payloads (the image lane of S1) —
+    list-of-bytes convenience wrapper over the flat-buffer kernel."""
     n = len(bufs)
     lengths = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
     starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=starts[1:])
     flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return byte_shingle_hashes_flat(flat, starts, w, seed, stride)
+
+
+def byte_shingle_hashes_flat(
+    flat: np.ndarray, starts: np.ndarray, w: int, seed: int, stride: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat-buffer byte-shingle kernel: ``flat`` is the concatenation of all
+    docs' bytes, ``starts`` the int64 doc offsets (len n+1) — exactly the
+    layout of an Arrow BinaryArray's (data, offsets) buffers, so the Spark
+    ``mapInArrow`` path feeds this ZERO-COPY. Rolling windows are gathered
+    from a sliding view; windows never cross doc boundaries; ``stride``
+    subsamples windows deterministically."""
+    n = len(starts) - 1
+    lengths = np.diff(starts)
 
     win_counts = np.maximum((np.maximum(lengths - w, 0) // stride) + (lengths > 0), 0)
     win_counts[lengths == 0] = 0
@@ -262,29 +277,38 @@ def kmv_signatures(
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Per-doc bottom-k KMV signature (theta + sorted k smallest distinct
     shingle hashes) — the verification-side sketch (reference theta compact,
-    theta_sketch_impl.hpp:266-289). Segment-vectorized: one lexsort for the
-    whole batch, rank arithmetic for the k-min cut."""
-    n = len(offsets) - 1
-    doc_ids = np.repeat(np.arange(n), np.diff(offsets))
-    order = np.lexsort((shingles, doc_ids))
-    h = shingles[order]
-    d = doc_ids[order]
-    if len(h):
-        keep = np.ones(len(h), dtype=bool)
-        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
-        h, d = h[keep], d[keep]
-    doc_starts = np.searchsorted(d, np.arange(n))
-    doc_counts = np.searchsorted(d, np.arange(n), side="right") - doc_starts
+    theta_sketch_impl.hpp:266-289).
 
-    # theta encoding for int64 Spark columns: -1 ⇔ MAX_THETA (exact mode),
-    # since 2^63 itself doesn't fit in a signed long
+    Per-doc ``np.partition`` bottom-(2k+2) + unique — the introselect idiom
+    the reference uses for rebuild (theta_union_base_impl.hpp:73-78) —
+    instead of a full batch lexsort (13× cheaper; the lexsort was ~20% of
+    the whole signature kernel). Correctness: the (k+1)-th smallest
+    DISTINCT value is within the smallest 2k+2 values unless those contain
+    ≤ k distinct values — exactly the case the full-unique fallback
+    handles.
+
+    theta encoding for int64 Spark columns: -1 ⇔ MAX_THETA (exact mode),
+    since 2^63 itself doesn't fit in a signed long."""
+    n = len(offsets) - 1
     thetas = np.full(n, -1, dtype=np.int64)
-    over = doc_counts > k
-    thetas[over] = h[doc_starts[over] + k].astype(np.int64)
-    sigs = [
-        h[doc_starts[i] : doc_starts[i] + min(doc_counts[i], k)].copy()
-        for i in range(n)
-    ]
+    sigs: list[np.ndarray] = []
+    head_n = 2 * (k + 1)
+    for i in range(n):
+        seg = shingles[offsets[i] : offsets[i + 1]]
+        if len(seg) == 0:
+            sigs.append(np.empty(0, np.uint64))
+            continue
+        if len(seg) > head_n:
+            head = np.partition(seg, head_n - 1)[:head_n]
+        else:
+            head = seg
+        u = np.unique(head)
+        if len(u) <= k and len(head) < len(seg):
+            u = np.unique(seg)  # duplicates ate the slack: exact fallback
+        if len(u) > k:
+            thetas[i] = int(u[k])
+            u = u[:k]
+        sigs.append(u)
     return thetas, sigs
 
 
@@ -351,15 +375,19 @@ def phash_band_hashes(phashes: np.ndarray, num_bands: int = 8) -> np.ndarray:
     return out
 
 
-def phash_slice_pair_hashes(phashes: np.ndarray, num_slices: int = 8) -> np.ndarray:
-    """Slice-PAIR multi-index blocking: the 64-bit pHash splits into
-    ``num_slices`` equal slices; every unordered pair (i<j) of slices forms
-    one band whose key packs both slice values. Pigeonhole: hamming ≤
-    num_slices - 2 dirties at most num_slices - 2 slices, leaving ≥ 2 clean
-    slices whose pair-band matches → guaranteed candidate recall at radius
-    num_slices - 2, with per-band collision probability 2^-(2·width)
-    (65536× fewer random collisions than single slices at width 8)."""
-    assert 64 % num_slices == 0
+def phash_slice_combo_hashes(
+    phashes: np.ndarray, num_slices: int = 8, combo: int = 3
+) -> np.ndarray:
+    """Slice-COMBO multi-index blocking: the 64-bit pHash splits into
+    ``num_slices`` equal slices; every ``combo``-subset of slices forms one
+    band whose key packs those slice values. Pigeonhole: hamming ≤
+    num_slices - combo dirties at most that many slices, leaving ≥ combo
+    clean slices whose combo-band matches → guaranteed candidate recall at
+    radius num_slices - combo, with per-band random-collision probability
+    2^-(combo·width). C(num_slices, combo) bands."""
+    from itertools import combinations
+
+    assert 64 % num_slices == 0 and 1 <= combo <= num_slices
     width = 64 // num_slices
     ph = np.asarray(phashes, dtype=np.uint64)
     mask = np.uint64((1 << width) - 1)
@@ -367,10 +395,18 @@ def phash_slice_pair_hashes(phashes: np.ndarray, num_slices: int = 8) -> np.ndar
         (ph >> np.uint64(i * width)) & mask for i in range(num_slices)
     ]
     cols = []
-    for i in range(num_slices):
-        for j in range(i + 1, num_slices):
-            cols.append(slices[i] | (slices[j] << np.uint64(width)))
+    for comb in combinations(range(num_slices), combo):
+        key = slices[comb[0]].copy()
+        for j, c in enumerate(comb[1:], start=1):
+            key |= slices[c] << np.uint64(j * width)
+        cols.append(key)
     return np.stack(cols, axis=1)
+
+
+def phash_slice_pair_hashes(phashes: np.ndarray, num_slices: int = 8) -> np.ndarray:
+    """Slice-PAIR blocking (combo=2 special case); kept for the radius-6
+    tier on smaller corpora."""
+    return phash_slice_combo_hashes(phashes, num_slices, combo=2)
 
 
 _POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)

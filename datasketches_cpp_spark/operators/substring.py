@@ -135,6 +135,18 @@ def substring_pairs(
     postings = df.select(id_col, text_col).mapInPandas(post, shingle_schema)
     postings = postings.localCheckpoint(eager=False)
 
+    probes_min = postings.where("is_min")
+
+    # only shingles that are some doc's MIN shingle can ever be probed —
+    # semi-joining the (broadcastable) distinct min-shingle set prunes the
+    # posting table ~|shingles per doc|-fold BEFORE the expensive windowed
+    # sort. At corpus sizes where the min-shingle set outgrows broadcast,
+    # drop the hint and Catalyst falls back to a shuffled semi-join.
+    min_shingles = probes_min.select("shingle").distinct()
+    pruned_postings = postings.join(
+        F.broadcast(min_shingles), "shingle", "left_semi"
+    )
+
     # cap hot posting lists deterministically (keep smallest host ids) via a
     # windowed rank — unlike collect_list this spills instead of
     # materializing a degenerate shingle's full posting list in memory
@@ -142,7 +154,7 @@ def substring_pairs(
 
     wnd = Window.partitionBy("shingle").orderBy("id")
     hosts = (
-        postings.withColumn("rn", F.row_number().over(wnd))
+        pruned_postings.withColumn("rn", F.row_number().over(wnd))
         .where(F.col("rn") <= max_posting_list)
         .select(
             "shingle",
@@ -150,7 +162,7 @@ def substring_pairs(
             F.col("n_tokens").alias("host_tokens"),
         )
     )
-    probes = postings.where("is_min").select(
+    probes = probes_min.select(
         F.col("id").alias("needle_id"),
         F.col("n_tokens").alias("needle_tokens"),
         "shingle",

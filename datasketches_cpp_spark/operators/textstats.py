@@ -28,6 +28,26 @@ def with_token_count(df: DataFrame, text_col: str, out: str = "token_count") -> 
     )
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB/oracle): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, then
+# whitespace runs. No lookarounds (RE2 has none).
+BPE_ISH_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def with_bpe_token_estimate(
+    df: DataFrame, text_col: str, out: str = "bpe_token_est"
+) -> DataFrame:
+    """BPE-ish token-count estimate: occurrences of the pre-tokenizer
+    pattern (the piece count BEFORE merges — an upper bound on real BPE
+    tokens and the standard cheap budget estimator). Pure JVM
+    `regexp_count`, no UDF."""
+    return df.withColumn(
+        out,
+        F.regexp_count(F.trim(F.col(text_col)), F.lit(BPE_ISH_PATTERN)).cast("long"),
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str) -> DataFrame:
     """Heuristic quality features + composite score:
     n_chars, token_count, avg_token_len, punct_ratio, stopword_ratio,

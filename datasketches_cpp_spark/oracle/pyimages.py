@@ -18,16 +18,21 @@ from .pydedup import (
 
 
 def oracle_phash_pairs(ids, phashes, cfg: SigConfig, max_pairs_group: int = 256):
-    nb = cfg.phash_bands
+    from itertools import combinations
+
+    nb, combo = cfg.phash_bands, cfg.phash_combo
     width = 64 // nb
     mask = (1 << width) - 1
     groups = defaultdict(list)
     ph = {i: int(np.uint64(np.int64(p))) for i, p in zip(ids, phashes)}
-    pair_idx = [(x, y) for x in range(nb) for y in range(x + 1, nb)]
+    combos = list(combinations(range(nb), combo))
     for i in ids:
         sl = [(ph[i] >> (s * width)) & mask for s in range(nb)]
-        for b, (x, y) in enumerate(pair_idx):
-            groups[(b, sl[x] | (sl[y] << width))].append(i)
+        for b, comb in enumerate(combos):
+            key = 0
+            for j, c in enumerate(comb):
+                key |= sl[c] << (j * width)
+            groups[(b, key)].append(i)
     pairs = set()
     for members in groups.values():
         m = sorted(set(members))

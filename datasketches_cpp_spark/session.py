@@ -38,7 +38,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Arrow batch size so per-batch numpy state (shingle matrices,
         # lane mixing buffers) stays well inside executor memory at 100 TB
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # image corpora are byte-heavy: finer scan splits keep the
         # signature stages parallel even over a handful of fat files
         .config("spark.sql.files.maxPartitionBytes", "33554432")

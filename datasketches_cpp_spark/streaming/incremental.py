@@ -192,25 +192,12 @@ class IncrementalDeduper:
         )
 
     def _phash_lane(self, batch_df: DataFrame) -> DataFrame:
-        """Streaming pHash lane: slice-pair keys of the new batch join the
+        """Streaming pHash lane: slice-combo keys of the new batch join the
         accumulated pHash store; verify with bit_count."""
-        nb = self.cfg.phash_bands
-        width = 64 // nb
-        mask = (1 << width) - 1
+        from ..operators.imagededup import phash_combo_keys_expr
 
         def keys(df: DataFrame, idc: str) -> DataFrame:
-            def _slice(i: int):
-                return F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
-                    F.lit(mask)
-                )
-
-            arr = F.array(
-                *[
-                    _slice(i).bitwiseOR(F.shiftleft(_slice(j), width))
-                    for i in range(nb)
-                    for j in range(i + 1, nb)
-                ]
-            )
+            arr = phash_combo_keys_expr("phash", self.cfg)
             return df.select(
                 F.col("image_id").alias(idc), F.col("phash").alias(f"ph_{idc}"),
                 F.posexplode(arr).alias("band_idx", "band_hash"),

@@ -213,3 +213,23 @@ def test_phash_slice_pair_pigeonhole():
         assert (ka == kb).any(), (hex(int(a)), hex(int(b)), nflips)
     # shape: C(8,2) = 28 bands
     assert phash_slice_pair_hashes(np.array([np.uint64(5)]), 8).shape == (1, 28)
+
+
+def test_phash_slice_combo_pigeonhole():
+    """hamming ≤ num_slices - combo ⇒ at least one combo band matches —
+    the guarantee behind the production radius-5 triple blocking."""
+    from datasketches_cpp_spark.operators.sigkernel import phash_slice_combo_hashes
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        a = np.uint64(rng.integers(0, 1 << 63))
+        nflips = int(rng.integers(0, 6))  # ≤ 5 = 8 - 3
+        bits = rng.choice(64, size=nflips, replace=False)
+        b = a
+        for bit in bits:
+            b = np.uint64(b) ^ (np.uint64(1) << np.uint64(bit))
+        ka = phash_slice_combo_hashes(np.array([a]), 8, 3)[0]
+        kb = phash_slice_combo_hashes(np.array([b]), 8, 3)[0]
+        assert (ka == kb).any(), (hex(int(a)), hex(int(b)), nflips)
+    # shape: C(8,3) = 56 bands
+    assert phash_slice_combo_hashes(np.array([np.uint64(5)]), 8, 3).shape == (1, 56)
