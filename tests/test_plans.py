@@ -1,0 +1,106 @@
+"""Physical-plan assertions — the scale discipline made executable.
+
+At 100 TB the plan IS the product: these tests freeze the properties that
+make the pipeline viable at scale (column pruning to the parquet scan,
+filter pushdown, broadcast for small sides, no Python in JVM-only lanes),
+so a refactor that silently regresses one fails CI instead of a cluster.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_cpp_spark.operators.imagededup import phash_pairs
+from datasketches_cpp_spark.operators.minhash import compute_signatures
+from datasketches_cpp_spark.operators.sigkernel import SigConfig
+
+CFG = SigConfig(num_perm=64, bands=32, kmv_k=128, shingle_w=3, jaccard_threshold=0.5)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_signature_scan_prunes_columns(spark, sf_dir):
+    """The caption signature stage must read ONLY (doc_id, text) from the
+    parquet scan — dragging unused columns through an Arrow stage is the
+    classic 100 TB self-own."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = compute_signatures(docs, "doc_id", "text", CFG, kind="text")
+    plan = _plan(sig)
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "doc_id" in scan_line and "text" in scan_line
+    for unused in ("url", "lang", "quality"):
+        assert unused not in scan_line, f"scan drags unused column {unused}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan or (
+        "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    ), plan
+
+
+def test_phash_lane_is_jvm_only(spark):
+    """The pHash lane must contain no Python stages at all — banding,
+    pair-gen, and hamming verification are pure Catalyst."""
+    from datasketches_cpp_spark.sources.images import generate_images
+
+    images, _ = generate_images(200, seed=3)
+    df = spark.createDataFrame(images)
+    plan = _plan(phash_pairs(df, CFG))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
+                   "MapInPandas", "PythonMapInArrow", "MapInArrow"):
+        assert marker not in plan, f"python stage {marker} in pHash lane:\n{plan}"
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """might_contain must broadcast the (single-row) filter, never shuffle
+    the probe side for the join."""
+    from datasketches_cpp_spark.functions.bloom import bloom_filter_agg, might_contain
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    filt = bloom_filter_agg(cust, "c_custkey", 1 << 16, 7)
+    probed = might_contain(cust, filt, "c_custkey")
+    plan = _plan(probed)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_knn_probes_broadcast(spark, sf_dir):
+    from datasketches_cpp_spark.operators.knn import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 5)
+    plan = _plan(brute_force_topk(emb, probes, "vec_id", "embedding", k=5))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_theta_partial_agg_shuffles_sketches_not_rows(spark, sf_dir):
+    """The two-stage theta agg must place the Python partial BEFORE the
+    exchange: the shuffle carries one sketch row per (group, partition),
+    never raw rows."""
+    from datasketches_cpp_spark.functions.theta import theta_sketch_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = theta_sketch_agg(orders, ["o_orderstatus"], "o_custkey", lg_k=12)
+    plan = _plan(sk)
+    # exactly one python map stage (partial) below one exchange below the
+    # grouped-map final stage
+    i_partial = plan.find("MapInPandas") if "MapInPandas" in plan else plan.find("PythonMapInArrow")
+    i_exchange = plan.find("Exchange")
+    i_final = plan.find("FlatMapGroupsInPandas")
+    assert -1 not in (i_partial, i_exchange, i_final)
+    # plan strings print top-down: final ≺ exchange ≺ partial
+    assert i_final < i_exchange < i_partial, plan
+
+
+def test_events_agg_has_partial_aggregation(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    plan = _plan(agg)
+    assert plan.count("HashAggregate") >= 2, "missing map-side partial agg"
