@@ -175,6 +175,18 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bpe_token_estimate(docs, "text").select("doc_id", "bpe_token_est")
 
 
+def q_exact_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the exact-fingerprint dedup — the standard
+    dedup QA readout (operators/dedup.cluster_stats shape)."""
+    docs = with_fingerprint(_t(spark, sf_dir, "documents"), "text")
+    return (
+        docs.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("num_clusters"))
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 5)
@@ -321,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_counts": q_language_id_counts,
         "text_quality": q_text_quality,
         "knn_bruteforce": q_knn_bruteforce,
+        "exact_cluster_histogram": q_exact_cluster_histogram,
         "bpe_token_counts": q_bpe_token_counts,
         "exact_median_by_flag": q_exact_median_by_flag,
         "frequent_items_sketch": q_frequent_items_sketch,
@@ -432,6 +445,12 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
             " FROM scored) "
             "SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "exact_cluster_histogram": (
+            "WITH fp AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') f "
+            "FROM documents), "
+            "cs AS (SELECT f, COUNT(*) AS cluster_size FROM fp GROUP BY f) "
+            "SELECT cluster_size, COUNT(*) AS num_clusters FROM cs GROUP BY cluster_size"
         ),
         "bpe_token_counts": (
             "SELECT doc_id, len(regexp_extract_all(trim(text), "
