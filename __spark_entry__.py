@@ -143,13 +143,19 @@ def q_frequent_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # Emit engine-stable primitives: Spark widens sum(decimal(18,2)) to
+    # decimal(28,2) while DuckDB widens to DECIMAL(38,2), and the two render
+    # timestamps at different precisions (us vs ns) — numerically identical
+    # rows hash-mismatched in round 1. String hour + round(...)::double are
+    # representation-stable on both engines.
     return (
         ev.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
 
@@ -406,8 +412,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5"
         ),
         "events_hourly": (
-            "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt, "
-            "SUM(CAST(value AS DECIMAL(18,2))) AS total_value "
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
             "FROM events GROUP BY 1, 2"
         ),
         "language_id_counts": (

@@ -127,6 +127,8 @@ def count_min_agg(
                 num_hashes=num_hashes, num_buckets=num_buckets, seed=seed,
             )
             rows.append(r)
+        if not rows:
+            return  # empty partition: never yield an empty inferred-dtype frame
         yield pd.DataFrame(
             rows,
             columns=group_cols

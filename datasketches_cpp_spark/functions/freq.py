@@ -148,6 +148,8 @@ def frequent_items_agg(
                 items=items, weights=weights, offset=st.offset, total=st.total
             )
             rows.append(r)
+        if not rows:
+            return  # empty partition: never yield an empty inferred-dtype frame
         yield pd.DataFrame(
             rows, columns=group_cols + ["items", "weights", "offset", "total"]
         )

@@ -48,6 +48,9 @@ def hll_distinct_agg(
         out.withColumn(
             "lower_bound", (F.col("estimate") / (1.0 + F.lit(z))).cast("double")
         ).withColumn(
-            "upper_bound", (F.col("estimate") * (1.0 + F.lit(z))).cast("double")
+            # reference bound is est / (1 - n*rse) (HllArray-internal.hpp
+            # est/(1±n·rse)); est*(1+z) would be tighter than guaranteed and
+            # under-cover the true cardinality.
+            "upper_bound", (F.col("estimate") / (1.0 - F.lit(z))).cast("double")
         )
     )

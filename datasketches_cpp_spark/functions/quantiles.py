@@ -262,6 +262,8 @@ def kll_sketch_agg(
             r = {c: key[i] for i, c in enumerate(group_cols)}
             r.update(sk.to_row())
             rows.append(r)
+        if not rows:
+            return  # empty partition: never yield an empty inferred-dtype frame
         yield pd.DataFrame(rows, columns=group_cols + [f.name for f in _sketch_fields()])
 
     partials = df.select(group_cols + [item_col]).mapInPandas(partial, schema)

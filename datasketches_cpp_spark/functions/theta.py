@@ -117,6 +117,13 @@ def theta_sketch_agg(
                 key = key if isinstance(key, tuple) else (key,)
                 st = state.get(key, (MAX_THETA, np.empty(0, np.uint64)))
                 state[key] = _kmin_merge(st, hashes[idx], k)
+        if not state:
+            # Empty input partition (common at sf>=0.1 where parquet row
+            # groups leave most scan partitions rowless): yield NOTHING.
+            # An empty pd.DataFrame built from {} lists infers float64 for
+            # the sig column and pyarrow cannot convert float64 ndarray ->
+            # list<int64>, crashing the whole job (round-1 driver bench).
+            return
         rows = {
             c: [key[i] for key in state] for i, c in enumerate(group_cols)
         }

@@ -121,6 +121,8 @@ def tuple_sketch_agg(
             r["sig"] = h.astype(np.int64)
             r["summaries"] = s
             rows.append(r)
+        if not rows:
+            return  # empty partition: never yield an empty inferred-dtype frame
         yield pd.DataFrame(rows, columns=group_cols + ["theta", "sig", "summaries"])
 
     partials = df.select(group_cols + [key_col, value_col]).mapInPandas(partial, schema)
