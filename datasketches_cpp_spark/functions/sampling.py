@@ -101,32 +101,14 @@ def var_opt_agg(
     partial_schema = schema + ", part_tag string"
     cols = group_cols + [item_col] + ([weight_col] if weight_col else [])
 
-    def sample_pdf(pdf: pd.DataFrame, key: tuple) -> pd.DataFrame:
-        items = pdf[item_col].to_numpy()
-        w = (
-            pdf[weight_col].to_numpy(dtype=np.float64)
-            if weight_col
-            else np.ones(len(pdf), dtype=np.float64)
-        )
-        # content-derived deterministic seed (order-insensitive)
-        content = int(np.bitwise_xor.reduce(
-            pd.util.hash_pandas_object(pdf[item_col]).to_numpy()
-        )) if len(pdf) else 0
-        rng = np.random.default_rng((seed, content & 0xFFFFFFFF))
-        si, sw = _varopt_sample(items, w, k, rng)
-        out = {c: [key[i]] * len(si) for i, c in enumerate(group_cols)}
-        out["item"] = si
-        out["adjusted_weight"] = sw
-        out["total_weight"] = [float(w.sum())] * len(si)
-        out["n"] = [len(pdf)] * len(si)
-        return pd.DataFrame(
-            out, columns=group_cols + ["item", "adjusted_weight", "total_weight", "n"]
-        )
-
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import uuid
 
-        acc: dict[tuple, list[pd.DataFrame]] = {}
+        # incremental fold: per-group state stays O(k) — a running ≤k
+        # var-opt sample resampled against each Arrow batch (sample ∪ batch),
+        # never the raw partition (which would be unbounded executor memory,
+        # violating the bounded-size sketch contract)
+        state: dict[tuple, list] = {}  # key -> [items, adj_w, tot_w, n, hash_acc]
         for pdf in batches:
             grouped = (
                 pdf.groupby(group_cols, sort=False, dropna=False).indices
@@ -135,12 +117,45 @@ def var_opt_agg(
             )
             for key, idx in grouped.items():
                 key = key if isinstance(key, tuple) else (key,)
-                acc.setdefault(key, []).append(pdf.iloc[idx])
-        for key, parts in acc.items():
-            whole = pd.concat(parts, ignore_index=True)
-            out = sample_pdf(whole, key)
-            out["part_tag"] = uuid.uuid4().hex
-            yield out
+                sub = pdf.iloc[idx]
+                items = sub[item_col].to_numpy()
+                w = (
+                    sub[weight_col].to_numpy(dtype=np.float64)
+                    if weight_col
+                    else np.ones(len(sub), dtype=np.float64)
+                )
+                h = (
+                    int(np.bitwise_xor.reduce(
+                        pd.util.hash_pandas_object(sub[item_col]).to_numpy()
+                    ))
+                    if len(sub)
+                    else 0
+                )
+                st = state.get(key)
+                if st is None:
+                    st = [None, None, 0.0, 0, 0]
+                    state[key] = st
+                st[2] += float(w.sum())
+                st[3] += len(sub)
+                st[4] ^= h
+                if st[0] is not None:
+                    items = np.concatenate([st[0], items])
+                    w = np.concatenate([st[1], w])
+                rng = np.random.default_rng((seed, st[4] & 0xFFFFFFFF))
+                st[0], st[1] = _varopt_sample(items, w, k, rng)
+        for key, st in state.items():
+            si, sw = st[0], st[1]
+            out = {c: [key[i]] * len(si) for i, c in enumerate(group_cols)}
+            out["item"] = si
+            out["adjusted_weight"] = sw
+            out["total_weight"] = [st[2]] * len(si)
+            out["n"] = [st[3]] * len(si)
+            f = pd.DataFrame(
+                out,
+                columns=group_cols + ["item", "adjusted_weight", "total_weight", "n"],
+            )
+            f["part_tag"] = uuid.uuid4().hex
+            yield f
 
     partials = df.select(cols).mapInPandas(partial, partial_schema)
 
@@ -205,3 +220,91 @@ def estimate_subset_sum(
         F.col("estimate") * (F.lit(1.0) + rel)
     )
     return out.withColumn("lower_bound", lb).withColumn("upper_bound", ub)
+
+
+def _pps_threshold(top_weights: np.ndarray, total_weight: float, k: int) -> float:
+    """tau solving Σ min(w/tau, 1) = k, from only the top-(k+1) weights and
+    the total — heavier items than tau are 'heavy' (always kept) and there
+    can be at most k of them, so the full weight vector is never needed."""
+    w = np.sort(np.asarray(top_weights, np.float64))[::-1]
+    light_sum = total_weight
+    for h in range(k + 1):
+        if h > 0:
+            light_sum -= w[h - 1]
+        slots = k - h
+        if slots == 0:
+            continue
+        tau = light_sum / slots
+        if (h == 0 or w[h - 1] > tau) and (h >= len(w) or w[h] <= tau):
+            return float(tau)
+    return float(light_sum / max(k, 1))
+
+
+def ebpps_sample(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 9001,
+) -> DataFrame:
+    """PPS sampling with bounded expected size — the Spark re-expression of
+    the reference's EBPPS sketch (sampling/include/ebpps_sketch.hpp:64-152,
+    'Exact PPS Sampling with Bounded Sample Size', Hentschel/Haas/Tian 2023):
+    every row is included with probability EXACTLY pi_i = min(1, w_i / tau)
+    where tau solves Σ min(w_i/tau, 1) = k, so E[|sample|] = min(k, n).
+
+    Documented deviation: the reference couples the inclusion draws so the
+    realized size is hard-bounded at ⌈k⌉; that coupling is inherently
+    sequential. Here inclusions are independent (Poisson-PPS), so |sample|
+    concentrates at k ± O(√k) — same exact marginal probabilities, same
+    Horvitz-Thompson estimator (ht_weight = max(w, tau)), no hard cap.
+
+    Spark-first plan: tau needs only (Σ w, top-(k+1) weights) — one agg and
+    one TakeOrdered, never a full sort — and the inclusion decision is a
+    deterministic per-item uniform from xxhash64, entirely JVM-side (zero
+    Python in the per-row path). Scales to any corpus: the only driver-side
+    data is k+1 doubles."""
+    total = df.agg(F.sum(F.col(weight_col).cast("double"))).collect()[0][0]
+    if total is None:
+        return df.select(
+            F.col(item_col).alias("item"),
+            F.col(weight_col).cast("double").alias("weight"),
+            F.lit(0.0).alias("inclusion_prob"),
+            F.lit(0.0).alias("ht_weight"),
+        ).limit(0)
+    top = [
+        r[0]
+        for r in df.select(F.col(weight_col).cast("double"))
+        .orderBy(F.desc(weight_col))
+        .limit(k + 1)
+        .collect()
+    ]
+    n_rows_hint = len(top)
+    if n_rows_hint <= k:
+        tau = 0.0  # k >= n: exact mode, keep everything at its true weight
+    else:
+        tau = _pps_threshold(np.array(top), float(total), k)
+    w = F.col(weight_col).cast("double")
+    if tau <= 0.0:
+        return df.select(
+            F.col(item_col).alias("item"),
+            w.alias("weight"),
+            F.lit(1.0).alias("inclusion_prob"),
+            w.alias("ht_weight"),
+        )
+    # deterministic uniform in [0, 1): top 53 bits of xxhash64(item, seed)
+    u = (
+        F.shiftrightunsigned(F.xxhash64(F.col(item_col), F.lit(seed)), 11)
+        .cast("double")
+        / F.lit(float(1 << 53))
+    )
+    pi = F.least(F.lit(1.0), w / F.lit(tau))
+    return (
+        df.where(u < pi)
+        .select(
+            F.col(item_col).alias("item"),
+            w.alias("weight"),
+            pi.alias("inclusion_prob"),
+            F.greatest(w, F.lit(tau)).alias("ht_weight"),
+        )
+    )

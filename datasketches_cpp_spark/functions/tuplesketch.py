@@ -89,8 +89,11 @@ def tuple_sketch_agg(
     schema = f"{prefix}theta long, sig array<long>, summaries array<double>"
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-group accumulated (hash → summary) frames, folded per batch
-        acc: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        # per-group (theta, hash → summary) state, folded per batch and
+        # amortized-trimmed at 2k (the reference's lazy-rebuild discipline,
+        # theta_update_sketch_base.hpp:66-68) so partial state stays O(k)
+        # per group instead of growing with distinct keys seen
+        acc: dict[tuple, tuple[int, np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             pdf = pdf[pdf[key_col].notna()]
             if len(pdf) == 0:
@@ -106,16 +109,22 @@ def tuple_sketch_agg(
                 key = key if isinstance(key, tuple) else (key,)
                 h, s = _fold(hashes_all[idx], vals_all[idx], policy)
                 if key in acc:
-                    ph, ps = acc[key]
+                    ptheta, ph, ps = acc[key]
+                    keep = h < np.uint64(ptheta)
                     h2, s2 = _fold(
-                        np.concatenate([ph, h]), np.concatenate([ps, s]), policy
+                        np.concatenate([ph, h[keep]]),
+                        np.concatenate([ps, s[keep]]),
+                        policy,
                     )
-                    acc[key] = (h2, s2)
+                    theta = ptheta
                 else:
-                    acc[key] = (h, s)
+                    theta, h2, s2 = MAX_THETA, h, s
+                if len(h2) > 2 * k:
+                    theta, h2, s2 = _cut(h2, s2, theta, k)
+                acc[key] = (theta, h2, s2)
         rows = []
-        for key, (h, s) in acc.items():
-            theta, h, s = _cut(h, s, MAX_THETA, k)
+        for key, (theta, h, s) in acc.items():
+            theta, h, s = _cut(h, s, theta, k)
             r = {c: key[i] for i, c in enumerate(group_cols)}
             r["theta"] = -1 if theta >= MAX_THETA else theta
             r["sig"] = h.astype(np.int64)
@@ -184,3 +193,139 @@ def filtered_key_estimate(
     frac = F.col("theta").cast("double") / F.lit(float(MAX_THETA))
     est = F.when(F.col("theta") < 0, passing).otherwise(passing / frac)
     return sketch_df.withColumn(out_col, est)
+
+
+def _combine_summaries(sa: np.ndarray, sb: np.ndarray, policy: str) -> np.ndarray:
+    """Summary-combine for entries present in BOTH sketches — the Policy of
+    the reference's tuple set-ops (tuple/include/tuple_union.hpp:40+:
+    union applies the policy when a key exists on both sides)."""
+    if policy == "sum":
+        return sa + sb
+    if policy == "max":
+        return np.maximum(sa, sb)
+    if policy == "min":
+        return np.minimum(sa, sb)
+    if policy == "one":
+        return np.ones_like(sa)
+    raise ValueError(f"unknown policy {policy!r}")
+
+
+_TUPLE_SETOP_SCHEMA = (
+    "key string, theta long, "
+    "est_a double, est_b double, est_union double, "
+    "est_intersection double, est_a_not_b double, "
+    "sum_a double, sum_b double, sum_union double, "
+    "sum_intersection double, sum_a_not_b double"
+)
+
+
+def tuple_pair_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: list[str],
+    k: int,
+    policy: str = "sum",
+) -> DataFrame:
+    """Tuple-sketch union / intersection / a-not-b with summary combine,
+    per join key — reference tuple_union.hpp:40+, tuple_intersection.hpp,
+    tuple_a_not_b.hpp:39, with the engagement-analytics policy semantics of
+    tuple/test/engagement_test.cpp:28-70 (union keyed summaries across
+    epochs/tables).
+
+    Inputs are keyed outputs of ``tuple_sketch_agg`` (same seed + lg_k on
+    both sides, like the reference's seed-hash check). Emits per key both
+    distinct-key estimates (est_*) and summary-sum estimates (sum_*) for
+    each set op: a key in both sides contributes policy(sum_a, sum_b) to
+    the union / intersection summaries; a-not-b keeps A's summaries.
+    Missing side = empty sketch. Exact when both sides are exact-mode."""
+    join_cols = key_cols or ["_k"]
+    a = df_a.select(
+        *key_cols,
+        F.col("theta").alias("theta_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("summaries").alias("sum_col_a"),
+    )
+    b = df_b.select(
+        *key_cols,
+        F.col("theta").alias("theta_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("summaries").alias("sum_col_b"),
+    )
+    if not key_cols:  # global (one-row) sketches: constant join key
+        a = a.withColumn("_k", F.lit(1))
+        b = b.withColumn("_k", F.lit(1))
+    joined = a.join(b, join_cols, "full_outer")
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():
+            def mk(theta_enc, sig, summ):
+                if sig is None or (isinstance(sig, float) and pd.isna(sig)):
+                    return MAX_THETA, np.empty(0, np.uint64), np.empty(0, np.float64)
+                t = MAX_THETA if int(theta_enc) < 0 else int(theta_enc)
+                h = np.asarray(sig, np.int64).view(np.uint64)
+                return t, h, np.asarray(summ, np.float64)
+
+            ta, ha, sa = mk(r.get("theta_a") if pd.notna(r.get("theta_a", np.nan)) else -1, r.get("sig_a"), r.get("sum_col_a"))
+            tb, hb, sb = mk(r.get("theta_b") if pd.notna(r.get("theta_b", np.nan)) else -1, r.get("sig_b"), r.get("sum_col_b"))
+            theta = min(ta, tb)
+            # screen both to < min theta (sigs are sorted ascending)
+            ca = int(np.searchsorted(ha, np.uint64(theta)))
+            cb = int(np.searchsorted(hb, np.uint64(theta)))
+            ha, sa_s = ha[:ca], sa[:ca]
+            hb, sb_s = hb[:cb], sb[:cb]
+
+            common, ia, ib = np.intersect1d(ha, hb, assume_unique=True, return_indices=True)
+            only_a = np.setdiff1d(ha, common, assume_unique=True)
+            only_b = np.setdiff1d(hb, common, assume_unique=True)
+            mask_a_only = np.ones(len(ha), bool); mask_a_only[ia] = False
+            mask_b_only = np.ones(len(hb), bool); mask_b_only[ib] = False
+
+            u_h = np.concatenate([common, only_a, only_b])
+            u_s = np.concatenate([
+                _combine_summaries(sa_s[ia], sb_s[ib], policy),
+                sa_s[mask_a_only],
+                sb_s[mask_b_only],
+            ])
+            order = np.argsort(u_h, kind="stable")
+            u_h, u_s = u_h[order], u_s[order]
+            if len(u_h) > k:  # union re-trim, lowering theta (min-theta merge law)
+                theta = int(u_h[k])
+                u_h, u_s = u_h[:k], u_s[:k]
+                ca = int(np.searchsorted(ha, np.uint64(theta)))
+                cb = int(np.searchsorted(hb, np.uint64(theta)))
+                ha, sa_s = ha[:ca], sa[:ca]
+                hb, sb_s = hb[:cb], sb[:cb]
+                common, ia, ib = np.intersect1d(ha, hb, assume_unique=True, return_indices=True)
+                mask_a_only = np.ones(len(ha), bool); mask_a_only[ia] = False
+
+            i_s = _combine_summaries(sa_s[ia], sb_s[ib], policy)
+            anb_h, anb_s = ha[mask_a_only], sa_s[mask_a_only]
+
+            frac = theta / float(MAX_THETA)
+            def est(n):
+                return float(n) / frac
+            def ssum(arr):
+                return float(arr.sum()) / frac
+
+            out.append({
+                "key": "|".join(str(r[c]) for c in key_cols),
+                "theta": -1 if theta >= MAX_THETA else theta,
+                "est_a": est(len(ha)), "est_b": est(len(hb)),
+                "est_union": est(len(u_h)),
+                "est_intersection": est(len(common)),
+                "est_a_not_b": est(len(anb_h)),
+                "sum_a": ssum(sa_s), "sum_b": ssum(sb_s),
+                "sum_union": ssum(u_s),
+                "sum_intersection": ssum(i_s),
+                "sum_a_not_b": ssum(anb_s),
+            })
+        return pd.DataFrame(out)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield compute(pdf)
+
+    return joined.mapInPandas(run, _TUPLE_SETOP_SCHEMA)

@@ -206,9 +206,12 @@ def hash63_bytes_scalar(data: bytes, seed: int = DEFAULT_SEED) -> int:
 
 def seed_hash(seed: int = DEFAULT_SEED) -> int:
     """16-bit seed fingerprint, the reference's cross-sketch compatibility
-    check (MurmurHash3 of the seed itself; mismatch must fail fast —
-    theta_union_base_impl.hpp:41-42). We stamp it into checkpoint manifests."""
-    h = murmur3_x64_128_scalar(int(seed).to_bytes(8, "little"), seed)[0]
+    check (MurmurHash3 of the 8-byte LE seed hashed WITH SEED 0 —
+    compute_seed_hash, MurmurHash3.h:171-175; mismatch must fail fast,
+    theta_union_base_impl.hpp:41-42). Byte-compatible with Java/C++
+    datasketches so serialized sketches interoperate. Also stamped into
+    checkpoint manifests."""
+    h = murmur3_x64_128_scalar(int(seed).to_bytes(8, "little"), 0)[0]
     return h & 0xFFFF
 
 

@@ -76,15 +76,21 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 40, min_rounds: int = 3
+    edges: DataFrame, max_iter: int = 40, min_rounds: int = 3, check_every: int = 2
 ) -> DataFrame:
     """Edge list (a, b) → assignments (id, cluster_id) where cluster_id is
     the component's minimum node id. Nodes absent from the edge list are
     the caller's to add back (singletons keep their own id).
 
-    Convergence checks (a blocking driver collect each) start only after
-    ``min_rounds`` — any graph with a path of length > 2 needs multiple
-    rounds, so early checks are pure latency."""
+    Driver-barrier economy: every round gets a LAZY localCheckpoint (cuts
+    lineage when materialized), but the blocking convergence checksum runs
+    only every ``check_every`` rounds after ``min_rounds`` — so one driver
+    round-trip executes ``check_every`` rounds of DataFrame algebra as one
+    job. The fixpoint is detected at worst ``check_every - 1`` rounds late;
+    extra rounds on a converged (tiny, star-shaped) edge set cost far less
+    than the saved cluster-wide barriers. Any graph with a path of length
+    > 2 needs multiple rounds, so checks before ``min_rounds`` are pure
+    latency."""
     cur = _canonical(edges).localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
     if prev_sig[0] == 0:
@@ -94,8 +100,9 @@ def connected_components(
             ).schema,
         )
     for rnd in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        if rnd + 1 < min_rounds:
+        eager = (rnd + 1 >= min_rounds) and ((rnd + 1 - min_rounds) % check_every == 0)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        if not eager:
             continue
         sig = _checksum(cur)
         if sig == prev_sig:

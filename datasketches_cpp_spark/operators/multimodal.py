@@ -5,9 +5,11 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 partitioning, vectorized UDF signatures. The codec calls are STUBBED
 (`fmt='raw'` identity only) because this container ships no image/audio
 libraries; swapping in a real decoder is a one-function change per modality
-(the seam is `sources.images.decode_image`).
+(the seam is `_decode_block` / `sources.images.decode_image`).
 
-Operators (all `mapInPandas`, zero per-row Python):
+Operators (all `mapInPandas`, zero per-row Python — rows are grouped by
+(w, h, fmt) inside each Arrow batch and each uniform group is decoded and
+processed as ONE (m, h*w*3) ndarray, the phash64_batch idiom):
   decode_stats     decode → per-image pixel statistics (mean/std/extrema)
   resize_images    decode → nearest-neighbor resize → re-encoded raw bytes
   image_features   decode → compact feature vector (block means — the same
@@ -15,7 +17,8 @@ Operators (all `mapInPandas`, zero per-row Python):
   sample_frames    video bytes → every k-th frame as image rows (raw video
                    = concatenated raw frames; real containers are stubbed)
   audio_features   audio bytes → windowed RMS/zero-crossing features (raw
-                   PCM16; compressed codecs stubbed)
+                   PCM16; compressed codecs stubbed), grouped by buffer
+                   length so uniform clips process as one 2-D array
 
 Scale notes: each operator is a narrow stage (no shuffle) over the binary
 column; output drops the payload bytes unless explicitly re-encoded, so
@@ -32,7 +35,25 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..sources.images import decode_image
+
+def _decode_block(bufs: list, w: int, h: int, fmt: str) -> np.ndarray:
+    """Uniform-shape group decode: list of raw buffers → (m, h*w*3) uint8.
+    One C-level join+frombuffer, no per-row ndarray churn. The codec seam:
+    a real decoder replaces the fmt=='raw' branch per format."""
+    if fmt != "raw":
+        raise NotImplementedError(
+            f"decode for fmt={fmt!r} requires an image codec not present in "
+            "this environment; only fmt='raw' is supported here"
+        )
+    sz = w * h * 3
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return flat.reshape(len(bufs), sz)
+
+
+def _shape_groups(pdf: pd.DataFrame):
+    """Yield (idx, w, h, fmt) per uniform (w, h, fmt) group of the batch."""
+    for (w, h, fmt), idx in pdf.groupby(["w", "h", "fmt"], sort=False).indices.items():
+        yield np.asarray(idx), int(w), int(h), str(fmt)
 
 
 def decode_stats(
@@ -50,22 +71,23 @@ def decode_stats(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                px = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
-                out.append(
+            if len(pdf) == 0:
+                continue
+            for idx, w, h, fmt in _shape_groups(pdf):
+                px = _decode_block(pdf["bytes"].iloc[idx].tolist(), w, h, fmt)
+                pxf = px.astype(np.float64)
+                yield pd.DataFrame(
                     {
-                        "id": r[id_col],
-                        "w": int(r["w"]),
-                        "h": int(r["h"]),
-                        "n_pixels": len(px),
-                        "px_mean": float(px.mean()) if len(px) else 0.0,
-                        "px_std": float(px.std()) if len(px) else 0.0,
-                        "px_min": int(px.min()) if len(px) else 0,
-                        "px_max": int(px.max()) if len(px) else 0,
+                        "id": pdf[id_col].iloc[idx].to_numpy(),
+                        "w": np.int32(w),
+                        "h": np.int32(h),
+                        "n_pixels": np.full(len(idx), px.shape[1], np.int64),
+                        "px_mean": pxf.mean(axis=1),
+                        "px_std": pxf.std(axis=1),
+                        "px_min": px.min(axis=1).astype(np.int32),
+                        "px_max": px.max(axis=1).astype(np.int32),
                     }
                 )
-            yield pd.DataFrame(out)
 
     return images.select(cols).mapInPandas(run, schema)
 
@@ -83,26 +105,26 @@ def resize_images(
     cols = [id_col, "bytes", "w", "h", "fmt"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None
         for pdf in batches:
-            out_bytes = []
-            for _, r in pdf.iterrows():
-                px = decode_image(r["bytes"], r["w"], r["h"], r["fmt"]).reshape(
-                    r["h"], r["w"], 3
+            if len(pdf) == 0:
+                continue
+            for idx, w, h, fmt in _shape_groups(pdf):
+                px = _decode_block(pdf["bytes"].iloc[idx].tolist(), w, h, fmt)
+                m = len(idx)
+                # per-group index grids (computed once), one fancy gather
+                yi = (np.arange(out_h) * h // out_h).astype(np.intp)
+                xi = (np.arange(out_w) * w // out_w).astype(np.intp)
+                resized = px.reshape(m, h, w, 3)[:, yi][:, :, xi]
+                resized = np.ascontiguousarray(resized).reshape(m, -1)
+                yield pd.DataFrame(
+                    {
+                        "image_id": pdf[id_col].iloc[idx].to_numpy(),
+                        "bytes": [row.tobytes() for row in resized],
+                        "w": np.int32(out_w),
+                        "h": np.int32(out_h),
+                        "fmt": "raw",
+                    }
                 )
-                yi = (np.arange(out_h) * r["h"] // out_h).astype(np.intp)
-                xi = (np.arange(out_w) * r["w"] // out_w).astype(np.intp)
-                out_bytes.append(px[yi][:, xi].tobytes())
-            yield pd.DataFrame(
-                {
-                    "image_id": pdf[id_col],
-                    "bytes": out_bytes,
-                    "w": out_w,
-                    "h": out_h,
-                    "fmt": "raw",
-                }
-            )
-        _ = ys
 
     return images.select(cols).mapInPandas(run, schema)
 
@@ -121,18 +143,28 @@ def image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, feats = [], []
-            for _, r in pdf.iterrows():
-                px = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
-                gray = px.reshape(r["h"], r["w"], 3).mean(axis=2)
-                bh, bw = max(r["h"] // grid, 1), max(r["w"] // grid, 1)
-                blocks = gray[: bh * grid, : bw * grid].reshape(
-                    grid, bh, grid, bw
-                ).mean(axis=(1, 3)).ravel()
-                norm = np.linalg.norm(blocks)
-                ids.append(r[id_col])
-                feats.append((blocks / norm if norm > 0 else blocks).astype(np.float32))
-            yield pd.DataFrame({"id": ids, "features": feats})
+            if len(pdf) == 0:
+                continue
+            for idx, w, h, fmt in _shape_groups(pdf):
+                px = _decode_block(pdf["bytes"].iloc[idx].tolist(), w, h, fmt)
+                m = len(idx)
+                gray = px.reshape(m, h, w, 3).mean(axis=3)
+                bh, bw = max(h // grid, 1), max(w // grid, 1)
+                blocks = (
+                    gray[:, : bh * grid, : bw * grid]
+                    .reshape(m, grid, bh, grid, bw)
+                    .mean(axis=(2, 4))
+                    .reshape(m, grid * grid)
+                )
+                norms = np.linalg.norm(blocks, axis=1, keepdims=True)
+                np.divide(blocks, norms, out=blocks, where=norms > 0)
+                feats = blocks.astype(np.float32)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].iloc[idx].to_numpy(),
+                        "features": list(feats),
+                    }
+                )
 
     return images.select(cols).mapInPandas(run, schema)
 
@@ -145,36 +177,47 @@ def sample_frames(
     """(video_id, frame_idx, bytes, w, h, fmt) — every k-th frame.
     fmt='rawv' means concatenated raw RGB frames (n_frames × h × w × 3);
     container formats (mp4 etc.) raise NotImplementedError at the decode
-    seam, exactly like image codecs."""
+    seam, exactly like image codecs. Frame extraction is one buffer slice
+    per emitted frame (inherently per-output-row: each frame is its own
+    binary payload)."""
     schema = f"{id_col} string, frame_idx int, bytes binary, w int, h int, fmt string"
     cols = [id_col, "bytes", "w", "h", "fmt"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                if r["fmt"] != "rawv":
-                    raise NotImplementedError(
-                        f"video decode for fmt={r['fmt']!r} requires a codec "
-                        "not present in this environment; only fmt='rawv' "
-                        "(concatenated raw frames) is supported here"
-                    )
-                frame_sz = int(r["w"]) * int(r["h"]) * 3
-                buf = r["bytes"]
+            if len(pdf) == 0:
+                continue
+            bad = pdf.loc[pdf["fmt"] != "rawv", "fmt"]
+            if len(bad):
+                raise NotImplementedError(
+                    f"video decode for fmt={bad.iloc[0]!r} requires a codec "
+                    "not present in this environment; only fmt='rawv' "
+                    "(concatenated raw frames) is supported here"
+                )
+            ids_out, fidx_out, bytes_out, w_out, h_out = [], [], [], [], []
+            for rid, buf, w, h in zip(
+                pdf[id_col].to_numpy(),
+                pdf["bytes"].to_numpy(),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+            ):
+                frame_sz = int(w) * int(h) * 3
                 n_frames = len(buf) // frame_sz
                 for fi in range(0, n_frames, every_k):
-                    out.append(
-                        {
-                            id_col: r[id_col],
-                            "frame_idx": fi,
-                            "bytes": buf[fi * frame_sz : (fi + 1) * frame_sz],
-                            "w": int(r["w"]),
-                            "h": int(r["h"]),
-                            "fmt": "raw",
-                        }
-                    )
+                    ids_out.append(rid)
+                    fidx_out.append(fi)
+                    bytes_out.append(buf[fi * frame_sz : (fi + 1) * frame_sz])
+                    w_out.append(int(w))
+                    h_out.append(int(h))
             yield pd.DataFrame(
-                out, columns=[id_col, "frame_idx", "bytes", "w", "h", "fmt"]
+                {
+                    id_col: pd.Series(ids_out, dtype=object),
+                    "frame_idx": pd.Series(fidx_out, dtype=np.int32),
+                    "bytes": pd.Series(bytes_out, dtype=object),
+                    "w": pd.Series(w_out, dtype=np.int32),
+                    "h": pd.Series(h_out, dtype=np.int32),
+                    "fmt": pd.Series(["raw"] * len(ids_out), dtype=object),
+                }
             )
 
     return videos.select(cols).mapInPandas(run, schema)
@@ -186,40 +229,53 @@ def audio_features(
     id_col: str = "audio_id",
 ) -> DataFrame:
     """(audio_id, n_windows, rms array<float>, zero_crossings array<int>)
-    over raw PCM16 mono ('pcm16'); compressed codecs raise at the seam."""
+    over raw PCM16 mono ('pcm16'); compressed codecs raise at the seam.
+    Clips are grouped by buffer length so each uniform group reshapes into
+    one (m, n_windows, window) array — no per-clip numpy calls."""
     schema = f"{id_col} string, n_windows int, rms array<float>, zero_crossings array<int>"
     cols = [id_col, "bytes", "fmt"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                if r["fmt"] != "pcm16":
-                    raise NotImplementedError(
-                        f"audio decode for fmt={r['fmt']!r} requires a codec "
-                        "not present in this environment; only fmt='pcm16' "
-                        "is supported here"
-                    )
-                pcm = np.frombuffer(r["bytes"], dtype="<i2").astype(np.float32)
-                n = len(pcm) // window
+            if len(pdf) == 0:
+                continue
+            bad = pdf.loc[pdf["fmt"] != "pcm16", "fmt"]
+            if len(bad):
+                raise NotImplementedError(
+                    f"audio decode for fmt={bad.iloc[0]!r} requires a codec "
+                    "not present in this environment; only fmt='pcm16' "
+                    "is supported here"
+                )
+            lens = pdf["bytes"].map(len)
+            for blen, idx in pdf.groupby(lens, sort=False).indices.items():
+                idx = np.asarray(idx)
+                ids = pdf[id_col].iloc[idx].to_numpy()
+                n = (int(blen) // 2) // window
                 if n == 0:
-                    out.append(
-                        {id_col: r[id_col], "n_windows": 0, "rms": [], "zero_crossings": []}
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "n_windows": np.int32(0),
+                            "rms": [np.empty(0, np.float32)] * len(idx),
+                            "zero_crossings": [np.empty(0, np.int32)] * len(idx),
+                        }
                     )
                     continue
-                w = pcm[: n * window].reshape(n, window)
-                rms = np.sqrt((w ** 2).mean(axis=1)) / 32768.0
-                zc = (np.diff(np.signbit(w), axis=1) != 0).sum(axis=1)
-                out.append(
+                pcm = np.frombuffer(
+                    b"".join(pdf["bytes"].iloc[idx].tolist()), dtype="<i2"
+                ).astype(np.float32)
+                wnd = pcm.reshape(len(idx), -1)[:, : n * window].reshape(
+                    len(idx), n, window
+                )
+                rms = np.sqrt((wnd ** 2).mean(axis=2)) / 32768.0
+                zc = (np.diff(np.signbit(wnd), axis=2) != 0).sum(axis=2)
+                yield pd.DataFrame(
                     {
-                        id_col: r[id_col],
-                        "n_windows": n,
-                        "rms": rms.astype(np.float32),
-                        "zero_crossings": zc.astype(np.int32),
+                        id_col: ids,
+                        "n_windows": np.int32(n),
+                        "rms": list(rms.astype(np.float32)),
+                        "zero_crossings": list(zc.astype(np.int32)),
                     }
                 )
-            yield pd.DataFrame(
-                out, columns=[id_col, "n_windows", "rms", "zero_crossings"]
-            )
 
     return audio.select(cols).mapInPandas(run, schema)

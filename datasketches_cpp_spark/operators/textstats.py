@@ -123,15 +123,24 @@ def exact_ngram_jaccard_pairs(
     text_col: str,
     threshold: float,
     w: int = 1,
+    max_posting_list: int = 1024,
 ) -> DataFrame:
-    """EXACT token w-gram-set Jaccard over all pairs sharing ≥1 gram — the
+    """Token w-gram-set Jaccard over all pairs sharing ≥1 gram — the
     inverted-index join the MinHash lane approximates, fully JVM-side:
 
-        w-grams → explode+distinct → self-join on gram (map-side combined
-        counts) → |A∩B| per pair → filter J ≥ threshold.
+        w-grams → explode+distinct → cap hot posting lists → self-join on
+        gram → |A∩B| per pair → filter J ≥ threshold.
 
-    Cost is Σ|posting list|² — fine when grams are discriminative (w ≥ 2)
-    or the vocabulary is bounded; the MinHash+LSH lane is the scale path.
+    Skew contract (part of the operator's semantics, mirrored verbatim in
+    the DuckDB oracle): each gram's posting list is capped at
+    ``max_posting_list`` ids, deterministically (smallest ids kept, via a
+    windowed rank — spills instead of materializing a hot list). Without
+    the cap one stop-word-grade gram at 100× corpus scale produces a
+    Σ|posting|² pair explosion. Consequences: intersection counts use
+    capped postings (set sizes stay uncapped), so a pair sharing ONLY
+    hyper-hot grams past the cap can be missed — those pairs are the
+    MinHash+LSH lane's job. ``max_posting_list=None`` disables the cap
+    (oracle/small-corpus use).
     Returns (a, b, jaccard)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     if w == 1:
@@ -154,6 +163,15 @@ def exact_ngram_jaccard_pairs(
         ).where(F.col("t") != "")
     tok = base.distinct()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if max_posting_list is not None:
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("t").orderBy("id")
+        tok = (
+            tok.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") <= max_posting_list)
+            .drop("rn")
+        )
     inter = (
         tok.alias("x")
         .join(tok.alias("y"), "t")

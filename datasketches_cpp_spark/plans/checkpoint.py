@@ -10,8 +10,13 @@ a different config MUST fail fast, never silently mix signatures built with
 different seeds/shingles (that would corrupt Jaccard estimates the same way
 mixing seeds corrupts a theta union).
 
-Layout (one root per pipeline run; local path or any Hadoop-FS URI — on a
-real cluster this is an object-store prefix or an Iceberg table location):
+Layout (one root per pipeline run). Contract: the root must be a LOCAL
+filesystem path — manifest/lineage bookkeeping uses os/shutil primitives.
+On a real cluster the same layout maps to an object-store prefix or an
+Iceberg table location, but that requires routing the manifest I/O through
+the Hadoop FileSystem API (a deliberate non-goal in this sandbox; the
+parquet data writes themselves already go through Spark and would work on
+any URI):
 
     <root>/<stage>/data/...parquet        the stage output snapshot
     <root>/<stage>/_MANIFEST.json         fingerprint + per-partition lineage
@@ -141,14 +146,24 @@ class StageCheckpointer:
         return self.load_manifest(stage) is not None
 
     # -- write / read ----------------------------------------------------------
-    def write(self, stage: str, df: DataFrame) -> DataFrame:
+    def write(self, stage: str, df: DataFrame, observe: dict | None = None) -> DataFrame:
         """Commit a stage snapshot + manifest; returns the re-read DataFrame
         (reading back cuts lineage and makes downstream stages consume the
-        exact committed bytes, like wrapping a serialized sketch)."""
+        exact committed bytes, like wrapping a serialized sketch).
+
+        ``observe`` = {name: aggregate Column}: in-query counters riding the
+        write job itself via ``Observation`` (SURVEY §2B S10) — zero extra
+        actions, recorded under manifest['observed'] and in the lineage log."""
         t0 = time.time()
         data_dir = self._data_dir(stage)
         if os.path.exists(data_dir):
             shutil.rmtree(data_dir)  # partial previous attempt
+        obs = None
+        if observe:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"{stage}_metrics")
+            df = df.observe(obs, *[expr.alias(name) for name, expr in observe.items()])
         df.write.mode("overwrite").parquet(data_dir)
 
         parts = _partition_lineage(data_dir)
@@ -164,6 +179,7 @@ class StageCheckpointer:
             "partitions": parts,
             "wall_sec": round(time.time() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "observed": obs.get if obs is not None else None,
         }
         tmp = self._manifest_path(stage) + ".tmp"
         with open(tmp, "w") as f:
@@ -179,13 +195,18 @@ class StageCheckpointer:
         self._log(stage, "resume", m)
         return self.spark.read.parquet(self._data_dir(stage))
 
-    def run_stage(self, stage: str, fn: Callable[[], DataFrame]) -> DataFrame:
+    def run_stage(
+        self,
+        stage: str,
+        fn: Callable[[], DataFrame],
+        observe: dict | None = None,
+    ) -> DataFrame:
         """Idempotent stage entry: committed → read the snapshot (fn NOT
         invoked); else compute, commit, return. This is what makes the whole
         pipeline resumable from any stage boundary."""
         if self.is_complete(stage):
             return self.read(stage)
-        return self.write(stage, fn())
+        return self.write(stage, fn(), observe=observe)
 
     # -- metrics ------------------------------------------------------------
     def _log(self, stage: str, event: str, manifest: dict) -> None:

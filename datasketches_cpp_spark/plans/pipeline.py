@@ -70,9 +70,17 @@ def dedup_images_resumable(
         spark, ckpt_root, run_fingerprint(cfg, bytes_cfg, byte_stride)
     )
 
+    # in-query counters (Observation) ride each stage's write job — no
+    # extra actions (SURVEY §2B S10); approx_count_distinct doubles as the
+    # sketch-metrics example the reference motivates (#16)
+    sig_obs = {
+        "rows": F.count(F.lit(1)),
+        "empty_sigs": F.sum((F.col("n_shingles") == 0).cast("long")),
+    }
     cap_sig = ck.run_stage(
         "caption_sig",
         lambda: compute_signatures(images, "image_id", "caption", cfg, kind="text"),
+        observe=sig_obs,
     )
     byt_sig = ck.run_stage(
         "bytes_sig",
@@ -80,6 +88,7 @@ def dedup_images_resumable(
             images, "image_id", "bytes", bytes_cfg, kind="binary",
             byte_stride=byte_stride,
         ),
+        observe=sig_obs,
     )
 
     def _edges() -> DataFrame:
@@ -100,10 +109,14 @@ def dedup_images_resumable(
         )
         return edges
 
-    edges = ck.run_stage("edges", _edges)
+    edges = ck.run_stage("edges", _edges, observe={"rows": F.count(F.lit(1))})
 
     assignments = ck.run_stage(
         "assignments",
         lambda: assign_clusters(images.select(F.col("image_id").alias("id")), edges),
+        observe={
+            "rows": F.count(F.lit(1)),
+            "clusters_approx": F.approx_count_distinct("cluster_id"),
+        },
     )
     return {"assignments": assignments, "edges": edges, "checkpointer": ck}

@@ -79,12 +79,32 @@ class IncrementalDeduper:
 
     def _exists(self, name: str) -> bool:
         p = self._p(name)
-        return os.path.exists(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        )
+        if not os.path.exists(p):
+            return False
+        for _, _, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def _read(self, name: str) -> DataFrame | None:
-        return self.spark.read.parquet(self._p(name)) if self._exists(name) else None
+        if not self._exists(name):
+            return None
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self._p(name))
+        )
+
+    # -- epoch-atomic store writes --------------------------------------------
+    # foreachBatch is at-least-once: a crash AFTER a store write but BEFORE
+    # _mark_epoch replays the whole epoch. Appending on replay would
+    # double-count signatures/ids/edges, silently inflating assignments.
+    # Every store write therefore lands in an epoch-tagged subdirectory with
+    # overwrite semantics: replaying epoch e rewrites exactly epoch e's
+    # data, and _mark_epoch (atomic rename) is the commit point.
+    def _write_epoch(self, name: str, df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            self._p(os.path.join(name, f"epoch_{epoch_id:012d}"))
+        )
 
     def _epoch_done(self, epoch_id: int) -> bool:
         p = self._p("epochs.json")
@@ -107,12 +127,18 @@ class IncrementalDeduper:
 
     # -- lane helpers ----------------------------------------------------------
     def _lane_pairs(
-        self, sig_new: DataFrame, store_name: str, cfg: SigConfig, use_simhash: bool
+        self,
+        sig_new: DataFrame,
+        store_name: str,
+        cfg: SigConfig,
+        use_simhash: bool,
+        epoch_id: int,
     ) -> DataFrame:
-        """Append new sigs to the lane store, join new bands against the
-        full band index, verify. Returns passed (a, b) edges."""
-        sig_new.write.mode("append").parquet(self._p(store_name))
-        sig_all = self.spark.read.parquet(self._p(store_name))
+        """Write new sigs into the lane store's epoch slot (idempotent on
+        replay), join new bands against the full band index, verify.
+        Returns passed (a, b) edges."""
+        self._write_epoch(store_name, sig_new, epoch_id)
+        sig_all = self._read(store_name)
 
         def bands_of(df: DataFrame) -> DataFrame:
             return df.where(F.col("n_shingles") > 0).select(
@@ -160,7 +186,9 @@ class IncrementalDeduper:
                 batch_df, "image_id", "caption", self.cfg, kind="text"
             )
             edges_parts.append(
-                self._lane_pairs(sig, "sig_caption", self.cfg, use_simhash=True)
+                self._lane_pairs(
+                    sig, "sig_caption", self.cfg, use_simhash=True, epoch_id=epoch_id
+                )
             )
         if "bytes" in self.enable_lanes:
             sig = compute_signatures(
@@ -168,30 +196,33 @@ class IncrementalDeduper:
                 kind="binary", byte_stride=self.byte_stride,
             )
             edges_parts.append(
-                self._lane_pairs(sig, "sig_bytes", self.bytes_cfg, use_simhash=False)
+                self._lane_pairs(
+                    sig, "sig_bytes", self.bytes_cfg, use_simhash=False,
+                    epoch_id=epoch_id,
+                )
             )
         if "phash" in self.enable_lanes:
-            edges_parts.append(self._phash_lane(batch_df))
+            edges_parts.append(self._phash_lane(batch_df, epoch_id))
 
         ids_new = batch_df.select(F.col("image_id").alias("id"))
-        ids_new.write.mode("append").parquet(self._p("ids"))
+        self._write_epoch("ids", ids_new, epoch_id)
 
         new_edges = edges_parts[0]
         for e in edges_parts[1:]:
             new_edges = new_edges.union(e)
         new_edges = new_edges.dropDuplicates(["a", "b"])
-        new_edges.write.mode("append").parquet(self._p("edges"))
+        self._write_epoch("edges", new_edges, epoch_id)
 
         # publish assignments over everything seen so far
-        all_ids = self.spark.read.parquet(self._p("ids"))
-        all_edges = self.spark.read.parquet(self._p("edges"))
+        all_ids = self._read("ids")
+        all_edges = self._read("edges")
         assignments = assign_clusters(all_ids, all_edges)
         assignments.write.mode("overwrite").parquet(self._p("assignments"))
         self._mark_epoch(
             epoch_id, {"rows": n, "wall_sec": round(time.time() - t0, 3)}
         )
 
-    def _phash_lane(self, batch_df: DataFrame) -> DataFrame:
+    def _phash_lane(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
         """Streaming pHash lane: slice-combo keys of the new batch join the
         accumulated pHash store; verify with bit_count."""
         from ..operators.imagededup import phash_combo_keys_expr
@@ -203,10 +234,8 @@ class IncrementalDeduper:
                 F.posexplode(arr).alias("band_idx", "band_hash"),
             )
 
-        batch_df.select("image_id", "phash").write.mode("append").parquet(
-            self._p("phash")
-        )
-        store = self.spark.read.parquet(self._p("phash"))
+        self._write_epoch("phash", batch_df.select("image_id", "phash"), epoch_id)
+        store = self._read("phash")
         new_k = keys(batch_df.select("image_id", "phash"), "new_id")
         all_k = keys(store, "id")
         cand = (

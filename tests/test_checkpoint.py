@@ -162,3 +162,31 @@ def test_pipeline_resume_rejects_config_change(spark, images_df, tmp_path):
     )
     with pytest.raises(CheckpointConfigMismatch):
         dedup_images_resumable(spark, images_df, root, other, BYTES_CFG)
+
+
+def test_observed_metrics_in_manifest(spark, tmp_path):
+    """S10 in-query counters: Observation rides the stage's write job and
+    lands in the manifest + lineage — no extra Spark action."""
+    import pyspark.sql.functions as F
+
+    from datasketches_cpp_spark.plans.checkpoint import StageCheckpointer
+
+    ck = StageCheckpointer(spark, str(tmp_path / "ck"), "fp-observe")
+    df = spark.range(100).withColumn("g", F.col("id") % 7)
+    ck.run_stage(
+        "obs_stage",
+        lambda: df,
+        observe={
+            "rows": F.count(F.lit(1)),
+            "groups_approx": F.approx_count_distinct("g"),
+            "id_sum": F.sum("id"),
+        },
+    )
+    m = ck.load_manifest("obs_stage")
+    assert m["observed"]["rows"] == 100
+    assert m["observed"]["id_sum"] == 4950
+    assert abs(m["observed"]["groups_approx"] - 7) <= 1
+    # resume path: fn not invoked, observed metrics preserved in manifest
+    ck2 = StageCheckpointer(spark, str(tmp_path / "ck"), "fp-observe")
+    ck2.run_stage("obs_stage", lambda: (_ for _ in ()).throw(AssertionError))
+    assert ck2.load_manifest("obs_stage")["observed"]["rows"] == 100

@@ -103,3 +103,47 @@ def test_readstream_available_now(spark, corpus_pdf, tmp_path):
         "cluster_id",
     )
     assert checksum(got, "id", "cluster_id") == want
+
+
+def test_partial_epoch_replay_is_idempotent(spark, corpus_pdf, tmp_path):
+    """At-least-once crash semantics: a crash AFTER lane-store writes but
+    BEFORE the epoch commit replays the whole epoch. The replay must
+    OVERWRITE the partial epoch's store data, not append to it (the
+    round-1 gap: appends before _mark_epoch inflated assignments)."""
+    state = str(tmp_path / "state")
+    dd = IncrementalDeduper(
+        spark, state, CFG, BYTES_CFG, enable_lanes=("caption",),
+    )
+    chunk0 = spark.createDataFrame(corpus_pdf.iloc[0:100])
+    dd.process_batch(chunk0, 0)
+    want_rows = dd._read("sig_caption").count()
+    want_ids = dd._read("ids").count()
+    cs0 = checksum(dd.assignments(), "id", "cluster_id")
+
+    # simulate the crashed epoch 1: stores written, epoch NOT marked done
+    chunk1 = spark.createDataFrame(corpus_pdf.iloc[100:180])
+    from datasketches_cpp_spark.operators.minhash import compute_signatures
+
+    sig = compute_signatures(chunk1, "image_id", "caption", CFG, kind="text")
+    dd._write_epoch("sig_caption", sig, 1)
+    dd._write_epoch("ids", chunk1.select(F.col("image_id").alias("id")), 1)
+    assert not dd._epoch_done(1)
+
+    # restart: foreachBatch redelivers epoch 1 in full
+    dd2 = IncrementalDeduper(
+        spark, state, CFG, BYTES_CFG, enable_lanes=("caption",),
+    )
+    dd2.process_batch(chunk1, 1)
+    assert dd2._epoch_done(1)
+    # no duplicate signature/id rows from the partial attempt
+    assert dd2._read("sig_caption").count() == want_rows + 80
+    assert dd2._read("ids").count() == want_ids + 80
+    sig_ids = dd2._read("sig_caption").select("id")
+    assert sig_ids.distinct().count() == sig_ids.count()
+
+    # epoch 0's published state was never disturbed
+    dd3 = IncrementalDeduper(
+        spark, str(tmp_path / "state_b"), CFG, BYTES_CFG, enable_lanes=("caption",),
+    )
+    dd3.process_batch(chunk0, 0)
+    assert checksum(dd3.assignments(), "id", "cluster_id") == cs0

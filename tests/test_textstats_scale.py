@@ -1,0 +1,43 @@
+"""Skew contract of exact_ngram_jaccard_pairs: one hot gram must not
+produce a quadratic pair explosion (the round-1 scale-killer)."""
+
+import pyspark.sql.functions as F
+
+from datasketches_cpp_spark.operators.textstats import exact_ngram_jaccard_pairs
+
+
+def test_hot_gram_bounded_pair_budget(spark):
+    # 400 docs ALL sharing the hot bigram "xx yy"; every other gram unique.
+    # J(pair) = 1 / (3 + 3 - 1) = 0.2 — every pair of docs would pass 0.15.
+    docs = [(i, f"xx yy u{i} v{i}") for i in range(400)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cap = 16
+    out = exact_ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.15, w=2, max_posting_list=cap
+    ).collect()
+    # only the cap smallest ids stay in the hot posting list -> exactly
+    # C(cap, 2) pairs instead of C(400, 2) = 79800
+    assert len(out) == cap * (cap - 1) // 2
+    ids = {r["a"] for r in out} | {r["b"] for r in out}
+    assert ids == set(range(cap))  # deterministic: smallest ids kept
+    assert all(abs(r["jaccard"] - 0.2) < 1e-12 for r in out)
+
+
+def test_cap_none_is_exact(spark):
+    docs = [(i, f"xx yy u{i} v{i}") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = exact_ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.15, w=2, max_posting_list=None
+    )
+    assert out.count() == 30 * 29 // 2
+
+
+def test_cap_does_not_change_discriminative_corpus(spark):
+    # no gram is hotter than the cap -> capped == uncapped
+    docs = [(i, f"alpha{i % 7} beta{i % 7} gamma{i % 7} delta{i}") for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = exact_ngram_jaccard_pairs(df, "doc_id", "text", 0.3, w=2, max_posting_list=64)
+    exact = exact_ngram_jaccard_pairs(df, "doc_id", "text", 0.3, w=2, max_posting_list=None)
+    got = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in capped.collect()}
+    want = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in exact.collect()}
+    assert got == want and len(want) > 0
