@@ -76,6 +76,9 @@ def main() -> None:
     run("knn", lambda: entry_mod.q_knn_bruteforce(spark, sf_dir).count())
     run("substring", lambda: entry_mod.q_substring_pairs(spark, sf_dir).count())
     run("text_quality", lambda: entry_mod.q_text_quality(spark, sf_dir).count())
+    run("tdigest_tails", lambda: entry_mod.q_tdigest_price_tails(spark, sf_dir).collect())
+    run("tuple_setops", lambda: entry_mod.q_tuple_epoch_setops(spark, sf_dir).collect())
+    run("ebpps_sample", lambda: entry_mod.q_ebpps_sample_exact(spark, sf_dir).collect())
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_dedup"], 1)

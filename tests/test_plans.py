@@ -104,3 +104,34 @@ def test_events_agg_has_partial_aggregation(spark, sf_dir):
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     plan = _plan(agg)
     assert plan.count("HashAggregate") >= 2, "missing map-side partial agg"
+
+
+def test_ebpps_per_row_path_is_jvm_only(spark, sf_dir):
+    """ebpps_sample's per-row path (uniform from xxhash64, inclusion filter,
+    HT weights) must contain no Python stages — the only driver-side data is
+    k+1 doubles for tau."""
+    from datasketches_cpp_spark.functions.sampling import ebpps_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = ebpps_sample(orders, "o_orderkey", "o_totalprice", k=50)
+    plan = _plan(s)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
+                   "MapInPandas", "PythonMapInArrow", "MapInArrow"):
+        assert marker not in plan, f"python stage {marker} in ebpps plan:\n{plan}"
+    assert "xxhash64" in plan.lower()
+
+
+def test_ngram_jaccard_projects_only_needed_columns(spark, sf_dir):
+    """The capped posting join must scan only (doc_id, text) — a scan
+    reading all document columns for this 2-column operator is wrong."""
+    from datasketches_cpp_spark.operators.textstats import exact_ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = exact_ngram_jaccard_pairs(docs, "doc_id", "text", 0.5, w=2)
+    plan = _plan(q)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
