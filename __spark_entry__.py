@@ -290,12 +290,83 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL estimate (approximate → rows-only check; bounds tested in
-    tests/test_sketch_families.py)."""
+    """HLL distinct suppliers as a hash-checkable coverage contract (same
+    pattern as cpc_distinct_coverage): emit the exact count plus whether
+    the HLL ±3σ bounds (reference est/(1±n·rse), HllArray-internal.hpp)
+    cover it. The estimate itself stays pytest-gated
+    (tests/test_sketch_families.py); the oracle checks the guarantee."""
     from datasketches_cpp_spark.functions.hll import hll_distinct_agg
 
     li = _t(spark, sf_dir, "lineitem")
-    return hll_distinct_agg(li, [], "l_suppkey", lg_k=13)
+    sk = hll_distinct_agg(li, [], "l_suppkey", lg_k=13, num_std_devs=3)
+    exact = li.agg(F.countDistinct("l_suppkey").cast("long").alias("exact_distinct"))
+    return sk.crossJoin(exact).select(
+        "exact_distinct",
+        (
+            (F.col("lower_bound") <= F.col("exact_distinct"))
+            & (F.col("exact_distinct") <= F.col("upper_bound"))
+        ).alias("covered"),
+    )
+
+
+def q_req_tail_rank_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REQ sketch (functions/req.py; reference req_sketch.hpp:84-109)
+    tail-rank guarantee as a hash-checkable coverage contract: the exact
+    rank of the sketch's p99 estimate (computed exactly, Spark-side) must
+    lie inside the sketch's OWN ±3σ rank bounds
+    (req_sketch_impl.hpp:300-330 bounds re-derivation). The sketch state
+    is bounded (O(k·log n) values), so collecting it to the driver to read
+    quantile + bounds is the same bounded-driver-work discipline as IVF
+    training; the exact-rank scan stays distributed."""
+    from datasketches_cpp_spark.functions.req import ReqSketch, req_sketch_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    k, hra = 12, True
+    row = req_sketch_agg(li, [], "l_extendedprice", k=k, hra=hra).collect()[0]
+    sk = ReqSketch.from_row(k, hra, row)
+    q99 = sk.get_quantile(0.99)
+    lb, ub = sk.rank_bounds(0.99, num_std_devs=3)
+    n = sk.n
+    # exact-mode sketches return degenerate (rank, rank) bounds; the
+    # quantile is then exact, so the rank can differ from 0.99 only by the
+    # discreteness of one item
+    eps = 1.5 / max(n, 1)
+    lb, ub = min(lb, 0.99 - eps), max(ub, 0.99 + eps)
+    rank = F.sum(
+        (F.col("l_extendedprice") <= F.lit(float(q99))).cast("long")
+    ) / F.count(F.lit(1))
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        rank.between(F.lit(float(lb)), F.lit(float(ub))).alias("covered"),
+    )
+
+
+def q_cpc_distinct_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPC coupon-matrix distinct count (functions/cpc.py; reference
+    cpc_sketch.hpp:64-303, cpc_union.hpp:39-86): per-returnflag
+    distinct-orderkey estimate must cover the exact count within its ±3σ
+    envelope. Hash-checkable contract: the emitted row is
+    (flag, exact_distinct, covered) where exact_distinct is Spark's exact
+    count-distinct and covered asserts the CPC bounds contain it — the
+    oracle emits the identical row, so the hash matches iff the sketch
+    honors its published guarantee on this data."""
+    from datasketches_cpp_spark.functions.cpc import cpc_sketch_agg, with_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = with_estimate(
+        cpc_sketch_agg(li, ["l_returnflag"], "l_orderkey", lg_k=11), num_std_devs=3
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct")
+    )
+    return sk.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            (F.col("lower_bound") <= F.col("exact_distinct"))
+            & (F.col("exact_distinct") <= F.col("upper_bound"))
+        ).alias("covered"),
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "kll_quantiles": q_kll_quantiles,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
+        "cpc_distinct_coverage": q_cpc_distinct_coverage,
+        "req_tail_rank_coverage": q_req_tail_rank_coverage,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lsh_dedup_clusters": q_lsh_dedup_clusters,
         "minhash_signatures": q_minhash_signatures,
@@ -637,6 +710,19 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(l_extendedprice, 0.999), 4) AS p999_price "
             "FROM lineitem GROUP BY l_returnflag"
         ),
+        "hll_distinct_suppliers": (
+            "SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct, "
+            "TRUE AS covered FROM lineitem"
+        ),
+        "req_tail_rank_coverage": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS covered "
+            "FROM lineitem"
+        ),
+        "cpc_distinct_coverage": (
+            "SELECT l_returnflag, "
+            "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct, "
+            "TRUE AS covered FROM lineitem GROUP BY l_returnflag"
+        ),
         "lsh_exact_dup_recall": (
             # corpus doubled in the Spark query: a text group of c originals
             # becomes 2c identical docs = c*(2c-1) pairs; clustering recall
@@ -647,9 +733,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM g"
         ),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
-        # hll_distinct_suppliers, ann_lsh_topk, tdigest_price_tails:
+        # ann_lsh_topk, tdigest_price_tails:
         # intentionally no oracle — LSH banding, sketch internals, and
         # approximate estimators aren't ANSI-SQL-expressible; the driver
         # records rows-only checks for these, and their error envelopes are
-        # pytest-asserted instead (t-digest's exact twin is exact_p99_tail).
+        # pytest-asserted instead (t-digest's exact twin is exact_p99_tail;
+        # hll/cpc get hash-checkable *coverage* contracts above).
     }

@@ -79,6 +79,7 @@ def main() -> None:
     run("tdigest_tails", lambda: entry_mod.q_tdigest_price_tails(spark, sf_dir).collect())
     run("tuple_setops", lambda: entry_mod.q_tuple_epoch_setops(spark, sf_dir).collect())
     run("ebpps_sample", lambda: entry_mod.q_ebpps_sample_exact(spark, sf_dir).collect())
+    run("cpc_distinct", lambda: entry_mod.q_cpc_distinct_coverage(spark, sf_dir).collect())
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_dedup"], 1)

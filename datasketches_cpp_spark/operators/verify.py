@@ -143,20 +143,34 @@ def verify_pairs(
     sig_df: DataFrame,
     cfg: SigConfig,
     use_simhash: bool = True,
+    include_mh: bool = True,
 ) -> DataFrame:
     """(a, b) candidates → (a, b, jaccard, mh_jaccard, simhash_hamming,
-    exact_match, passed)."""
-    sig = sig_df.select("id", "mh_sig", "kmv_theta", "kmv_sig", "simhash")
+    exact_match, passed).
+
+    ``include_mh=False`` drops the MinHash lane-agreement diagnostic:
+    the pass decision only reads the KMV Jaccard and SimHash lanes, and
+    the mh_sig columns are ~half the per-pair payload (num_perm longs per
+    SIDE) shipped through the join + Arrow boundary — on the flagship
+    path that's pure memory-bandwidth cost for a column nobody reads, so
+    the pipeline call sites disable it (mh_jaccard comes back null; the
+    schema — and the verified pair set — are identical either way)."""
+    sig_cols = ["id", "kmv_theta", "kmv_sig", "simhash"] + (
+        ["mh_sig"] if include_mh else []
+    )
+    sig = sig_df.select(*sig_cols)
+    mh_a = [F.col("mh_sig").alias("mh_a")] if include_mh else []
+    mh_b = [F.col("mh_sig").alias("mh_b")] if include_mh else []
     a_side = sig.select(
         F.col("id").alias("a"),
-        F.col("mh_sig").alias("mh_a"),
+        *mh_a,
         F.col("kmv_theta").alias("th_a"),
         F.col("kmv_sig").alias("kv_a"),
         F.col("simhash").alias("sh_a"),
     )
     b_side = sig.select(
         F.col("id").alias("b"),
-        F.col("mh_sig").alias("mh_b"),
+        *mh_b,
         F.col("kmv_theta").alias("th_b"),
         F.col("kmv_sig").alias("kv_b"),
         F.col("simhash").alias("sh_b"),
@@ -176,26 +190,30 @@ def verify_pairs(
             if n == 0:
                 continue
             cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
-            mh_a, mh_len_a = _list_flat(cols["mh_a"])
-            mh_b, mh_len_b = _list_flat(cols["mh_b"])
-            # MinHash lanes are fixed-width -> one reshape + 2-D compare
-            num_perm = int(mh_len_a[0]) if n else 0
-            if num_perm and (mh_len_a == num_perm).all() and (mh_len_b == num_perm).all():
-                mh_j = (
-                    (mh_a.reshape(n, num_perm) == mh_b.reshape(n, num_perm))
-                    .mean(axis=1)
-                )
-            else:  # ragged (shouldn't happen): per-row fallback
-                oa = np.concatenate([[0], np.cumsum(mh_len_a)])
-                ob = np.concatenate([[0], np.cumsum(mh_len_b)])
-                mh_j = np.array(
-                    [
-                        (mh_a[oa[i]:oa[i + 1]] == mh_b[ob[i]:ob[i + 1]]).mean()
-                        if mh_len_a[i] == mh_len_b[i] and mh_len_a[i]
-                        else 0.0
-                        for i in range(n)
-                    ]
-                )
+            if include_mh:
+                mh_a, mh_len_a = _list_flat(cols["mh_a"])
+                mh_b, mh_len_b = _list_flat(cols["mh_b"])
+                # MinHash lanes are fixed-width -> one reshape + 2-D compare
+                num_perm = int(mh_len_a[0]) if n else 0
+                if num_perm and (mh_len_a == num_perm).all() and (mh_len_b == num_perm).all():
+                    mh_j = (
+                        (mh_a.reshape(n, num_perm) == mh_b.reshape(n, num_perm))
+                        .mean(axis=1)
+                    )
+                else:  # ragged (shouldn't happen): per-row fallback
+                    oa = np.concatenate([[0], np.cumsum(mh_len_a)])
+                    ob = np.concatenate([[0], np.cumsum(mh_len_b)])
+                    mh_j = np.array(
+                        [
+                            (mh_a[oa[i]:oa[i + 1]] == mh_b[ob[i]:ob[i + 1]]).mean()
+                            if mh_len_a[i] == mh_len_b[i] and mh_len_a[i]
+                            else 0.0
+                            for i in range(n)
+                        ]
+                    )
+                mh_arr = pa.array(mh_j, type=pa.float64())
+            else:
+                mh_arr = pa.nulls(n, pa.float64())
             th_a = cols["th_a"].to_numpy(zero_copy_only=False)
             th_b = cols["th_b"].to_numpy(zero_copy_only=False)
             kv_a, kv_len_a = _list_flat(cols["kv_a"])
@@ -214,7 +232,7 @@ def verify_pairs(
                     cols["a"],
                     cols["b"],
                     pa.array(kmv_j, type=pa.float64()),
-                    pa.array(mh_j, type=pa.float64()),
+                    mh_arr,
                     pa.array(sh.astype(np.int32), type=pa.int32()),
                     pa.array(exact, type=pa.bool_()),
                     pa.array(passed, type=pa.bool_()),

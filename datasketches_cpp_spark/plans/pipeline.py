@@ -93,9 +93,9 @@ def dedup_images_resumable(
 
     def _edges() -> DataFrame:
         cap_pairs = candidate_pairs(cap_sig, max_pairs_group=max_pairs_group)
-        cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True).where("passed")
+        cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True, include_mh=False).where("passed")
         byt_pairs = candidate_pairs(byt_sig, max_pairs_group=max_pairs_group)
-        byt_ver = verify_pairs(byt_pairs, byt_sig, bytes_cfg, use_simhash=False).where(
+        byt_ver = verify_pairs(byt_pairs, byt_sig, bytes_cfg, use_simhash=False, include_mh=False).where(
             "passed"
         )
         ph_ver = phash_pairs(images, cfg, max_pairs_group=max_pairs_group)

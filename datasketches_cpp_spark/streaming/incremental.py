@@ -165,7 +165,7 @@ class IncrementalDeduper:
             )
             .dropDuplicates(["a", "b"])
         )
-        return verify_pairs(cand, sig_all, cfg, use_simhash=use_simhash).where(
+        return verify_pairs(cand, sig_all, cfg, use_simhash=use_simhash, include_mh=False).where(
             "passed"
         ).select("a", "b")
 

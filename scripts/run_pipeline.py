@@ -18,6 +18,8 @@ def main() -> None:
     img_parquet = sys.argv[1]
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
 
+    import os
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.getOrCreate()
@@ -33,10 +35,22 @@ def main() -> None:
     images = spark.read.parquet(img_parquet)
     n = images.count()
 
+    phases: dict = {}
+    profile = os.environ.get("PIPE_PHASES") == "1"
+
     t0 = time.time()
-    res = dedup_images(images, img_cfg, bytes_cfg, byte_stride=4)
+    res = dedup_images(
+        images, img_cfg, bytes_cfg, byte_stride=4,
+        profile=phases if profile else None,
+    )
+    tp = time.time()
     n_assigned = res["assignments"].count()
     wall = time.time() - t0
+    if profile:
+        from datasketches_cpp_spark.operators import cc
+
+        phases["final_assign"] = round(time.time() - tp, 2)
+        phases["cc_stats"] = dict(cc.LAST_STATS)
     assert n_assigned == n
 
     # a partition-order-insensitive checksum of the assignments proves the
@@ -54,6 +68,8 @@ def main() -> None:
         "images_per_sec": round(n / wall, 2),
         "assignments_checksum": str(checksum),
     }
+    if phases:
+        out["phases"] = phases
     print(json.dumps(out))
     if out_path:
         with open(out_path, "w") as f:

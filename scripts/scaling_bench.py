@@ -62,12 +62,41 @@ def run_once(master: str, zpath: str, img_parquet: str, shuffle_parts: int) -> d
         return json.load(f)
 
 
+def measure_bandwidth(procs_list=(1, 2, 4, 8, 16)) -> dict:
+    """Same-day memory-bandwidth envelope: aggregate GB/s of `procs`
+    concurrent numpy copy streams. The host VM's neighbors swing this by
+    5-10x on minute timescales, so the envelope MUST be sampled alongside
+    the runs it contextualizes — a stale curve is meaningless."""
+    import multiprocessing as mp
+
+    import numpy as np
+    import time as _t
+
+    def stream(q):
+        a = np.random.rand(200 * 131072)
+        b = np.empty_like(a)
+        t0 = _t.time()
+        for _ in range(6):
+            np.copyto(b, a)
+        q.put(2 * a.nbytes * 6 / (_t.time() - t0))
+
+    out = {}
+    for procs in procs_list:
+        q = mp.Queue()
+        ps = [mp.Process(target=stream, args=(q,)) for _ in range(procs)]
+        [p.start() for p in ps]
+        rates = [q.get() for _ in ps]
+        [p.join() for p in ps]
+        out[procs] = round(sum(rates) / 1e9, 1)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=int(os.environ.get("BENCH_IMAGES", "20000")))
     ap.add_argument("--n", type=int, default=8, help="small cluster size (big = 4n)")
     ap.add_argument(
-        "--repeats", type=int, default=2,
+        "--repeats", type=int, default=3,
         help="runs per level; best (max images/sec) is reported — the host "
         "VM has noisy neighbors, best-of-k at BOTH levels is the fair "
         "peak-throughput comparison",
@@ -85,20 +114,35 @@ def main() -> None:
     zpath = build_zip()
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
 
-    def best_of(master: str, shuffle: int) -> dict:
-        runs = [run_once(master, zpath, img_parquet, shuffle) for _ in range(args.repeats)]
+    # INTERLEAVE the two levels (small, big, small, big, ...): the host's
+    # noisy neighbors drift on minute timescales, so running all-small
+    # then all-big would let a noise step-change masquerade as a scaling
+    # effect; interleaving exposes both levels to the same noise regime.
+    bw_before = measure_bandwidth()
+    small_runs, big_runs = [], []
+    for _ in range(args.repeats):
+        small_runs.append(run_once(f"local[{args.n}]", zpath, img_parquet, 2 * args.n))
+        big_runs.append(run_once(f"local[{4 * args.n}]", zpath, img_parquet, 8 * args.n))
+    bw_after = measure_bandwidth()
+
+    def best_of(runs: list) -> dict:
         assert len({r["assignments_checksum"] for r in runs}) == 1
         best = max(runs, key=lambda r: r["images_per_sec"])
         best["all_runs_sec"] = [r["wall_sec"] for r in runs]
         return best
 
-    small = best_of(f"local[{args.n}]", 2 * args.n)
-    big = best_of(f"local[{4 * args.n}]", 8 * args.n)
+    small, big = best_of(small_runs), best_of(big_runs)
 
     assert small["assignments_checksum"] == big["assignments_checksum"], (
         "scaling changed the answer!"
     )
     eff = (big["images_per_sec"] / small["images_per_sec"]) / 4.0
+    # hardware envelope: how much MORE aggregate memory bandwidth the box
+    # actually grants 4N streams than N streams, sampled same-day (avg of
+    # the before/after probes); a bandwidth-bound job cannot scale past it
+    bw = {k: (bw_before[k] + bw_after[k]) / 2 for k in bw_before}
+    hw_ratio = bw.get(4 * args.n, bw[max(bw)]) / bw[args.n]
+    eff_vs_hw = (big["images_per_sec"] / small["images_per_sec"]) / min(4.0, hw_ratio)
 
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -107,19 +151,26 @@ North rule: ≥ 0.8 throughput scaling efficiency from N to 4N executors
 job at `local[{args.n}]` vs `local[{4 * args.n}]` over the same deterministic
 {args.images}-image corpus (sources/images.generate_images, seed 42).
 
-Why N = {args.n}: this sandbox VM's aggregate memory bandwidth was measured
-(32 × 200 MB numpy copy streams) at ≈10 GB/s (1 proc), 17 GB/s (4), 44 GB/s
-(8), 55 GB/s (16) — and **collapses to 15-30 GB/s at 32 procs** (host vCPU
-oversubscription). Above 16-way parallelism the MACHINE removes bandwidth
-as cores are added, so no data-parallel job can scale there; N→4N evidence
-is taken inside the regime where the hardware itself scales. On a real
-multi-executor cluster each executor brings its own memory channels — this
-ceiling is a single-box artifact, which is exactly why the rule asks for
-executors, not threads.
+## Same-day hardware envelope (measured alongside the runs)
 
-Best of {args.repeats} runs per level (all wall times shown; the host VM has
-noisy neighbors, so peak throughput is the stable statistic — both levels
-get identical treatment):
+Aggregate memory bandwidth of k concurrent numpy copy streams, averaged
+over probes taken immediately before and after the Spark runs (GB/s):
+
+{json.dumps(bw)}
+
+The host is a shared VM with noisy neighbors; its bandwidth swings 5-10x
+on minute timescales, which is why the envelope is sampled same-run and
+why the two levels are INTERLEAVED (small, big, small, big, ...) rather
+than run back-to-back per level. On a real multi-executor cluster each
+executor brings its own memory channels — a shared-DRAM box is the
+hardest-possible stand-in for the rule's N→4N executor scaling, so the
+efficiency is reported both raw and against the measured envelope.
+
+Bandwidth the box grants {4 * args.n} streams vs {args.n}: **{hw_ratio:.2f}x**
+(ideal 4.0x) — a fully bandwidth-bound job cannot scale past
+{min(4.0, hw_ratio) / 4:.2f} on this box no matter how it is written.
+
+## Results (best of {args.repeats} interleaved runs per level)
 
 | cluster size | master | wall best (s) | all runs (s) | images/sec |
 |---|---|---|---|---|
@@ -127,8 +178,9 @@ get identical treatment):
 | 4N = {4 * args.n} cores | local[{4 * args.n}] | {big['wall_sec']} | {big['all_runs_sec']} | {big['images_per_sec']} |
 
 **Scaling efficiency = (R_4N / R_N) / 4 = {eff:.3f}** (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+**Efficiency vs measured hardware envelope = {eff_vs_hw:.3f}**
 
-Assignment checksum identical across both runs: `{small['assignments_checksum']}`
+Assignment checksum identical across all runs: `{small['assignments_checksum']}`
 (the pipeline is partition-layout-invariant — scaling changes wall time,
 never answers; see tests/test_dedup_pipeline.py::test_pipeline_partitioning_invariance).
 """
@@ -136,7 +188,13 @@ never answers; see tests/test_dedup_pipeline.py::test_pipeline_partitioning_inva
     with open(out_md, "w") as f:
         f.write(md)
     print(md)
-    print(json.dumps({"efficiency": round(eff, 3), "small": small, "big": big}))
+    print(json.dumps({
+        "efficiency": round(eff, 3),
+        "efficiency_vs_hw": round(eff_vs_hw, 3),
+        "bandwidth_gbps": bw,
+        "small": small,
+        "big": big,
+    }))
 
 
 if __name__ == "__main__":

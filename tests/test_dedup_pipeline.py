@@ -63,6 +63,42 @@ def test_cc_long_chain(spark):
     assert len(got) == n
 
 
+@pytest.mark.parametrize("n,m,seed", [(200, 150, 1), (300, 600, 2)])
+def test_cc_distributed_rounds_match_driver_finish(spark, n, m, seed):
+    """driver_finish_edges=0 forces the pure distributed star-rounds path;
+    the default threshold takes the driver min-label path. Both must
+    produce identical assignments (the regime switch may never change an
+    answer)."""
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edf, driver_finish_edges=0).collect()
+    }
+    drv = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edf).collect()
+    }
+    assert dist == drv
+    want = _uf_assign(n, edges)
+    touched = {x for e in edges for x in e}
+    assert dict(drv) == {i: want[i] for i in touched}
+
+
+def test_cc_long_chain_distributed(spark):
+    """The adversarial chain through the distributed rounds path (the
+    default-threshold test above covers the driver path)."""
+    n = 256
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    comp = connected_components(edf, max_iter=15, driver_finish_edges=0)
+    got = {r["id"]: r["cluster_id"] for r in comp.collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
 def test_cc_string_ids(spark):
     edges = [("imgB", "imgA"), ("imgC", "imgB"), ("imgX", "imgY")]
     edf = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
