@@ -193,6 +193,40 @@ def q_exact_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle surrogate for the full LSH dedup clustering. SQL cannot
+    express MinHash→LSH→verify→CC, but it CAN express this invariant of a
+    correct clustering: every exact-duplicate (fingerprint) group must land
+    wholly inside one cluster. The Spark side emits the histogram of
+    fingerprint-group sizes restricted to groups whose members all share
+    one cluster_id; the oracle emits the unrestricted fingerprint
+    histogram. Any exact-dup group split by the pipeline drops a row from
+    the Spark side and hash-fails the query (VERDICT round-1 item #8).
+
+    The driver corpus has no exact dups, so the corpus is doubled in-query
+    (every doc + an `_copy` twin, the lsh_exact_dup_recall pattern): every
+    fingerprint group has size ≥ 2 and the coherence check is load-bearing
+    — a split of ANY planted pair changes the histogram."""
+    base = _t(spark, sf_dir, "documents")
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(1 << 40))
+    )
+    assignments, _, _ = dedup(docs, "doc_id", "text", DOC_CFG)
+    fp = with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+    coherent = (
+        fp.join(assignments, fp["doc_id"] == assignments["id"])
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.countDistinct("cluster_id").alias("n_assigned"),
+        )
+        .where(F.col("n_assigned") == 1)
+    )
+    return coherent.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("num_groups")
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 5)
@@ -286,6 +320,70 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = kll_sketch_agg(li, ["l_returnflag"], "l_quantity", k=200)
     return with_quantiles(sk, [0.5]).select(
         "l_returnflag", "kll_n", F.col("quantiles")[0].alias("median_est")
+    )
+
+
+def q_kll_rank_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL median rank-error guarantee as a hash-checkable coverage
+    contract (pattern of hll/cpc/req coverage queries): the EXACT rank of
+    the sketch's median estimate — computed Spark-side with a broadcast
+    join back against the data — must lie within 2× the sketch's one-sided
+    normalized rank error (reference kll_helper_impl.hpp 2.296/k^0.9) plus
+    a 0.02 discreteness margin (l_quantity has ~50 distinct values, so
+    exact ranks move in ~2% steps). The estimate itself stays rows-only in
+    q_kll_quantiles; the oracle checks the guarantee."""
+    from datasketches_cpp_spark.functions.quantiles import (
+        KllSketch,
+        kll_sketch_agg,
+        with_quantiles,
+    )
+
+    k = 200
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kll_sketch_agg(li, ["l_returnflag"], "l_quantity", k=k)
+    est = with_quantiles(sk, [0.5]).select(
+        "l_returnflag", F.col("quantiles")[0].alias("median_est")
+    )
+    tol = 2.0 * KllSketch.normalized_rank_error(k) + 0.02
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum((F.col("l_quantity") <= F.col("median_est")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("exact_rank"),
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        (F.abs(F.col("exact_rank") - F.lit(0.5)) <= F.lit(tol)).alias("covered"),
+    )
+
+
+def q_ann_recall_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN recall vs the exact brute-force top-k as a hash-checkable
+    coverage contract: with the fixed seed (9001) the hyperplane tables are
+    deterministic, so per-probe overlap with the exact top-5 is a constant
+    of the data. Contract: every probe retains ≥ 2/5 of its exact
+    neighbors (measured 2-4 at sf0.01; LSH trades recall for never doing
+    the all-pairs scan). q_ann_lsh_topk stays rows-only for the full
+    ranking; this query oracle-checks the recall floor."""
+    from datasketches_cpp_spark.operators.knn import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    ann = lsh_topk(emb, probes, dim=64, k=5, n_tables=16, n_bits=6).select(
+        "probe_id", "neighbor_id"
+    )
+    bf = brute_force_topk(emb, probes, "vec_id", "embedding", k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    hits = ann.intersect(bf).groupBy("probe_id").count()
+    return hits.select(
+        "probe_id", (F.col("count") >= 2).alias("recall_floor_met")
     )
 
 
@@ -515,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "knn_bruteforce": q_knn_bruteforce,
         "exact_cluster_histogram": q_exact_cluster_histogram,
+        "dedup_cluster_coherence": q_dedup_cluster_coherence,
         "bpe_token_counts": q_bpe_token_counts,
         "exact_median_by_flag": q_exact_median_by_flag,
         "frequent_items_sketch": q_frequent_items_sketch,
@@ -523,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_engagement": q_tuple_engagement,
         "embedding_near_dup": q_embedding_near_dup,
         "kll_quantiles": q_kll_quantiles,
+        "kll_rank_coverage": q_kll_rank_coverage,
+        "ann_recall_coverage": q_ann_recall_coverage,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
         "cpc_distinct_coverage": q_cpc_distinct_coverage,
         "req_tail_rank_coverage": q_req_tail_rank_coverage,
@@ -646,6 +747,16 @@ def oracle_sql() -> dict[str, str]:
             "cs AS (SELECT f, COUNT(*) AS cluster_size FROM fp GROUP BY f) "
             "SELECT cluster_size, COUNT(*) AS num_clusters FROM cs GROUP BY cluster_size"
         ),
+        "dedup_cluster_coherence": (
+            # unrestricted fingerprint histogram over the DOUBLED corpus
+            # (each group of c docs → 2c): equals the Spark side's
+            # coherent-groups-only histogram iff NO exact-dup group is split
+            # across clusters by the LSH pipeline
+            "WITH fp AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') f "
+            "FROM documents), "
+            "cs AS (SELECT f, 2 * COUNT(*) AS cluster_size FROM fp GROUP BY f) "
+            "SELECT cluster_size, COUNT(*) AS num_groups FROM cs GROUP BY cluster_size"
+        ),
         "bpe_token_counts": (
             "SELECT doc_id, len(regexp_extract_all(trim(text), "
             "'''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) "
@@ -713,6 +824,14 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_suppliers": (
             "SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct, "
             "TRUE AS covered FROM lineitem"
+        ),
+        "kll_rank_coverage": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "TRUE AS covered FROM lineitem GROUP BY l_returnflag"
+        ),
+        "ann_recall_coverage": (
+            "SELECT vec_id AS probe_id, TRUE AS recall_floor_met "
+            "FROM embeddings WHERE vec_id < 5"
         ),
         "req_tail_rank_coverage": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS covered "

@@ -10,14 +10,24 @@ by `groupBy(band_idx, band_hash)`. Two scale guards, both deterministic:
    frequent-items-style hot-key pre-pass of SURVEY.md §2B S5 (reference
    heavy-hitter semantics: fi/include/frequent_items_sketch.hpp:143-175).
 
-2. **Hot-group capping** — a band shared by s documents emits s(s-1)/2
-   pairs; a degenerate band (e.g. a boilerplate caption) would emit
-   billions. Groups larger than ``max_pairs_group`` switch to
-   chain+hub edges (s-1 + s-1 edges): connectivity for connected
-   components is fully preserved, pair-level recall within the group is
-   delegated to the verifier over those edges. The cap is part of the
-   config fingerprint — the oracle applies the identical rule, so cluster
-   assignments still match exactly.
+2. **Hot-group skew defusal** — a band shared by s documents emits
+   s(s-1)/2 pairs; a degenerate band (e.g. a boilerplate caption) would
+   emit billions. Two policies, selected by ``hot_policy``:
+
+   * ``"chain_hub"`` (default, the blessed oracle contract): groups larger
+     than ``max_pairs_group`` switch to chain+hub edges (s-1 + s-1
+     edges). Connectivity for connected components is fully preserved;
+     pair-level recall within the group is delegated to the verifier over
+     those edges. The cap is part of the config fingerprint — the oracle
+     applies the identical rule, so cluster assignments match exactly.
+   * ``"salted_full"`` (SURVEY §2B S5's salted repartition): hot groups
+     keep FULL C(s,2) pair semantics. The sorted id array is cut into
+     fixed-size chunks and every (chunk_i, chunk_j), i ≤ j, becomes its
+     own row; a self-join on the band key redistributes those chunk-pair
+     rows across the cluster (the salt), so no single task ever holds
+     more than one chunk-pair (≤ chunk² candidate structs) regardless of
+     group size. Same answers as brute-force all-pairs (pytest-gated),
+     bounded task memory under skew.
 
 Why not a SQL self-join? `bands JOIN bands ON band` is JVM-only but its
 output *is* the quadratic blowup — AQE can split the skewed partition but
@@ -50,14 +60,16 @@ def band_group_sizes(bands_df: DataFrame) -> DataFrame:
 def candidate_pairs(
     sig_df: DataFrame,
     max_pairs_group: int = 256,
+    hot_policy: str = "chain_hub",
 ) -> DataFrame:
     """sig table → deduplicated candidate pair table (a < b)."""
-    return pairs_from_bands(explode_bands(sig_df), max_pairs_group)
+    return pairs_from_bands(explode_bands(sig_df), max_pairs_group, hot_policy)
 
 
 def pairs_from_bands(
     bands_df: DataFrame,
     max_pairs_group: int = 256,
+    hot_policy: str = "chain_hub",
 ) -> DataFrame:
     """(band_idx, band_hash, id) → deduplicated (a, b) candidate pairs.
     Shared by the MinHash lane and the pHash multi-index lane (and any
@@ -116,6 +128,10 @@ def pairs_from_bands(
         F.slice(ids, 3, sz),
         lambda b: F.struct(F.element_at(ids, 1).alias("a"), b.alias("b")),
     )
+    if hot_policy == "salted_full":
+        return _salted_full_pairs(grouped, all_pairs, max_pairs_group)
+    if hot_policy != "chain_hub":
+        raise ValueError(f"unknown hot_policy {hot_policy!r}")
     pair_arr = F.when(sz <= max_pairs_group, all_pairs).otherwise(
         F.concat(chain, hub)
     )
@@ -127,6 +143,68 @@ def pairs_from_bands(
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+
+
+def _salted_full_pairs(
+    grouped: DataFrame, all_pairs, chunk: int
+) -> DataFrame:
+    """Full C(s,2) pair semantics for hot bands with bounded task memory.
+
+    The sorted id array of a hot group is cut into ``chunk``-sized slices;
+    every (slice_i, slice_j) with i ≤ j becomes one row, and a self-join on
+    the band key spreads those rows across shuffle partitions (the salted
+    repartition of SURVEY §2B S5). Each task then expands at most chunk²
+    candidate structs — a band shared by a million documents costs many
+    TASKS, never a huge task. Sorting guarantees a < b: within a slice the
+    triangular expansion keeps order; across slices every element of
+    slice_i precedes every element of slice_j (i < j).
+
+    All-JVM (whole-stage codegen): slicing is ``transform(sequence, ...)``;
+    expansion is the same nested-transform algebra as the normal path.
+    """
+    sz = F.size("ids")
+    normal = (
+        grouped.where(sz <= chunk)
+        .select(F.explode(all_pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    n_chunks = F.ceil(sz / F.lit(chunk)).cast("int")
+    hot = grouped.where(sz > chunk).select(
+        "band_idx",
+        "band_hash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(F.col("ids"), i * chunk + 1, chunk),
+            )
+        ).alias("ci", "ids"),
+    )
+    left = hot.select("band_idx", "band_hash", F.col("ci").alias("i"), F.col("ids").alias("xs"))
+    right = hot.select("band_idx", "band_hash", F.col("ci").alias("j"), F.col("ids").alias("ys"))
+    joined = left.join(right, ["band_idx", "band_hash"]).where(F.col("i") <= F.col("j"))
+    xs, ys = F.col("xs"), F.col("ys")
+    tri = F.flatten(
+        F.transform(
+            xs,
+            lambda a, i: F.transform(
+                F.slice(xs, i + F.lit(2), F.size(xs)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            xs,
+            lambda a: F.transform(ys, lambda b: F.struct(a.alias("a"), b.alias("b"))),
+        )
+    )
+    hot_pairs = (
+        joined.select(
+            F.explode(F.when(F.col("i") == F.col("j"), tri).otherwise(cross)).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    return normal.unionByName(hot_pairs).dropDuplicates(["a", "b"])
 
 
 def hot_bands(sig_df: DataFrame, threshold: int = 1000) -> DataFrame:

@@ -223,3 +223,60 @@ def test_cluster_stats_and_duprate(spark):
     assert stats == {1: 1, 2: 1}
     dr = duplicate_rate(assignments).collect()[0]
     assert dr["total_docs"] == 3 and dr["duplicate_docs"] == 1
+
+
+def test_salted_full_pairs_equals_bruteforce(spark):
+    """SURVEY §2B S5 salted repartition: hot_policy="salted_full" must emit
+    EXACTLY the all-pairs set (full semantics under skew), with task memory
+    bounded by chunk² rather than group-size²."""
+    from datasketches_cpp_spark.operators.lsh import pairs_from_bands
+
+    rows = []
+    # band 0: one hot group of 37 ids (cap 8 → 5 chunks), plus a normal pair
+    rows += [(0, 111, f"h{i:03d}") for i in range(37)]
+    rows += [(0, 222, "n1"), (0, 222, "n2")]
+    # band 1: hot group of 17 sharing some ids, and a singleton (pruned)
+    rows += [(1, 333, f"h{i:03d}") for i in range(10, 27)]
+    rows += [(1, 444, "alone")]
+    bands = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["band_idx", "band_hash", "id"])
+    ).repartition(5)
+
+    def brute(rows):
+        from collections import defaultdict
+        import itertools
+        g = defaultdict(set)
+        for bi, bh, i in rows:
+            g[(bi, bh)].add(i)
+        out = set()
+        for ids in g.values():
+            out |= {tuple(sorted(p)) for p in itertools.combinations(ids, 2)}
+        return out
+
+    expect = brute(rows)
+    got = {
+        (r["a"], r["b"])
+        for r in pairs_from_bands(bands, max_pairs_group=8, hot_policy="salted_full").collect()
+    }
+    assert got == expect
+    # a < b invariant
+    assert all(a < b for a, b in got)
+    # chain_hub on the same input is strictly a subset (capped) and smaller
+    capped = {
+        (r["a"], r["b"])
+        for r in pairs_from_bands(bands, max_pairs_group=8, hot_policy="chain_hub").collect()
+    }
+    assert capped < got
+
+
+def test_salted_full_pairs_all_jvm(spark):
+    """The salted path must stay whole-stage-codegen JVM: no Python eval
+    nodes in the physical plan."""
+    from datasketches_cpp_spark.operators.lsh import pairs_from_bands
+
+    bands = spark.createDataFrame(
+        pd.DataFrame({"band_idx": [0] * 20, "band_hash": [7] * 20, "id": [f"d{i}" for i in range(20)]})
+    )
+    plan = pairs_from_bands(bands, max_pairs_group=4, hot_policy="salted_full")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
