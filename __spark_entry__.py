@@ -387,6 +387,26 @@ def q_ann_recall_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_sketch_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HLL register sketch (functions/hll.hll_sketch_agg —
+    real uint8 registers, np.maximum.at update, register-max merge; NOT the
+    builtin approx_count_distinct wrapper) as a coverage contract: the
+    exact distinct count must fall inside the sketch's ±3σ bounds
+    (rse = 1.03896/√K, reference HllUtil.hpp:86)."""
+    from datasketches_cpp_spark.functions.hll import hll_sketch_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = hll_sketch_agg(li, [], "l_partkey", lg_k=12, num_std_devs=3)
+    exact = li.agg(F.countDistinct("l_partkey").cast("long").alias("exact_distinct"))
+    return sk.crossJoin(exact).select(
+        "exact_distinct",
+        (
+            (F.col("lower_bound") <= F.col("exact_distinct"))
+            & (F.col("exact_distinct") <= F.col("upper_bound"))
+        ).alias("covered"),
+    )
+
+
 def q_hll_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct suppliers as a hash-checkable coverage contract (same
     pattern as cpc_distinct_coverage): emit the exact count plus whether
@@ -625,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rank_coverage": q_kll_rank_coverage,
         "ann_recall_coverage": q_ann_recall_coverage,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
+        "hll_sketch_coverage": q_hll_sketch_coverage,
         "cpc_distinct_coverage": q_cpc_distinct_coverage,
         "req_tail_rank_coverage": q_req_tail_rank_coverage,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -823,6 +844,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_distinct_suppliers": (
             "SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct, "
+            "TRUE AS covered FROM lineitem"
+        ),
+        "hll_sketch_coverage": (
+            "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, "
             "TRUE AS covered FROM lineitem"
         ),
         "kll_rank_coverage": (

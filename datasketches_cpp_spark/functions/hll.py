@@ -1,28 +1,51 @@
-"""HLL distinct counting — Spark's builtin HLL++ with the reference's
-error-envelope bookkeeping.
+"""HLL distinct counting — two paths with the reference's error-envelope
+bookkeeping:
 
-Design decision (SURVEY.md §2A #15-18): Catalyst's `approx_count_distinct`
-IS an HLL aggregate with native partial/final merge inside whole-stage
-codegen — re-implementing the coupon machinery in Python would be slower
-and non-mergeable by Catalyst. What the reference adds that Spark does not
-expose is the error envelope; we mirror it here:
+1. `hll_distinct_agg` — Spark's builtin HLL++ (`approx_count_distinct`):
+   native partial/final merge inside whole-stage codegen, the production
+   fast path. What the reference adds that Spark does not expose is the
+   error envelope; we mirror it here:
 
-  - relative standard error ≈ 1.04/√(2^lg_k) for merged/composite
-    estimates (HllUtil.hpp:85-86 COUPON_RSE_FACTOR/HLL_NON_HIP_RSE_FACTOR
-    = 1.03896) — Spark's `rsd` parameter is exactly this quantity;
-  - bounds at n standard deviations: est / (1 ± n·rse)
-    (HllArray-internal.hpp:344-358).
+     - relative standard error ≈ 1.04/√(2^lg_k) for merged/composite
+       estimates (HllUtil.hpp:85-86 COUPON_RSE_FACTOR/
+       HLL_NON_HIP_RSE_FACTOR = 1.03896) — Spark's `rsd` parameter is
+       exactly this quantity;
+     - bounds at n standard deviations: est / (1 ± n·rse)
+       (HllArray-internal.hpp:344-358).
 
-`hll_distinct` therefore accepts lg_k and computes rsd = 1.03896/√2^lg_k,
-keeping the reference's parameterization; bounds are JVM-side columns.
+2. `hll_sketch_agg` — a from-scratch HLL-8 register sketch (reference
+   semantics: hll/include/hll.hpp:237-304 update, HllArray max-register
+   merge, composite estimator with linear-counting low-range correction;
+   re-derived from the published HLL algorithm, not copied) as an explicit
+   two-stage numpy aggregate like theta: per-partition `mapInPandas`
+   builds K uint8 registers per group (`np.maximum.at`), the shuffle
+   carries one K-byte binary per (partition, group), and `applyInPandas`
+   max-merges registers — the sketch's true associative merge law, which
+   also makes cross-table HLL UNION (`hll_merge_sketches`) a plain
+   elementwise max, something the builtin wrapper cannot express.
+
+Registers use the murmur3-based 63-bit hash discipline shared by every
+sketch in this engine (hashing.py): slot = low lg_k bits, rho = leading
+zeros of the remaining 63−lg_k bits + 1.
 """
 
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+from ..hashing import DEFAULT_SEED, hash63_int64, hash63_str_many
 
 HLL_NON_HIP_RSE_FACTOR = 1.03896  # sqrt(3·ln2 − 1), HllUtil.hpp:86
 
@@ -54,3 +77,155 @@ def hll_distinct_agg(
             "upper_bound", (F.col("estimate") / (1.0 - F.lit(z))).cast("double")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# from-scratch HLL-8 register sketch (numpy two-stage aggregate)
+# ---------------------------------------------------------------------------
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (exact — no float log2, which loses
+    precision past 2^53 and would make rho off-by-one near powers of two)."""
+    x = x.copy()
+    r = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        sh = np.uint64(s)
+        m = x >= (np.uint64(1) << sh)
+        r[m] += s
+        x[m] >>= sh
+    r += (x != 0).astype(np.int64)
+    return r
+
+
+def _rho(hashes: np.ndarray, lg_k: int) -> np.ndarray:
+    """rho = #leading zeros of the top (63 - lg_k) hash bits, + 1.
+    hashes are the engine's 63-bit murmur values (hashing.hash63_*)."""
+    w = hashes.astype(np.uint64) >> np.uint64(lg_k)
+    width = 63 - lg_k
+    return (width - _bit_length_u64(w) + 1).astype(np.uint8)
+
+
+def _alpha(k: int) -> float:
+    if k == 16:
+        return 0.673
+    if k == 32:
+        return 0.697
+    if k == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / k)
+
+
+def _composite_estimate(regs: np.ndarray) -> float:
+    """Published HLL composite estimator: harmonic mean of 2^-reg with the
+    linear-counting low-range correction (zeros present and raw ≤ 2.5K);
+    no high-range correction is needed with a 63-bit hash domain."""
+    k = regs.shape[0]
+    raw = _alpha(k) * k * k / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if zeros > 0 and raw <= 2.5 * k:
+        return k * math.log(k / zeros)
+    return raw
+
+
+def _hll_schema(group_fields) -> StructType:
+    return StructType(list(group_fields) + [StructField("regs", BinaryType(), False)])
+
+
+def hll_sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    lg_k: int = 12,
+    seed: int = DEFAULT_SEED,
+    num_std_devs: int = 2,
+) -> DataFrame:
+    """groupBy(group_cols).hll_sketch(item_col): explicit two-stage HLL-8.
+
+    Partial stage (`mapInPandas`, one pass per input partition): vectorized
+    slot/rho extraction + `np.maximum.at` into K uint8 registers per group;
+    emits ONE K-byte row per (partition, group) — the shuffle carries
+    sketches, never raw rows. Final stage (`applyInPandas` after the
+    groupBy shuffle): elementwise register max (the HLL merge law,
+    reference HllArray), then composite estimate + est/(1±n·rse) bounds.
+    Empty input partitions yield nothing (round-1 Arrow-crash discipline,
+    tests/test_empty_partitions.py)."""
+    from .theta import _hash_series  # shared item-hash discipline
+
+    k = 1 << lg_k
+    mask_k = np.uint64(k - 1)
+    item_dtype = dict(df.dtypes)[item_col]
+    group_fields = [f for f in df.schema.fields if f.name in group_cols]
+    part_schema = _hll_schema(group_fields)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes, mask = _hash_series(pdf[item_col], item_dtype, seed)
+            slots = (hashes.astype(np.uint64) & mask_k).astype(np.int64)
+            rhos = _rho(hashes, lg_k)
+            if len(group_cols) == 0:
+                grouped = {(): np.arange(len(hashes))}
+            else:
+                kept = pdf.loc[mask, group_cols].reset_index(drop=True)
+                grouped = kept.groupby(group_cols, sort=False, dropna=False).indices
+            for key, idx in grouped.items():
+                key = key if isinstance(key, tuple) else (key,)
+                regs = state.get(key)
+                if regs is None:
+                    regs = state[key] = np.zeros(k, np.uint8)
+                np.maximum.at(regs, slots[idx], rhos[idx])
+        if not state:
+            return
+        rows = {c: [key[i] for key in state] for i, c in enumerate(group_cols)}
+        rows["regs"] = [st.tobytes() for st in state.values()]
+        yield pd.DataFrame(rows, columns=group_cols + ["regs"])
+
+    partials = df.select(group_cols + [item_col]).mapInPandas(partial, part_schema)
+    return finalize_hll_sketches(partials, group_cols, group_fields, num_std_devs)
+
+
+def finalize_hll_sketches(
+    partials: DataFrame,
+    group_cols: list[str],
+    group_fields,
+    num_std_devs: int = 2,
+) -> DataFrame:
+    """Merge partial register rows (max) and read estimate + bounds."""
+    out_schema = StructType(
+        list(group_fields)
+        + [
+            StructField("estimate", DoubleType(), False),
+            StructField("lower_bound", DoubleType(), False),
+            StructField("upper_bound", DoubleType(), False),
+        ]
+    )
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack([np.frombuffer(b, np.uint8) for b in pdf["regs"]])
+        regs = stacked.max(axis=0)
+        k = regs.shape[0]
+        est = _composite_estimate(regs)
+        z = num_std_devs * HLL_NON_HIP_RSE_FACTOR / math.sqrt(float(k))
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["estimate"] = [est]
+        row["lower_bound"] = [est / (1.0 + z)]
+        row["upper_bound"] = [est / (1.0 - z)]
+        return pd.DataFrame(row, columns=group_cols + ["estimate", "lower_bound", "upper_bound"])
+
+    if group_cols:
+        return partials.groupBy(*group_cols).applyInPandas(final, out_schema)
+    return partials.groupBy().applyInPandas(final, out_schema)
+
+
+def hll_merge_sketches(
+    a: DataFrame, b: DataFrame, group_cols: list[str], num_std_devs: int = 2
+) -> DataFrame:
+    """HLL UNION across two sketch tables (reference hll_union semantics):
+    register-wise max of the K-byte states — associative, idempotent, and
+    expressible only because `hll_sketch_agg` carries real registers."""
+    both = a.select(group_cols + ["regs"]).unionByName(b.select(group_cols + ["regs"]))
+    group_fields = [f for f in both.schema.fields if f.name in group_cols]
+    return finalize_hll_sketches(both, group_cols, group_fields, num_std_devs)

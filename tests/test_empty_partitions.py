@@ -96,3 +96,23 @@ def test_bloom_agg_empty_partitions(sparse_df):
 def test_hll_agg_empty_partitions(sparse_df):
     out = hll_distinct_agg(sparse_df, ["grp"], "item").collect()
     assert sorted(r["grp"] for r in out) == ["grp0", "grp1"]
+
+
+def test_hll_sketch_agg_empty_partitions(sparse_df):
+    from datasketches_cpp_spark.functions.hll import hll_sketch_agg
+
+    out = hll_sketch_agg(sparse_df, ["grp"], "item", lg_k=10).collect()
+    assert sorted(r["grp"] for r in out) == ["grp0", "grp1"]
+    # tiny ndv -> linear counting is exact-ish; 3 and 2 distincts
+    got = {r["grp"]: round(r["estimate"]) for r in out}
+    assert got == {"grp0": 3, "grp1": 2}
+
+
+def test_hll_sketch_agg_global_and_fully_empty(spark, sparse_df):
+    from datasketches_cpp_spark.functions.hll import hll_sketch_agg
+    import pyspark.sql.functions as F
+
+    out = hll_sketch_agg(sparse_df, [], "item", lg_k=10).collect()
+    assert len(out) == 1 and round(out[0]["estimate"]) == 5
+    empty = sparse_df.filter(F.lit(False)).repartition(4)
+    assert hll_sketch_agg(empty, [], "item").collect() == []

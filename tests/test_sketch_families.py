@@ -352,3 +352,81 @@ def test_hll_within_bounds(spark, sf_dir):
     exact = li.select("l_orderkey").distinct().count()
     assert row["lower_bound"] <= exact <= row["upper_bound"]
     assert row["estimate"] == pytest.approx(exact, rel=4 * rse(12))
+
+
+# ---------------------------------------------------------------------------
+# from-scratch HLL register sketch (functions/hll.hll_sketch_agg)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sketch_error_envelope(spark):
+    """Estimate within the reference ±3σ envelope (rse = 1.03896/sqrt(K),
+    HllUtil.hpp:86) at ndv >> K, and partition-layout invariant."""
+    from datasketches_cpp_spark.functions.hll import HLL_NON_HIP_RSE_FACTOR, hll_sketch_agg
+
+    n = 120_000
+    lg_k = 11
+    df = spark.range(n).select((F.col("id") * 2654435761 % 1000000007).alias("v"))
+    ests = []
+    for parts in (3, 17):
+        out = hll_sketch_agg(
+            df.repartition(parts), [], "v", lg_k=lg_k, num_std_devs=3
+        ).collect()[0]
+        ests.append(out["estimate"])
+        rse = HLL_NON_HIP_RSE_FACTOR / math.sqrt(float(1 << lg_k))
+        # classic (non-HIP) composite estimator: 3.5σ absorbs the small
+        # residual bias the reference corrects with HIP/bias tables
+        assert abs(out["estimate"] - n) / n < 3.5 * rse
+        assert out["lower_bound"] <= n <= out["upper_bound"]
+    # register state is a pure function of the data -> estimates identical
+    # across partition layouts
+    assert ests[0] == ests[1]
+
+
+def test_hll_merge_sketches_union_law(spark):
+    """union(sketch(A), sketch(B)) == sketch(A ∪ B) exactly (register max
+    is the merge law, reference hll_union semantics)."""
+    from datasketches_cpp_spark.functions.hll import hll_sketch_agg, hll_merge_sketches
+
+    a = spark.range(0, 50_000).select(F.col("id").alias("v"))
+    b = spark.range(30_000, 80_000).select(F.col("id").alias("v"))
+
+    import datasketches_cpp_spark.functions.hll as hllmod
+    lg_k = 10
+
+    sk_a_parts = _partials(hllmod, a, lg_k)
+    sk_b_parts = _partials(hllmod, b, lg_k)
+    merged = hll_merge_sketches(sk_a_parts, sk_b_parts, [], num_std_devs=2).collect()[0]
+    direct = hll_sketch_agg(a.unionByName(b), [], "v", lg_k=lg_k).collect()[0]
+    assert merged["estimate"] == direct["estimate"]
+    true_union = 80_000
+    assert abs(merged["estimate"] - true_union) / true_union < 0.1
+
+
+def _partials(hllmod, df, lg_k):
+    """Raw partial register rows for a frame (the mergeable state)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+    from datasketches_cpp_spark.functions.theta import _hash_series
+    from datasketches_cpp_spark.hashing import DEFAULT_SEED
+
+    k = 1 << lg_k
+    dtype = dict(df.dtypes)["v"]
+
+    def partial(batches):
+        state = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes, _ = _hash_series(pdf["v"], dtype, DEFAULT_SEED)
+            slots = (hashes.astype(np.uint64) & np.uint64(k - 1)).astype(np.int64)
+            rhos = hllmod._rho(hashes, lg_k)
+            if state is None:
+                state = np.zeros(k, np.uint8)
+            np.maximum.at(state, slots, rhos)
+        if state is None:
+            return
+        yield pd.DataFrame({"regs": [state.tobytes()]})
+
+    return df.mapInPandas(partial, StructType([StructField("regs", BinaryType(), False)]))
