@@ -556,6 +556,19 @@ def q_ebpps_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 QA sampling coverage contract: the deterministic hash-threshold
+    stratified sample keeps ≈5% of every o_orderstatus stratum; per-stratum
+    counts must sit inside a ±4σ binomial envelope (layout-invariant by
+    construction — same rows sampled at any cluster size)."""
+    from datasketches_cpp_spark.functions.sampling import stratified_sample_qa
+
+    orders = _t(spark, sf_dir, "orders")
+    return stratified_sample_qa(
+        orders, ["o_orderstatus"], "o_orderkey", fraction=0.05
+    ).select("o_orderstatus", "n_rows", "within_envelope")
+
+
 def q_exact_p99_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tail percentiles (p99/p999) by return flag — the exact twin the
     t-digest sketch approximates (tail accuracy is the reason t-digest
@@ -646,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_coverage": q_ann_recall_coverage,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
         "hll_sketch_coverage": q_hll_sketch_coverage,
+        "stratified_sample_qa": q_stratified_sample_qa,
         "cpc_distinct_coverage": q_cpc_distinct_coverage,
         "req_tail_rank_coverage": q_req_tail_rank_coverage,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -849,6 +863,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_coverage": (
             "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, "
             "TRUE AS covered FROM lineitem"
+        ),
+        "stratified_sample_qa": (
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "TRUE AS within_envelope FROM orders GROUP BY o_orderstatus"
         ),
         "kll_rank_coverage": (
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "

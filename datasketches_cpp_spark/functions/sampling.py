@@ -308,3 +308,59 @@ def ebpps_sample(
             F.greatest(w, F.lit(tau)).alias("ht_weight"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fraction: float,
+    salt: int = 9001,
+) -> DataFrame:
+    """SURVEY §2B S11 QA sampling: deterministic hash-threshold stratified
+    sample — every stratum keeps ≈``fraction`` of its rows, chosen by
+    `xxhash64(key, salt) mod 1e6 < fraction·1e6`.
+
+    Why not `sampleBy`: Bernoulli `sampleBy` draws depend on partition
+    layout (different cluster sizes → different QA samples), which breaks
+    the engine's answers-are-layout-invariant discipline. A hash threshold
+    is a pure function of the data: the same rows are sampled on 1 or
+    1000 executors, the filter is one JVM expression pushed into
+    whole-stage codegen (zero shuffle, zero Python), and per-stratum
+    counts concentrate at fraction·N_s with binomial variance (the QA
+    coverage contract, oracle-checked in __spark_entry__).
+
+    ``strata_cols`` are not used in the predicate — the hash of the key
+    already samples uniformly within every stratum — but are kept in the
+    signature to document intent and for the QA readout grouping."""
+    m = 1_000_000
+    thresh = int(fraction * m)
+    h = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(m))
+    return df.where(h < thresh)
+
+
+def stratified_sample_qa(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fraction: float,
+    salt: int = 9001,
+    num_std_devs: float = 4.0,
+) -> DataFrame:
+    """Per-stratum QA readout: sampled count vs expected fraction·N_s with
+    a ±nσ binomial envelope (σ = sqrt(N_s·f·(1−f))). Emits one row per
+    stratum: (strata..., n_rows, sampled, within_envelope)."""
+    sampled = stratified_sample(df, strata_cols, key_col, fraction, salt)
+    tot = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    smp = sampled.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("sampled"))
+    j = tot.join(smp, strata_cols, "left").fillna(0, subset=["sampled"])
+    mu = F.col("n_rows") * F.lit(fraction)
+    sigma = F.sqrt(F.col("n_rows") * F.lit(fraction * (1.0 - fraction)))
+    return j.select(
+        *strata_cols,
+        "n_rows",
+        "sampled",
+        (F.abs(F.col("sampled") - mu) <= F.lit(num_std_devs) * sigma + F.lit(1.0)).alias(
+            "within_envelope"
+        ),
+    )

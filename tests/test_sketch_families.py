@@ -430,3 +430,31 @@ def _partials(hllmod, df, lg_k):
         yield pd.DataFrame({"regs": [state.tobytes()]})
 
     return df.mapInPandas(partial, StructType([StructField("regs", BinaryType(), False)]))
+
+
+# ---------------------------------------------------------------------------
+# stratified QA sampling (functions/sampling.stratified_sample)
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_layout_invariant_and_jvm(spark):
+    """Same rows sampled regardless of partition layout (hash threshold is
+    a pure function of the data), per-stratum coverage within envelope,
+    and the sampling filter is pure JVM (no Python eval in the plan)."""
+    from datasketches_cpp_spark.functions.sampling import (
+        stratified_sample,
+        stratified_sample_qa,
+    )
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("s")
+    )
+    picks = []
+    for parts in (2, 13):
+        got = stratified_sample(df.repartition(parts), ["s"], "k", 0.1)
+        picks.append({r["k"] for r in got.collect()})
+    assert picks[0] == picks[1]
+    qa = stratified_sample_qa(df, ["s"], "k", 0.1).collect()
+    assert len(qa) == 3 and all(r["within_envelope"] for r in qa)
+    plan = stratified_sample(df, ["s"], "k", 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
