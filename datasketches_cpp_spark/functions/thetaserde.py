@@ -20,9 +20,16 @@ Layout (little-endian, 8-byte preamble words):
 
 Deserialization is zero-copy over the entries region (np.frombuffer) — the
 analog of the reference's wrapped compact sketch (theta_sketch.hpp:542).
-Only v3 (the current uncompressed version) is produced/consumed; v1/v2
-legacy and v4 delta-bit-packed streams are out of scope (parquet's
-DELTA_BINARY_PACKED covers the storage-compression role engine-side).
+
+v4 (COMPRESSED_SERIAL_VERSION, theta_sketch_impl.hpp:461-560) is also
+produced/consumed: consecutive-entry deltas packed at a single bit width
+(bit_length of the OR of all deltas), MSB-first per bit_packing.hpp —
+vectorized here as a numpy bit-matrix + np.packbits, cross-checked in
+tests against a direct transliteration of the reference's scalar
+pack_bits loop. `serialize_compressed` mirrors the reference's
+is_suitable_for_compression gate (v4 when ordered and non-trivial, else
+v3); `deserialize_compact` dispatches on the stream's version byte.
+v1/v2 legacy streams are out of scope.
 """
 
 from __future__ import annotations
@@ -121,3 +128,145 @@ def deserialize_compact_v3(
         )
     entries = np.frombuffer(buf, dtype="<u8", count=n, offset=off)
     return (-1 if theta >= MAX_THETA else int(theta)), entries.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# v4 (compressed, delta-bit-packed) — theta_sketch_impl.hpp:461-560,
+# bit order per theta/include/bit_packing.hpp (MSB-first concatenation)
+# ---------------------------------------------------------------------------
+
+_COMPRESSED_SERIAL_VERSION = 4
+
+
+def _pack_deltas_msb(deltas: np.ndarray, bits: int) -> bytes:
+    """Concatenate each delta's low ``bits`` bits MSB-first into a byte
+    stream (the reference's pack_bits layout; final byte zero-padded on
+    the right). Vectorized: bit matrix → np.packbits (MSB-first)."""
+    if bits == 0 or len(deltas) == 0:
+        return b""
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    bitmat = ((deltas[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bitmat.ravel()).tobytes()
+
+
+def _unpack_deltas_msb(buf: bytes, offset: int, n: int, bits: int) -> np.ndarray:
+    if bits == 0 or n == 0:
+        return np.zeros(n, np.uint64)
+    total_bits = n * bits
+    nbytes = (total_bits + 7) // 8
+    if len(buf) < offset + nbytes:
+        raise ThetaSerdeError(
+            f"truncated v4 entries: need {offset + nbytes} bytes, have {len(buf)}"
+        )
+    arr = np.frombuffer(buf, np.uint8, count=nbytes, offset=offset)
+    bitvec = np.unpackbits(arr)[:total_bits].reshape(n, bits).astype(np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    return (bitvec << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def serialize_compact_v4(
+    theta: int, sig: np.ndarray, seed: int = DEFAULT_SEED
+) -> bytes:
+    """(theta, sorted entries) → reference-compatible COMPRESSED v4 bytes:
+    deltas between consecutive ordered entries, all packed at a single bit
+    width = bit_length(OR of deltas) (compute_entry_bits). Falls back is
+    the caller's job (`serialize_compressed` mirrors the reference's
+    is_suitable_for_compression gate)."""
+    theta = MAX_THETA if theta < 0 else int(theta)
+    entries = np.ascontiguousarray(np.asarray(sig, np.int64).view(np.uint64))
+    if len(entries) > 1 and not (entries[:-1] < entries[1:]).all():
+        raise ThetaSerdeError("entries must be strictly ascending")
+    n = len(entries)
+    estimation = theta < MAX_THETA
+    if n == 0 or (n == 1 and not estimation):
+        raise ThetaSerdeError(
+            "sketch not suitable for v4 compression (empty or trivial exact);"
+            " use serialize_compressed for the reference's fallback"
+        )
+    deltas = np.diff(entries, prepend=np.uint64(0))
+    entry_bits = int(np.bitwise_or.reduce(deltas)).bit_length()
+    num_entries_bytes = max(1, (int(n).bit_length() + 7) // 8)
+    preamble_longs = 2 if estimation else 1
+    flags = (1 << _F_COMPACT) | (1 << _F_READ_ONLY) | (1 << _F_ORDERED)
+    out = bytearray()
+    out += struct.pack(
+        "<BBBBBBH",
+        preamble_longs,
+        _COMPRESSED_SERIAL_VERSION,
+        _SKETCH_TYPE,
+        entry_bits,
+        num_entries_bytes,
+        flags,
+        seed_hash(seed),
+    )
+    if estimation:
+        out += struct.pack("<Q", theta)
+    out += int(n).to_bytes(num_entries_bytes, "little")
+    out += _pack_deltas_msb(deltas, entry_bits)
+    return bytes(out)
+
+
+def serialize_compressed(
+    theta: int, sig: np.ndarray, seed: int = DEFAULT_SEED
+) -> bytes:
+    """Reference `serialize_compressed`: v4 when suitable, else v3."""
+    entries = np.asarray(sig, np.int64)
+    n = len(entries)
+    estimation = 0 <= theta < MAX_THETA
+    if n == 0 or (n == 1 and not estimation):
+        return serialize_compact_v3(theta, sig, seed)
+    return serialize_compact_v4(theta, sig, seed)
+
+
+def deserialize_compact_v4(
+    buf: bytes, seed: int = DEFAULT_SEED
+) -> tuple[int, np.ndarray]:
+    """v4 bytes → (theta [-1 ⇔ exact], sorted int64 entries); fails fast on
+    version/type/seed-hash mismatch and truncation."""
+    if len(buf) < 8:
+        raise ThetaSerdeError(f"buffer too short for preamble: {len(buf)} bytes")
+    preamble_longs, ver, typ, entry_bits, num_entries_bytes, _flags, sh = (
+        struct.unpack_from("<BBBBBBH", buf, 0)
+    )
+    if ver != _COMPRESSED_SERIAL_VERSION:
+        raise ThetaSerdeError(f"unsupported serial version {ver} (expected 4)")
+    if typ != _SKETCH_TYPE:
+        raise ThetaSerdeError(f"not a compact theta sketch (type {typ})")
+    if sh != seed_hash(seed):
+        raise ThetaSerdeError(
+            f"seed hash mismatch: stream {sh:#06x} vs seed {seed} "
+            f"-> {seed_hash(seed):#06x}"
+        )
+    if entry_bits > 64:
+        raise ThetaSerdeError(f"corrupt entry_bits {entry_bits}")
+    off = 8
+    if preamble_longs == 2:
+        if len(buf) < off + 8:
+            raise ThetaSerdeError("truncated preamble (theta)")
+        (theta,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+    else:
+        theta = MAX_THETA
+    if len(buf) < off + num_entries_bytes:
+        raise ThetaSerdeError("truncated preamble (num_entries)")
+    n = int.from_bytes(buf[off : off + num_entries_bytes], "little")
+    off += num_entries_bytes
+    deltas = _unpack_deltas_msb(buf, off, n, entry_bits)
+    entries = np.cumsum(deltas, dtype=np.uint64)
+    if len(entries) > 1 and not (entries[:-1] < entries[1:]).all():
+        raise ThetaSerdeError("corrupt v4 stream: entries not ascending")
+    return (-1 if theta >= MAX_THETA else int(theta)), entries.view(np.int64)
+
+
+def deserialize_compact(
+    buf: bytes, seed: int = DEFAULT_SEED
+) -> tuple[int, np.ndarray]:
+    """Version-dispatching parse (byte 1): v3 uncompressed or v4 packed."""
+    if len(buf) < 2:
+        raise ThetaSerdeError("buffer too short")
+    ver = buf[1]
+    if ver == _SERIAL_VERSION:
+        return deserialize_compact_v3(buf, seed)
+    if ver == _COMPRESSED_SERIAL_VERSION:
+        return deserialize_compact_v4(buf, seed)
+    raise ThetaSerdeError(f"unsupported serial version {ver}")

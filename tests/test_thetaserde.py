@@ -92,3 +92,112 @@ def test_hardening_truncation_and_mismatch():
 def test_unsorted_entries_rejected():
     with pytest.raises(ThetaSerdeError, match="ascending"):
         serialize_compact_v3(-1, np.array([5, 3, 9], np.int64))
+
+
+# ---------------------------------------------------------------------------
+# v4 (compressed, delta-bit-packed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from datasketches_cpp_spark.functions.thetaserde import (  # noqa: E402
+    deserialize_compact,
+    deserialize_compact_v4,
+    serialize_compact_v4,
+    serialize_compressed,
+)
+
+
+def _pack_bits_reference(values, bits):
+    """Direct transliteration of the reference's scalar pack_bits loop
+    (theta/include/bit_packing.hpp:27-47) — the independent cross-check
+    that the vectorized np.packbits path produces the identical stream."""
+    out = bytearray((len(values) * bits + 7) // 8)
+    pos = 0  # ptr index
+    offset = 0
+    for value in values:
+        b = bits
+        if offset > 0:
+            chunk_bits = 8 - offset
+            mask = (1 << chunk_bits) - 1
+            if b < chunk_bits:
+                out[pos] |= (value << (chunk_bits - b)) & mask
+                offset += b
+                continue
+            out[pos] |= (value >> (b - chunk_bits)) & mask
+            pos += 1
+            b -= chunk_bits
+        while b >= 8:
+            out[pos] = (value >> (b - 8)) & 0xFF
+            pos += 1
+            b -= 8
+        if b > 0:
+            out[pos] = (value << (8 - b)) & 0xFF
+            offset = b
+        else:
+            offset = 0
+    return bytes(out)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    theta=st.sampled_from([-1, MAX_THETA // 3, MAX_THETA // 2]),
+    width=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=40, deadline=None)
+def test_v4_roundtrip(n, theta, width):
+    rng = np.random.default_rng(n * 7 + width)
+    deltas = rng.integers(1, 1 << width, size=n, dtype=np.uint64)
+    entries = np.cumsum(deltas).astype(np.uint64)
+    if theta > 0:
+        entries = entries[entries < theta]
+        if len(entries) == 0:
+            return
+    if theta <= 0 and len(entries) == 1:
+        return  # single-entry exact: not v4-suitable (reference gate)
+    buf = serialize_compact_v4(theta, entries.view(np.int64))
+    t2, e2 = deserialize_compact_v4(buf)
+    assert t2 == (theta if theta > 0 else -1)
+    np.testing.assert_array_equal(e2.view(np.uint64), entries)
+    # version-dispatch parse agrees
+    t3, e3 = deserialize_compact(buf)
+    assert t3 == t2
+    np.testing.assert_array_equal(e3, e2)
+
+
+def test_v4_bitstream_matches_reference_packer():
+    rng = np.random.default_rng(99)
+    for bits in (1, 3, 8, 13, 31, 64):
+        vals = rng.integers(0, 1 << min(bits, 62), size=23, dtype=np.uint64)
+        vals &= (np.uint64(1) << np.uint64(bits)) - np.uint64(1) if bits < 64 else np.uint64(2**64 - 1)
+        from datasketches_cpp_spark.functions.thetaserde import _pack_deltas_msb
+        assert _pack_deltas_msb(vals, bits) == _pack_bits_reference(vals.tolist(), bits), bits
+
+
+def test_v4_smaller_than_v3_and_compressed_dispatch():
+    """Clustered entries (small deltas) must compress well below 8n bytes,
+    and serialize_compressed must fall back to v3 exactly where the
+    reference's is_suitable_for_compression gate says so."""
+    entries = np.arange(1, 5001, dtype=np.int64) * 100
+    v3 = serialize_compact_v3(-1, entries)
+    v4 = serialize_compact_v4(-1, entries)
+    assert len(v4) < len(v3) / 3
+    # empty and single-entry-exact fall back to v3
+    assert serialize_compressed(-1, np.empty(0, np.int64))[1] == 3
+    assert serialize_compressed(-1, np.array([42], np.int64))[1] == 3
+    # single entry in estimation mode IS v4-suitable (reference gate)
+    assert serialize_compressed(MAX_THETA // 2, np.array([42], np.int64))[1] == 4
+
+
+def test_v4_hardening():
+    entries = np.arange(1, 100, dtype=np.int64)
+    buf = serialize_compact_v4(MAX_THETA // 2, entries)
+    with pytest.raises(ThetaSerdeError, match="truncated"):
+        deserialize_compact_v4(buf[:-2])
+    with pytest.raises(ThetaSerdeError, match="seed hash"):
+        deserialize_compact_v4(buf, seed=1234)
+    bad = bytearray(buf)
+    bad[1] = 9
+    with pytest.raises(ThetaSerdeError, match="version"):
+        deserialize_compact(bytes(bad))
