@@ -363,6 +363,42 @@ def q_kll_rank_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classic_quantiles_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic quantiles sketch (functions/classic_quantiles — reference
+    quantiles_sketch.hpp k=128 family, base buffer + zipped levels) as a
+    coverage contract: the exact rank of the sketch's median estimate must
+    lie within 2× the published ε = 1.576/k^0.9726."""
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+        classic_quantiles_agg,
+        with_classic_quantiles,
+    )
+
+    k = 128
+    li = _t(spark, sf_dir, "lineitem")
+    sk = classic_quantiles_agg(li, ["l_returnflag"], "l_extendedprice", k=k)
+    est = with_classic_quantiles(sk, [0.5]).select(
+        "l_returnflag", F.col("quantiles")[0].alias("median_est")
+    )
+    tol = 2.0 * ClassicQuantilesSketch.normalized_rank_error(k)
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("median_est")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("exact_rank"),
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        (F.abs(F.col("exact_rank") - F.lit(0.5)) <= F.lit(tol)).alias("covered"),
+    )
+
+
 def q_ann_recall_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN recall vs the exact brute-force top-k as a hash-checkable
     coverage contract: with the fixed seed (9001) the hyperplane tables are
@@ -656,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "kll_quantiles": q_kll_quantiles,
         "kll_rank_coverage": q_kll_rank_coverage,
+        "classic_quantiles_coverage": q_classic_quantiles_coverage,
         "ann_recall_coverage": q_ann_recall_coverage,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
         "hll_sketch_coverage": q_hll_sketch_coverage,
@@ -869,6 +906,10 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS within_envelope FROM orders GROUP BY o_orderstatus"
         ),
         "kll_rank_coverage": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "TRUE AS covered FROM lineitem GROUP BY l_returnflag"
+        ),
+        "classic_quantiles_coverage": (
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "TRUE AS covered FROM lineitem GROUP BY l_returnflag"
         ),

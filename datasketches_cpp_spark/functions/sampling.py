@@ -13,13 +13,18 @@ Exact corner: k ≥ n keeps everything with original weights → subset sums
 are exact (the oracle-checkable mode, like theta below k).
 
 Our merge strategy: partial per-partition var-opt samples (adjusted
-weights) are concatenated and re-sampled at the final stage. This is the
-pseudo-lightweight union — unbiasedness of subset-sum estimates is
-preserved (each resample step keeps E[adjusted weight sum] invariant by
-construction of tau), though the variance guarantee is slightly weaker
-than the reference's full weight-corrected union (var_opt_union.hpp
-marking rules). Documented deviation; exactness when k ≥ n still holds
-end-to-end because no stage ever downsamples below k retained items.
+weights) are concatenated and re-sampled at the final stage, WITH the
+reference union's marked-item discipline (var_opt_union.hpp:207-219):
+every item that ever passed through a resampled (R) zone carries a mark,
+and a marked item is never allowed into the heavy/exact zone of a later
+stage — k is reduced until it migrates to the resampled region
+(migrate_marked_items_by_decreasing_k), so the final sample never
+misreports an adjusted weight as exact. The surfaced `weight_exact`
+column is this invariant made visible. Unbiasedness of subset-sum
+estimates holds at every stage (resampling an unbiased carrier weight w
+at threshold tau keeps expectations invariant); exactness when k ≥ n
+holds end-to-end because no stage ever downsamples below k retained
+items.
 
 Randomness is seeded per (group, partition content hash) — deterministic
 re-runs for a fixed partitioning.
@@ -56,22 +61,45 @@ def _tau_for(weights: np.ndarray, k: int) -> float:
 
 
 def _varopt_sample(
-    items: np.ndarray, weights: np.ndarray, k: int, rng: np.random.Generator
-) -> tuple[np.ndarray, np.ndarray]:
+    items: np.ndarray,
+    weights: np.ndarray,
+    k: int,
+    rng: np.random.Generator,
+    marked: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One var-opt pass over a materialized batch: heavies kept exactly,
     lights kept w.p. w/tau at adjusted weight tau. E[Σ adjusted over any
-    subset] = Σ true weights of that subset."""
+    subset] = Σ true weights of that subset.
+
+    ``marked`` implements the reference union's marked-item discipline
+    (var_opt_union.hpp:207-219): True means the item already came out of
+    an R (resampled) zone, so its weight is an adjusted tau, NOT exact —
+    it must never end up in the result's heavy/exact zone. When a marked
+    item would land heavy, k is reduced until every marked item falls
+    into the resampled region (migrate_marked_items_by_decreasing_k),
+    which raises tau and re-randomizes them at the larger threshold —
+    unbiasedness is preserved because resampling any unbiased carrier
+    weight w at threshold tau (keep w.p. w/tau, weight tau) keeps
+    expectations invariant."""
+    if marked is None:
+        marked = np.zeros(len(items), bool)
     if len(items) <= k:
-        return items, weights.astype(np.float64)
-    tau = _tau_for(weights, k)
+        return items, weights.astype(np.float64), marked
+    kk = k
+    tau = _tau_for(weights, kk)
     heavy = weights > tau
+    while marked[heavy].any() and kk > 1:
+        kk -= 1
+        tau = _tau_for(weights, kk)
+        heavy = weights > tau
     keep_light = rng.random(len(items)) < (weights / tau)
     light = ~heavy & keep_light
     out_items = np.concatenate([items[heavy], items[light]])
     out_w = np.concatenate(
-        [weights[heavy].astype(np.float64), np.full(light.sum(), tau)]
+        [weights[heavy].astype(np.float64), np.full(int(light.sum()), tau)]
     )
-    return out_items, out_w
+    out_m = np.concatenate([marked[heavy], np.ones(int(light.sum()), bool)])
+    return out_items, out_w, out_m
 
 
 def var_opt_agg(
@@ -94,11 +122,15 @@ def var_opt_agg(
     prefix = f"{group_fields}, " if group_fields else ""
     schema = (
         f"{prefix}item {item_type}, adjusted_weight double, "
-        "total_weight double, n long"
+        "total_weight double, n long, weight_exact boolean"
     )
     # partial rows additionally carry a unique per-partial tag so the final
-    # stage can sum each partial's (total_weight, n) exactly once
-    partial_schema = schema + ", part_tag string"
+    # stage can sum each partial's (total_weight, n) exactly once, plus the
+    # reference union's marked flag (item came from a resampled R zone)
+    partial_schema = (
+        f"{prefix}item {item_type}, adjusted_weight double, "
+        "total_weight double, n long, marked boolean, part_tag string"
+    )
     cols = group_cols + [item_col] + ([weight_col] if weight_col else [])
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,16 +165,18 @@ def var_opt_agg(
                 )
                 st = state.get(key)
                 if st is None:
-                    st = [None, None, 0.0, 0, 0]
+                    st = [None, None, 0.0, 0, 0, None]
                     state[key] = st
                 st[2] += float(w.sum())
                 st[3] += len(sub)
                 st[4] ^= h
+                marked = np.zeros(len(items), bool)  # fresh rows: exact
                 if st[0] is not None:
                     items = np.concatenate([st[0], items])
                     w = np.concatenate([st[1], w])
+                    marked = np.concatenate([st[5], marked])
                 rng = np.random.default_rng((seed, st[4] & 0xFFFFFFFF))
-                st[0], st[1] = _varopt_sample(items, w, k, rng)
+                st[0], st[1], st[5] = _varopt_sample(items, w, k, rng, marked)
         for key, st in state.items():
             si, sw = st[0], st[1]
             out = {c: [key[i]] * len(si) for i, c in enumerate(group_cols)}
@@ -150,9 +184,11 @@ def var_opt_agg(
             out["adjusted_weight"] = sw
             out["total_weight"] = [st[2]] * len(si)
             out["n"] = [st[3]] * len(si)
+            out["marked"] = st[5]
             f = pd.DataFrame(
                 out,
-                columns=group_cols + ["item", "adjusted_weight", "total_weight", "n"],
+                columns=group_cols
+                + ["item", "adjusted_weight", "total_weight", "n", "marked"],
             )
             f["part_tag"] = uuid.uuid4().hex
             yield f
@@ -163,11 +199,12 @@ def var_opt_agg(
         key = tuple(pdf[c].iloc[0] for c in group_cols)
         items = pdf["item"].to_numpy()
         w = pdf["adjusted_weight"].to_numpy(dtype=np.float64)
+        marked = pdf["marked"].to_numpy(dtype=bool)
         content = int(np.bitwise_xor.reduce(
             pd.util.hash_pandas_object(pdf["item"]).to_numpy()
         )) if len(pdf) else 0
         rng = np.random.default_rng((seed ^ 0xABCD, content & 0xFFFFFFFF))
-        si, sw = _varopt_sample(items, w, k, rng)
+        si, sw, sm = _varopt_sample(items, w, k, rng, marked)
         per_partial = pdf.drop_duplicates(subset=["part_tag"])
         tot = float(per_partial["total_weight"].sum())
         n = int(per_partial["n"].sum())
@@ -176,8 +213,11 @@ def var_opt_agg(
         out["adjusted_weight"] = sw
         out["total_weight"] = [tot] * len(si)
         out["n"] = [n] * len(si)
+        out["weight_exact"] = ~sm
         return pd.DataFrame(
-            out, columns=group_cols + ["item", "adjusted_weight", "total_weight", "n"]
+            out,
+            columns=group_cols
+            + ["item", "adjusted_weight", "total_weight", "n", "weight_exact"],
         )
 
     if group_cols:

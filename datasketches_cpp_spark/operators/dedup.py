@@ -31,6 +31,7 @@ def dedup(
     use_simhash: bool = True,
     byte_stride: int = 1,
     sig_df: DataFrame | None = None,
+    hot_policy: str = "chain_hub",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (assignments, verified_pairs, signatures).
 
@@ -38,13 +39,19 @@ def dedup(
     verified_pairs: (a, b, jaccard, mh_jaccard, simhash_hamming,
                      exact_match, passed) — passed rows only
     signatures:     the S1 output, reusable for checkpointing
+
+    ``hot_policy``: skew defusal for degenerate LSH bands — "chain_hub"
+    (default contract: capped connectivity edges) or "salted_full" (full
+    pair semantics, chunk-bounded task memory); see operators/lsh.py.
     """
     cfg = cfg or SigConfig()
     if sig_df is None:
         sig_df = compute_signatures(
             df, id_col, content_col, cfg, kind=kind, byte_stride=byte_stride
         )
-    pairs = candidate_pairs(sig_df, max_pairs_group=max_pairs_group)
+    pairs = candidate_pairs(
+        sig_df, max_pairs_group=max_pairs_group, hot_policy=hot_policy
+    )
     verified = verify_pairs(pairs, sig_df, cfg, use_simhash=use_simhash)
     edges = verified.where("passed").select("a", "b")
     assignments = assign_clusters(df.select(F.col(id_col).alias("id")), edges)

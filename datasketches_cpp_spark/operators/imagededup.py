@@ -63,6 +63,7 @@ def phash_pairs(
     id_col: str = "image_id",
     phash_col: str = "phash",
     max_pairs_group: int = 256,
+    hot_policy: str = "chain_hub",
 ) -> DataFrame:
     """pHash lane, fully JVM-side: 64-bit hash → slice-COMBO band keys
     (C(nb, combo) bands of combo·width bits). Two images within hamming
@@ -75,7 +76,7 @@ def phash_pairs(
     bands_df = (
         images.select(F.col(id_col).alias("id"), F.posexplode(slices).alias("band_idx", "band_hash"))
     )
-    pairs = pairs_from_bands(bands_df, max_pairs_group=max_pairs_group)
+    pairs = pairs_from_bands(bands_df, max_pairs_group=max_pairs_group, hot_policy=hot_policy)
     ph = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
     verified = (
         pairs.join(ph.select(F.col("id").alias("a"), F.col("ph").alias("ph_a")), "a")
@@ -97,6 +98,7 @@ def dedup_images(
     byte_stride: int = 4,
     enable_lanes: tuple = ("caption", "bytes", "phash", "substring"),
     profile: dict | None = None,
+    hot_policy: str = "chain_hub",
 ) -> dict:
     """Full multi-lane dedup. Returns dict with 'assignments', 'edges',
     per-lane pair DataFrames, and the two signature tables.
@@ -136,7 +138,7 @@ def dedup_images(
         # rows, ×2 lanes, ×3 consumers)
         cap_sig = cap_sig.drop("mh_sig")
         cap_sig = _bar("caption_sig", cap_sig.localCheckpoint(eager=False))
-        cap_pairs = candidate_pairs(cap_sig, max_pairs_group=max_pairs_group)
+        cap_pairs = candidate_pairs(cap_sig, max_pairs_group=max_pairs_group, hot_policy=hot_policy)
         cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True, include_mh=False).where("passed")
         cap_ver = _bar("caption_pairs", cap_ver)
         out["caption_sig"] = cap_sig
@@ -149,7 +151,7 @@ def dedup_images(
         )
         byt_sig = byt_sig.drop("mh_sig")  # same pruning as the caption lane
         byt_sig = _bar("bytes_sig", byt_sig.localCheckpoint(eager=False))
-        byt_pairs = candidate_pairs(byt_sig, max_pairs_group=max_pairs_group)
+        byt_pairs = candidate_pairs(byt_sig, max_pairs_group=max_pairs_group, hot_policy=hot_policy)
         byt_ver = verify_pairs(byt_pairs, byt_sig, bytes_cfg, use_simhash=False, include_mh=False).where("passed")
         byt_ver = _bar("bytes_pairs", byt_ver)
         out["bytes_sig"] = byt_sig
@@ -157,7 +159,7 @@ def dedup_images(
         edge_parts.append(byt_ver.select("a", "b"))
 
     if "phash" in enable_lanes:
-        ph_ver = _bar("phash_pairs", phash_pairs(images, cfg, max_pairs_group=max_pairs_group))
+        ph_ver = _bar("phash_pairs", phash_pairs(images, cfg, max_pairs_group=max_pairs_group, hot_policy=hot_policy))
         out["phash_pairs"] = ph_ver
         edge_parts.append(ph_ver.select("a", "b"))
 

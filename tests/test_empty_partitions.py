@@ -116,3 +116,15 @@ def test_hll_sketch_agg_global_and_fully_empty(spark, sparse_df):
     assert len(out) == 1 and round(out[0]["estimate"]) == 5
     empty = sparse_df.filter(F.lit(False)).repartition(4)
     assert hll_sketch_agg(empty, [], "item").collect() == []
+
+
+def test_classic_quantiles_agg_empty_partitions(sparse_df):
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        classic_quantiles_agg,
+        with_classic_quantiles,
+    )
+
+    sk = classic_quantiles_agg(sparse_df, ["grp"], "w", k=4)
+    out = with_classic_quantiles(sk, [0.5]).collect()
+    assert sorted(r["grp"] for r in out) == ["grp0", "grp1"]
+    assert all(r["cq_n"] > 0 for r in out)

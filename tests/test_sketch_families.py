@@ -458,3 +458,102 @@ def test_stratified_sample_layout_invariant_and_jvm(spark):
     assert len(qa) == 3 and all(r["within_envelope"] for r in qa)
     plan = stratified_sample(df, ["s"], "k", 0.1)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_varopt_marked_item_discipline(spark):
+    """Reference var_opt_union marking rules: an item that was ever
+    resampled (R zone) must never surface with weight_exact=True, while a
+    genuinely heavy item keeps its exact weight through partial AND final
+    stages; Σ adjusted_weight stays an unbiased estimate of total weight."""
+    import pandas as pd
+    from datasketches_cpp_spark.functions.sampling import var_opt_agg
+
+    n = 5_000
+    pdf = pd.DataFrame({
+        "item": np.arange(n, dtype=np.int64),
+        "w": np.ones(n),
+    })
+    pdf.loc[0, "w"] = 10_000.0  # one dominant heavy
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = var_opt_agg(df, [], "item", "w", k=64).toPandas()
+    assert len(out) <= 64
+    heavy = out[out["item"] == 0]
+    assert len(heavy) == 1
+    assert bool(heavy["weight_exact"].iloc[0]) and heavy["adjusted_weight"].iloc[0] == 10_000.0
+    light = out[out["item"] != 0]
+    # every light survivor went through >=1 resample: never exact
+    assert not light["weight_exact"].any()
+    # all resampled rows share the final tau
+    assert light["adjusted_weight"].nunique() == 1
+    # unbiasedness: retained weight ~ total weight (loose 3-sigma-ish band)
+    total = 10_000.0 + (n - 1)
+    assert abs(out["adjusted_weight"].sum() - total) / total < 0.25
+
+
+# ---------------------------------------------------------------------------
+# classic quantiles sketch (functions/classic_quantiles)
+# ---------------------------------------------------------------------------
+
+
+def test_classic_quantiles_kernel_envelope():
+    """Rank error within published ε = 1.576/k^0.9726; bit-pattern law:
+    #valid levels == popcount(n // 2k)."""
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.random(150_000)
+    sk = ClassicQuantilesSketch(k=128)
+    for chunk in np.array_split(data, 31):
+        sk.update_batch(chunk)
+    eps = ClassicQuantilesSketch.normalized_rank_error(128)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = sk.get_quantile(q)
+        assert abs((data <= est).mean() - q) <= 2 * eps
+    assert sum(a is not None for a in sk.levels) == bin(sk.n // 256).count("1")
+    # exact below 2k
+    s2 = ClassicQuantilesSketch(k=128)
+    s2.update_batch(np.arange(100.0))
+    assert not s2.is_estimation_mode()
+    assert s2.get_quantile(0.5) == 49.0
+
+
+def test_classic_quantiles_merge_law():
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+    )
+
+    rng = np.random.default_rng(12)
+    d1, d2 = rng.normal(size=40_000), rng.normal(size=30_001) + 0.3
+    a, b = ClassicQuantilesSketch(128), ClassicQuantilesSketch(128)
+    a.update_batch(d1)
+    b.update_batch(d2)
+    a.merge(b)
+    assert a.n == 70_001
+    full = np.concatenate([d1, d2])
+    eps = ClassicQuantilesSketch.normalized_rank_error(128)
+    med = a.get_quantile(0.5)
+    assert abs((full <= med).mean() - 0.5) <= 2.5 * eps
+    with pytest.raises(ValueError, match="different k"):
+        a.merge(ClassicQuantilesSketch(64))
+
+
+def test_classic_quantiles_spark_agg(spark, sf_dir):
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+        classic_quantiles_agg,
+        with_classic_quantiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = classic_quantiles_agg(li, ["l_returnflag"], "l_extendedprice", k=128)
+    out = with_classic_quantiles(sk, [0.5, 0.9]).collect()
+    pdf = li.select("l_returnflag", "l_extendedprice").toPandas()
+    eps = ClassicQuantilesSketch.normalized_rank_error(128)
+    assert len(out) == pdf["l_returnflag"].nunique()
+    for row in out:
+        vals = pdf.loc[pdf["l_returnflag"] == row["l_returnflag"], "l_extendedprice"].to_numpy(dtype=np.float64)
+        assert row["cq_n"] == len(vals)
+        for q, est in zip((0.5, 0.9), row["quantiles"]):
+            assert abs((vals <= est).mean() - q) <= 3 * eps
