@@ -7,7 +7,8 @@ local[$SPARK_GRAFT_CPUS], prints ONE JSON line:
 The image corpus for the flagship lane is synthesized deterministically
 (sources/images.generate_images, seed 42) and cached as parquet next to
 this script — no external data. Image count via $BENCH_IMAGES (default
-20000 ≈ the sf0.1 tier of FIXTURES.md F1).
+50000; the sf0.1-tier 20k corpus of FIXTURES.md F1 was ~60% fixed
+stage-setup overhead, understating steady-state throughput).
 """
 
 from __future__ import annotations
@@ -23,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_images = int(os.environ.get("BENCH_IMAGES", "20000"))
+    # 50k amortizes the ~40 s of fixed stage-setup cost that dominated a
+    # 20k corpus (at 20k the flagship reads ~60% overhead, at 50k ~25%);
+    # throughput at 50k matches the 200k-image profile within noise
+    n_images = int(os.environ.get("BENCH_IMAGES", "50000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from datasketches_cpp_spark.session import get_spark
