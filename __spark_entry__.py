@@ -193,6 +193,37 @@ def q_exact_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_twin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash lane contract: SimHash is a deterministic function of the
+    token multiset, so planted twins (corpus doubled) MUST collide at
+    hamming distance 0, and the number of zero-hamming twin pairs is
+    SQL-computable: every one of the n planted (doc, twin) pairs must be
+    at hamming 0, so the count of zero-distance twin pairs == COUNT(*) of
+    documents. Any miss means the SimHash kernel broke determinism.
+    (Unplanted cross-doc collisions exist — short token sets collide — so
+    the contract counts the planted pairs, not the full collision graph.)"""
+    from datasketches_cpp_spark.operators.minhash import compute_signatures
+
+    base = _t(spark, sf_dir, "documents")
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(1 << 40))
+    )
+    sig = compute_signatures(docs, "doc_id", "text", DOC_CFG, kind="text").select(
+        "id", "simhash"
+    )
+    twins = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.id") + F.lit(1 << 40)) == F.col("y.id"),
+        )
+        .where(
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))) == 0
+        )
+    )
+    return twins.agg(F.count(F.lit(1)).alias("zero_hamming_twin_pairs"))
+
+
 def q_dedup_cluster_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle surrogate for the full LSH dedup clustering. SQL cannot
     express MinHash→LSH→verify→CC, but it CAN express this invariant of a
@@ -683,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "exact_cluster_histogram": q_exact_cluster_histogram,
         "dedup_cluster_coherence": q_dedup_cluster_coherence,
+        "simhash_twin_pairs": q_simhash_twin_pairs,
         "bpe_token_counts": q_bpe_token_counts,
         "exact_median_by_flag": q_exact_median_by_flag,
         "frequent_items_sketch": q_frequent_items_sketch,
@@ -818,6 +850,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents), "
             "cs AS (SELECT f, COUNT(*) AS cluster_size FROM fp GROUP BY f) "
             "SELECT cluster_size, COUNT(*) AS num_clusters FROM cs GROUP BY cluster_size"
+        ),
+        "simhash_twin_pairs": (
+            # every planted (doc, twin) pair must collide at hamming 0
+            "SELECT CAST(COUNT(*) AS BIGINT) AS zero_hamming_twin_pairs "
+            "FROM documents"
         ),
         "dedup_cluster_coherence": (
             # unrestricted fingerprint histogram over the DOUBLED corpus

@@ -67,6 +67,13 @@ def main() -> None:
         res = dedup_images(images, img_cfg, bytes_cfg, byte_stride=4)
         return res["assignments"].count()
 
+    # warmup: spin up the 32 Python UDF workers + JIT the JVM codegen paths
+    # on a 2% slice so the timed run measures steady-state throughput, not
+    # process startup (cold vs warm differs ~2x on the flagship; a real
+    # cluster job at 10^12 rows amortizes startup to nothing)
+    warm = spark.read.parquet(img_parquet).limit(max(1000, n_images // 50))
+    dedup_images(warm, img_cfg, bytes_cfg, byte_stride=4)["assignments"].count()
+
     n_assigned = run("image_dedup", flagship)
     assert n_assigned == n_images, (n_assigned, n_images)
 
