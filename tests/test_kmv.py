@@ -11,6 +11,7 @@
 * order independence: batch build == incremental unions (merge law)
 """
 
+import math
 import numpy as np
 import pytest
 
@@ -199,3 +200,83 @@ def test_order_independence():
     s2 = from_hashes(rng.permutation(h), k=1 << 10)
     assert s1.theta == s2.theta
     assert np.array_equal(s1.hashes, s2.hashes)
+
+
+def test_similarity_test_reference_parameters():
+    """The reference's own similarity_test scenario
+    (theta_jaccard_similarity_test.cpp:129-143 / BASELINE.md): two streams
+    with 95% overlap at n=2^20, default lg_k=12 — similarity_test must
+    PASS at threshold J_lb >= 0.943 (97.7% confidence lower bound), and
+    dissimilarity must NOT hold at the same threshold."""
+    from datasketches_cpp_spark.hashing import hash63_int64
+    from datasketches_cpp_spark.kmv import (
+        dissimilarity_test,
+        from_hashes,
+        kmin_signature,
+        similarity_test,
+    )
+
+    n = 1 << 20
+    k = 1 << 12
+    overlap = int(n * 0.95)
+    a_vals = np.arange(n, dtype=np.int64)
+    b_vals = np.arange(n - overlap, 2 * n - overlap, dtype=np.int64)
+    ha = hash63_int64(a_vals)
+    hb = hash63_int64(b_vals)
+    ta, sa = kmin_signature(ha, k)
+    tb, sb = kmin_signature(hb, k)
+    a = from_hashes(sa, k=k, theta=ta)
+    b = from_hashes(sb, k=k, theta=tb)
+    # true J = 0.95n / 1.05n ≈ 0.9048 … reference tests threshold 0.943
+    # against u2 = 0.95·u1 streams where J_true = 0.95/1.05? No: the
+    # reference uses b ⊂ a with |b| = 0.95|a| ⇒ J = 0.95. Mirror that too:
+    hb_sub = ha[: int(n * 0.95)]
+    tb2, sb2 = kmin_signature(hb_sub, k)
+    b_sub = from_hashes(sb2, k=k, theta=tb2)
+    assert similarity_test(a, b_sub, 0.943)
+    assert not dissimilarity_test(a, b_sub, 0.943)
+
+
+def test_cross_estimator_consistency():
+    """CrossCountingTest analog (reference hll/test/CrossCountingTest.cpp):
+    theta, HLL, and CPC fed the identical stream must all land within
+    their own error envelopes of the exact count — catching any systematic
+    hash/estimator divergence between families."""
+    from datasketches_cpp_spark.hashing import hash63_int64
+    from datasketches_cpp_spark.kmv import estimate, kmin_signature
+    from datasketches_cpp_spark.functions.hll import (
+        HLL_NON_HIP_RSE_FACTOR,
+        _composite_estimate,
+        _rho,
+    )
+    from datasketches_cpp_spark.functions.cpc import (
+        _fold_matrix,
+        _coupon_count,
+        invert_coupons,
+    )
+
+    n = 200_000
+    vals = (np.arange(n, dtype=np.int64) * 892_341_239 + 7) % (1 << 61)
+    vals = np.unique(vals).astype(np.int64)
+    exact = len(vals)
+    h = hash63_int64(vals)
+
+    lg_k = 11
+    k = 1 << lg_k
+    # theta
+    t, sig = kmin_signature(h, k)
+    theta_est = estimate(t, len(sig))
+    assert abs(theta_est - exact) / exact < 3 * 1.0 / math.sqrt(k - 1)
+    # HLL
+    regs = np.zeros(k, np.uint8)
+    np.maximum.at(regs, (h.astype(np.uint64) & np.uint64(k - 1)).astype(np.int64), _rho(h, lg_k))
+    hll_est = _composite_estimate(regs)
+    assert abs(hll_est - exact) / exact < 3.5 * HLL_NON_HIP_RSE_FACTOR / math.sqrt(k)
+    # CPC
+    mat = np.zeros(k, np.uint64)
+    _fold_matrix(mat, h.astype(np.uint64), lg_k)
+    cpc_est = invert_coupons(_coupon_count(mat), lg_k)
+    assert abs(cpc_est - exact) / exact < 4 * 0.59 / math.sqrt(k)
+    # families agree with each other within combined envelopes
+    assert abs(theta_est - hll_est) / exact < 0.1
+    assert abs(theta_est - cpc_est) / exact < 0.1
