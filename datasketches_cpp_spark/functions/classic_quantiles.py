@@ -157,6 +157,15 @@ class ClassicQuantilesSketch:
         idx = int(np.searchsorted(v, item, side=side))
         return float(cw[idx - 1] / cw[-1]) if idx > 0 else 0.0
 
+    def get_cdf(self, splits: np.ndarray) -> np.ndarray:
+        """Normalized CDF at the split points (+1 for the tail), the
+        reference's get_CDF query shape."""
+        splits = np.asarray(splits, np.float64)
+        return np.array([self.get_rank(s) for s in splits] + [1.0])
+
+    def get_pmf(self, splits: np.ndarray) -> np.ndarray:
+        return np.diff(self.get_cdf(splits), prepend=0.0)
+
     def is_estimation_mode(self) -> bool:
         return any(a is not None for a in self.levels)
 

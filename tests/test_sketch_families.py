@@ -557,3 +557,23 @@ def test_classic_quantiles_spark_agg(spark, sf_dir):
         assert row["cq_n"] == len(vals)
         for q, est in zip((0.5, 0.9), row["quantiles"]):
             assert abs((vals <= est).mean() - q) <= 3 * eps
+
+
+def test_classic_quantiles_pmf_cdf():
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+    )
+
+    rng = np.random.default_rng(13)
+    data = rng.random(80_000)
+    sk = ClassicQuantilesSketch(k=128)
+    sk.update_batch(data)
+    eps = ClassicQuantilesSketch.normalized_rank_error(128, pmf=True)
+    splits = np.array([0.25, 0.5, 0.75])
+    cdf = sk.get_cdf(splits)
+    assert cdf[-1] == 1.0 and np.all(np.diff(cdf) >= 0)
+    for s, c in zip(splits, cdf):
+        assert abs(c - s) <= 2 * eps  # uniform data: CDF(x) == x
+    pmf = sk.get_pmf(splits)
+    assert pmf.sum() == pytest.approx(1.0, abs=1e-12)
+    assert np.all(pmf >= 0)

@@ -41,3 +41,23 @@ def test_cap_does_not_change_discriminative_corpus(spark):
     got = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in capped.collect()}
     want = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in exact.collect()}
     assert got == want and len(want) > 0
+
+
+def test_salted_full_hot_band_scale(spark):
+    """Scale stress for hot_policy="salted_full": ONE degenerate band shared
+    by 5000 ids must yield exactly C(5000,2) = 12,497,500 pairs, produced
+    as ~ (5000/chunk)^2/2 bounded chunk-pair tasks — no task ever holds the
+    s^2 pair set. Count-only action (the pair set never collects)."""
+    import pandas as pd
+    from datasketches_cpp_spark.operators.lsh import pairs_from_bands
+
+    s = 5000
+    bands = spark.createDataFrame(
+        pd.DataFrame({
+            "band_idx": [0] * s,
+            "band_hash": [123456789] * s,
+            "id": [f"d{i:06d}" for i in range(s)],
+        })
+    ).repartition(8)
+    out = pairs_from_bands(bands, max_pairs_group=512, hot_policy="salted_full")
+    assert out.count() == s * (s - 1) // 2
