@@ -270,3 +270,69 @@ def deserialize_compact(
     if ver == _COMPRESSED_SERIAL_VERSION:
         return deserialize_compact_v4(buf, seed)
     raise ThetaSerdeError(f"unsupported serial version {ver}")
+
+
+# ---------------------------------------------------------------------------
+# Spark-level export/import: sketch tables <-> reference-compatible blobs
+# ---------------------------------------------------------------------------
+
+
+def with_theta_bytes(
+    sketch_df, out_col: str = "sketch_bytes", compressed: bool = True,
+    seed: int = DEFAULT_SEED,
+):
+    """Append a BinaryType column of reference-wire sketch blobs to a
+    theta sketch table (the (theta, sig) shape theta_sketch_agg emits).
+    Writing the result to parquet yields a table ANY DataSketches
+    deployment (Java/C++/Python binding) can consume — the interop path
+    the parquet-array checkpoint format deliberately is not."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    ser = serialize_compressed if compressed else serialize_compact_v3
+    schema = StructType(list(sketch_df.schema.fields) + [StructField(out_col, BinaryType(), False)])
+    cols = [f.name for f in sketch_df.schema.fields]
+
+    def add_bytes(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                ser(int(t), np.asarray(s, np.int64), seed)
+                for t, s in zip(pdf["theta"], pdf["sig"])
+            ]
+            yield pdf[cols + [out_col]]
+
+    return sketch_df.mapInPandas(add_bytes, schema)
+
+
+def theta_from_bytes(blob_df, bytes_col: str = "sketch_bytes", seed: int = DEFAULT_SEED):
+    """Inverse: a BinaryType column of v3/v4 reference blobs → (theta, sig)
+    columns consumable by the engine's set ops / estimators."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    other = [f for f in blob_df.schema.fields if f.name != bytes_col]
+    schema = StructType(
+        other
+        + [StructField("theta", LongType(), False),
+           StructField("sig", ArrayType(LongType(), False), False)]
+    )
+    names = [f.name for f in other]
+
+    def parse(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            thetas, sigs = [], []
+            for b in pdf[bytes_col]:
+                t, e = deserialize_compact(bytes(b), seed)
+                thetas.append(t)
+                sigs.append(e.tolist())
+            out = pdf[names].copy()
+            out["theta"] = thetas
+            out["sig"] = sigs
+            yield out
+
+    return blob_df.mapInPandas(parse, schema)

