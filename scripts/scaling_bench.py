@@ -101,6 +101,15 @@ def main() -> None:
         "VM has noisy neighbors, best-of-k at BOTH levels is the fair "
         "peak-throughput comparison",
     )
+    ap.add_argument(
+        "--mode", choices=["threads", "executors"], default="threads",
+        help="threads: local[N] vs local[4N] (shared JVM). executors: "
+        "local-cluster[N,1,mem] vs local-cluster[4N,1,mem] — REAL separate "
+        "executor JVMs with their own heaps, Python worker pools, and "
+        "socket shuffle: the literal N vs 4N executors of the north rule",
+    )
+    ap.add_argument("--exec-mem-mb", type=int, default=4096)
+    ap.add_argument("--out", default=None, help="output md path (default BENCH/BASELINE.md)")
     args = ap.parse_args()
 
     from datasketches_cpp_spark.sources.images import write_images_parquet
@@ -118,11 +127,17 @@ def main() -> None:
     # noisy neighbors drift on minute timescales, so running all-small
     # then all-big would let a noise step-change masquerade as a scaling
     # effect; interleaving exposes both levels to the same noise regime.
+    if args.mode == "executors":
+        small_master = f"local-cluster[{args.n},1,{args.exec_mem_mb}]"
+        big_master = f"local-cluster[{4 * args.n},1,{args.exec_mem_mb}]"
+    else:
+        small_master = f"local[{args.n}]"
+        big_master = f"local[{4 * args.n}]"
     bw_before = measure_bandwidth()
     small_runs, big_runs = [], []
     for _ in range(args.repeats):
-        small_runs.append(run_once(f"local[{args.n}]", zpath, img_parquet, 2 * args.n))
-        big_runs.append(run_once(f"local[{4 * args.n}]", zpath, img_parquet, 8 * args.n))
+        small_runs.append(run_once(small_master, zpath, img_parquet, 2 * args.n))
+        big_runs.append(run_once(big_master, zpath, img_parquet, 8 * args.n))
     bw_after = measure_bandwidth()
 
     def best_of(runs: list) -> dict:
@@ -144,12 +159,14 @@ def main() -> None:
     hw_ratio = bw.get(4 * args.n, bw[max(bw)]) / bw[args.n]
     eff_vs_hw = (big["images_per_sec"] / small["images_per_sec"]) / min(4.0, hw_ratio)
 
+    unit = "executors" if args.mode == "executors" else "cores"
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
 North rule: ≥ 0.8 throughput scaling efficiency from N to 4N executors
-(BASELINE.json). Sandbox stand-in: the identical spark-submit --py-files
-job at `local[{args.n}]` vs `local[{4 * args.n}]` over the same deterministic
+(BASELINE.json). Evidence: the identical spark-submit --py-files
+job at `{small_master}` vs `{big_master}` over the same deterministic
 {args.images}-image corpus (sources/images.generate_images, seed 42).
+{"local-cluster mode runs REAL separate executor JVMs (own heaps, own Python worker pools, shuffle over sockets) - the literal N vs 4N executors of the rule, not threads." if args.mode == "executors" else ""}
 
 ## Same-day hardware envelope (measured alongside the runs)
 
@@ -174,8 +191,8 @@ Bandwidth the box grants {4 * args.n} streams vs {args.n}: **{hw_ratio:.2f}x**
 
 | cluster size | master | wall best (s) | all runs (s) | images/sec |
 |---|---|---|---|---|
-| N = {args.n} cores | local[{args.n}] | {small['wall_sec']} | {small['all_runs_sec']} | {small['images_per_sec']} |
-| 4N = {4 * args.n} cores | local[{4 * args.n}] | {big['wall_sec']} | {big['all_runs_sec']} | {big['images_per_sec']} |
+| N = {args.n} {unit} | {small_master} | {small['wall_sec']} | {small['all_runs_sec']} | {small['images_per_sec']} |
+| 4N = {4 * args.n} {unit} | {big_master} | {big['wall_sec']} | {big['all_runs_sec']} | {big['images_per_sec']} |
 
 **Scaling efficiency = (R_4N / R_N) / 4 = {eff:.3f}** (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 **Efficiency vs measured hardware envelope = {eff_vs_hw:.3f}**
@@ -184,7 +201,7 @@ Assignment checksum identical across all runs: `{small['assignments_checksum']}`
 (the pipeline is partition-layout-invariant — scaling changes wall time,
 never answers; see tests/test_dedup_pipeline.py::test_pipeline_partitioning_invariance).
 """
-    out_md = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    out_md = args.out or os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(out_md, "w") as f:
         f.write(md)
     print(md)
