@@ -91,6 +91,10 @@ def main() -> None:
     run("tuple_setops", lambda: entry_mod.q_tuple_epoch_setops(spark, sf_dir).collect())
     run("ebpps_sample", lambda: entry_mod.q_ebpps_sample_exact(spark, sf_dir).collect())
     run("cpc_distinct", lambda: entry_mod.q_cpc_distinct_coverage(spark, sf_dir).collect())
+    run("hll_registers", lambda: entry_mod.q_hll_sketch_coverage(spark, sf_dir).collect())
+    run("classic_quantiles", lambda: entry_mod.q_classic_quantiles_coverage(spark, sf_dir).collect())
+    run("kll_rank", lambda: entry_mod.q_kll_rank_coverage(spark, sf_dir).collect())
+    run("stratified_qa", lambda: entry_mod.q_stratified_sample_qa(spark, sf_dir).collect())
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_dedup"], 1)

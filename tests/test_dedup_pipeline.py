@@ -280,3 +280,37 @@ def test_salted_full_pairs_all_jvm(spark):
     plan = pairs_from_bands(bands, max_pairs_group=4, hot_policy="salted_full")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_salted_full_property_random_bands(spark):
+    """Property check (reference test discipline): on random band tables —
+    mixed group sizes straddling the chunk cap, shared ids across bands —
+    salted_full emits EXACTLY the brute-force pair set."""
+    import itertools
+    from collections import defaultdict
+
+    from datasketches_cpp_spark.operators.lsh import pairs_from_bands
+
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        rows = []
+        n_groups = int(rng.integers(2, 6))
+        for g in range(n_groups):
+            size = int(rng.integers(1, 30))
+            members = rng.choice(60, size=size, replace=False)
+            rows += [(int(g % 3), int(1000 + g), f"v{m:02d}") for m in members]
+        bands = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["band_idx", "band_hash", "id"])
+        ).repartition(int(rng.integers(1, 7)))
+        cap = int(rng.integers(2, 12))
+        grouped = defaultdict(set)
+        for bi, bh, i in rows:
+            grouped[(bi, bh)].add(i)
+        expect = set()
+        for ids in grouped.values():
+            expect |= {tuple(sorted(p)) for p in itertools.combinations(ids, 2)}
+        got = {
+            (r["a"], r["b"])
+            for r in pairs_from_bands(bands, max_pairs_group=cap, hot_policy="salted_full").collect()
+        }
+        assert got == expect, (trial, cap)
