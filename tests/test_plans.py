@@ -135,3 +135,33 @@ def test_ngram_jaccard_projects_only_needed_columns(spark, sf_dir):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_hll_register_agg_shuffles_sketches_not_rows(spark, sf_dir):
+    """hll_sketch_agg (register path): Python partial BEFORE the exchange —
+    the shuffle carries one K-byte register row per (group, partition)."""
+    from datasketches_cpp_spark.functions.hll import hll_sketch_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = hll_sketch_agg(orders, ["o_orderstatus"], "o_custkey", lg_k=11)
+    plan = _plan(sk)
+    i_partial = plan.find("MapInPandas") if "MapInPandas" in plan else plan.find("PythonMapInArrow")
+    i_exchange = plan.find("Exchange")
+    i_final = plan.find("FlatMapGroupsInPandas")
+    assert -1 not in (i_partial, i_exchange, i_final)
+    assert i_final < i_exchange < i_partial, plan
+
+
+def test_classic_quantiles_agg_shuffles_sketches_not_rows(spark, sf_dir):
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        classic_quantiles_agg,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = classic_quantiles_agg(li, ["l_returnflag"], "l_quantity", k=128)
+    plan = _plan(sk)
+    i_partial = plan.find("MapInPandas") if "MapInPandas" in plan else plan.find("PythonMapInArrow")
+    i_exchange = plan.find("Exchange")
+    i_final = plan.find("FlatMapGroupsInPandas")
+    assert -1 not in (i_partial, i_exchange, i_final)
+    assert i_final < i_exchange < i_partial, plan
