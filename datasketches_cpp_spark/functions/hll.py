@@ -139,6 +139,7 @@ def hll_sketch_agg(
     lg_k: int = 12,
     seed: int = DEFAULT_SEED,
     num_std_devs: int = 2,
+    keep_registers: bool = False,
 ) -> DataFrame:
     """groupBy(group_cols).hll_sketch(item_col): explicit two-stage HLL-8.
 
@@ -184,7 +185,9 @@ def hll_sketch_agg(
         yield pd.DataFrame(rows, columns=group_cols + ["regs"])
 
     partials = df.select(group_cols + [item_col]).mapInPandas(partial, part_schema)
-    return finalize_hll_sketches(partials, group_cols, group_fields, num_std_devs)
+    return finalize_hll_sketches(
+        partials, group_cols, group_fields, num_std_devs, keep_registers
+    )
 
 
 def finalize_hll_sketches(
@@ -192,8 +195,15 @@ def finalize_hll_sketches(
     group_cols: list[str],
     group_fields,
     num_std_devs: int = 2,
+    keep_registers: bool = False,
 ) -> DataFrame:
-    """Merge partial register rows (max) and read estimate + bounds."""
+    """Merge partial register rows (max) and read estimate + bounds.
+    ``keep_registers`` also emits the merged K-byte register state (the
+    input to hllserde.with_hll_bytes for cross-engine export)."""
+    extra = [StructField("regs", BinaryType(), False)] if keep_registers else []
+    out_cols = ["estimate", "lower_bound", "upper_bound"] + (
+        ["regs"] if keep_registers else []
+    )
     out_schema = StructType(
         list(group_fields)
         + [
@@ -201,6 +211,7 @@ def finalize_hll_sketches(
             StructField("lower_bound", DoubleType(), False),
             StructField("upper_bound", DoubleType(), False),
         ]
+        + extra
     )
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -213,7 +224,9 @@ def finalize_hll_sketches(
         row["estimate"] = [est]
         row["lower_bound"] = [est / (1.0 + z)]
         row["upper_bound"] = [est / (1.0 - z)]
-        return pd.DataFrame(row, columns=group_cols + ["estimate", "lower_bound", "upper_bound"])
+        if keep_registers:
+            row["regs"] = [regs.tobytes()]
+        return pd.DataFrame(row, columns=group_cols + out_cols)
 
     if group_cols:
         return partials.groupBy(*group_cols).applyInPandas(final, out_schema)
