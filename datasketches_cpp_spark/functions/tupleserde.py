@@ -1,0 +1,135 @@
+"""Tuple compact-sketch wire serialization — the reference byte layout
+(tuple/include/tuple_sketch_impl.hpp compact serialize, constants
+tuple_sketch.hpp:471-473), re-derived for double-summary tuple sketches
+(the shape `tuplesketch.tuple_sketch_agg` emits) so they can be exchanged
+with Java/C++ DataSketches deployments instantiated with a fixed-width
+8-byte summary serde.
+
+Layout (little-endian):
+
+    byte 0   preamble_longs   3 if estimation mode else (1 if empty or a
+                              single entry else 2)
+    byte 1   serial version   3
+    byte 2   family           9 (tuple)
+    byte 3   sketch type      1
+    byte 4   unused
+    byte 5   flags            READ_ONLY | COMPACT | ORDERED [| EMPTY]
+    byte 6-7 seed hash        (same compute_seed_hash as theta)
+    [preamble_longs > 1] uint32 num_entries, uint32 unused
+    [estimation mode]    uint64 theta
+    entries              num_entries × (uint64 key, float64 summary),
+                         interleaved, keys ascending
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..hashing import DEFAULT_SEED, seed_hash
+from ..kmv import MAX_THETA
+
+_SERIAL_VERSION = 3
+_FAMILY = 9
+_SKETCH_TYPE = 1
+_F_READ_ONLY = 1
+_F_EMPTY = 2
+_F_COMPACT = 3
+_F_ORDERED = 4
+
+
+class TupleSerdeError(ValueError):
+    pass
+
+
+def serialize_tuple_compact(
+    theta: int,
+    keys: np.ndarray,
+    summaries: np.ndarray,
+    seed: int = DEFAULT_SEED,
+) -> bytes:
+    """(theta [-1 ⇔ exact], sorted u64 keys, aligned float64 summaries) →
+    reference-compatible compact tuple bytes."""
+    theta = MAX_THETA if theta < 0 else int(theta)
+    keys = np.ascontiguousarray(np.asarray(keys, np.int64).view(np.uint64))
+    summaries = np.ascontiguousarray(np.asarray(summaries, np.float64))
+    if len(keys) != len(summaries):
+        raise TupleSerdeError(
+            f"keys ({len(keys)}) and summaries ({len(summaries)}) misaligned"
+        )
+    if len(keys) > 1 and not (keys[:-1] < keys[1:]).all():
+        raise TupleSerdeError("keys must be strictly ascending")
+    n = len(keys)
+    is_empty = n == 0 and theta >= MAX_THETA
+    estimation = theta < MAX_THETA
+    preamble_longs = 3 if estimation else (1 if (is_empty or n == 1) else 2)
+    flags = (
+        (1 << _F_COMPACT)
+        | (1 << _F_READ_ONLY)
+        | ((1 << _F_EMPTY) if is_empty else 0)
+        | (1 << _F_ORDERED)
+    )
+    out = bytearray()
+    out += struct.pack(
+        "<BBBBBBH", preamble_longs, _SERIAL_VERSION, _FAMILY, _SKETCH_TYPE,
+        0, flags, seed_hash(seed),
+    )
+    if preamble_longs > 1:
+        out += struct.pack("<II", n, 0)
+    if estimation:
+        out += struct.pack("<Q", theta)
+    # interleave (key, summary) pairs via a structured view — one memcpy
+    inter = np.empty(n, dtype=[("k", "<u8"), ("s", "<f8")])
+    inter["k"] = keys
+    inter["s"] = summaries
+    out += inter.tobytes()
+    return bytes(out)
+
+
+def deserialize_tuple_compact(
+    buf: bytes, seed: int = DEFAULT_SEED
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Reference compact tuple bytes (double summaries) → (theta [-1 ⇔
+    exact], sorted int64 keys, float64 summaries); fails fast on
+    family/type/version/seed-hash mismatch and truncation."""
+    if len(buf) < 8:
+        raise TupleSerdeError(f"buffer too short for preamble: {len(buf)}")
+    preamble_longs, ver, family, typ, _, flags, sh = struct.unpack_from(
+        "<BBBBBBH", buf, 0
+    )
+    if family != _FAMILY:
+        raise TupleSerdeError(f"not a tuple sketch (family {family})")
+    if ver != _SERIAL_VERSION:
+        raise TupleSerdeError(f"unsupported serial version {ver}")
+    if typ != _SKETCH_TYPE:
+        raise TupleSerdeError(f"unsupported sketch type {typ}")
+    if sh != seed_hash(seed):
+        raise TupleSerdeError(
+            f"seed hash mismatch: stream {sh:#06x} vs seed {seed}"
+        )
+    is_empty = bool(flags & (1 << _F_EMPTY))
+    off = 8
+    if preamble_longs > 1:
+        if len(buf) < off + 8:
+            raise TupleSerdeError("truncated preamble (num_entries)")
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 8
+    else:
+        n = 0 if is_empty else 1
+    if preamble_longs == 3:
+        if len(buf) < off + 8:
+            raise TupleSerdeError("truncated preamble (theta)")
+        (theta,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+    else:
+        theta = MAX_THETA
+    need = off + 16 * n
+    if len(buf) < need:
+        raise TupleSerdeError(f"truncated entries: need {need}, have {len(buf)}")
+    inter = np.frombuffer(buf, dtype=[("k", "<u8"), ("s", "<f8")], count=n, offset=off)
+    return (
+        -1 if theta >= MAX_THETA else int(theta),
+        inter["k"].view(np.int64).copy(),
+        inter["s"].copy(),
+    )
