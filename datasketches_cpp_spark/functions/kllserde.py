@@ -77,8 +77,14 @@ def _total_capacity(k: int, m: int, num_levels: int) -> int:
     return sum(_level_capacity(k, num_levels, h, m) for h in range(num_levels))
 
 
-def serialize_kll(sk: KllSketch) -> bytes:
-    """KllSketch → reference-layout bytes (doubles item type)."""
+def serialize_kll(sk: KllSketch, item_dtype: str = "<f8") -> bytes:
+    """KllSketch → reference-layout bytes. ``item_dtype`` selects the
+    reference's item type: "<f8" (kll_doubles_sketch, the default) or
+    "<f4" (kll_floats_sketch — the type of the reference's golden
+    kll_sketch_float_one_item_v1.sk). The wire format does not encode the
+    item type; reader and writer must agree, exactly as in the reference
+    (kll_sketch.hpp template parameter)."""
+    dt = np.dtype(item_dtype)
     if sk.n == 0:
         return struct.pack(
             "<BBBBHBB", _PREAMBLE_SHORT, _SV_FULL, _FAMILY, 1 << _F_EMPTY,
@@ -92,7 +98,7 @@ def serialize_kll(sk: KllSketch) -> bytes:
             (1 << _F_SINGLE_ITEM) | (1 << _F_LEVEL_ZERO_SORTED), sk.k, _M, 0,
         )
         item = next(lvl for lvl in levels if len(lvl))[0]
-        return head + struct.pack("<d", float(item))
+        return head + np.array([item], dt).tobytes()
     num_levels = len(levels)
     capacity = _total_capacity(sk.k, _M, num_levels)
     if retained > capacity:
@@ -112,15 +118,22 @@ def serialize_kll(sk: KllSketch) -> bytes:
         offsets[i + 1] = offsets[i] + len(lvl)
     assert offsets[num_levels] == capacity
     out += offsets[:num_levels].astype("<u4").tobytes()
-    out += struct.pack("<dd", sk.min_item, sk.max_item)
+    out += np.array([sk.min_item, sk.max_item], dt).tobytes()
     for lvl in levels:
-        out += lvl.astype("<f8", copy=False).tobytes()
+        out += lvl.astype(dt, copy=False).tobytes()
     return bytes(out)
 
 
-def deserialize_kll(buf: bytes, seed: int = 9001) -> KllSketch:
+def deserialize_kll(buf: bytes, seed: int = 9001,
+                    item_dtype: str = "<f8") -> KllSketch:
     """Reference-layout bytes → KllSketch; fails fast on family/version
-    mismatch and truncation (deserialize-hardening discipline)."""
+    mismatch and truncation (deserialize-hardening discipline).
+    ``item_dtype`` must match the writer's item type ("<f8" doubles,
+    "<f4" floats); items widen losslessly to the engine's float64 state.
+    Handles both the v2 single-item short form and v1 streams that store
+    a single item in the full layout (kll_sketch_float_one_item_v1.sk)."""
+    dt = np.dtype(item_dtype)
+    w = dt.itemsize
     if len(buf) < 8:
         raise KllSerdeError(f"buffer too short for preamble: {len(buf)}")
     preamble_ints, sv, family, flags, k, m, _ = struct.unpack_from("<BBBBHBB", buf, 0)
@@ -134,9 +147,9 @@ def deserialize_kll(buf: bytes, seed: int = 9001) -> KllSketch:
     if flags & (1 << _F_EMPTY):
         return sk
     if flags & (1 << _F_SINGLE_ITEM):
-        if len(buf) < 16:
+        if len(buf) < 8 + w:
             raise KllSerdeError("truncated single-item stream")
-        (item,) = struct.unpack_from("<d", buf, 8)
+        item = float(np.frombuffer(buf, dt, count=1, offset=8)[0])
         sk.update_batch(np.array([item]))
         return sk
     if preamble_ints != _PREAMBLE_FULL:
@@ -145,21 +158,21 @@ def deserialize_kll(buf: bytes, seed: int = 9001) -> KllSketch:
         raise KllSerdeError("truncated full preamble")
     n, _min_k, num_levels, _ = struct.unpack_from("<QHBB", buf, 8)
     off = 20
-    need = off + 4 * num_levels + 16
+    need = off + 4 * num_levels + 2 * w
     if len(buf) < need:
         raise KllSerdeError("truncated levels/min/max")
     offsets = np.frombuffer(buf, "<u4", count=num_levels, offset=off).astype(np.int64)
     off += 4 * num_levels
-    mn, mx = struct.unpack_from("<dd", buf, off)
-    off += 16
+    mn, mx = np.frombuffer(buf, dt, count=2, offset=off)
+    off += 2 * w
     capacity = _total_capacity(k, m, num_levels)
     bounds = np.append(offsets, capacity)
     retained = int(capacity - offsets[0])
-    if len(buf) < off + 8 * retained:
+    if len(buf) < off + w * retained:
         raise KllSerdeError(
-            f"truncated items: need {off + 8 * retained} bytes, have {len(buf)}"
+            f"truncated items: need {off + w * retained} bytes, have {len(buf)}"
         )
-    items = np.frombuffer(buf, "<f8", count=retained, offset=off)
+    items = np.frombuffer(buf, dt, count=retained, offset=off).astype(np.float64)
     sk.n = int(n)
     sk.min_item = float(mn)
     sk.max_item = float(mx)

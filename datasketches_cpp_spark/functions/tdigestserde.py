@@ -60,12 +60,73 @@ def serialize_tdigest(td: TDigest) -> bytes:
     return bytes(out)
 
 
+_COMPAT_DOUBLE = 1
+_COMPAT_FLOAT = 2
+
+
+def deserialize_tdigest_compat(buf: bytes) -> TDigest:
+    """Parse the ORIGINAL t-digest reference implementation's byte format
+    (Ted Dunning's asBytes()/asSmallBytes(), big-endian ByteBuffer layout)
+    — the format of the datasketches goldens
+    tdigest/test/tdigest_ref_k100_n10000_{double,float}.sk, mirroring
+    tdigest_impl.hpp:533-595 deserialize_compat:
+
+        uint32 BE type @0: 1 (asBytes, doubles) or 2 (asSmallBytes, floats)
+        double BE min, double BE max
+        type 1: double BE k, uint32 BE num_centroids,
+                num × (double BE weight, double BE mean)
+        type 2: float BE k, uint32 unused, uint16 BE num_centroids,
+                num × (float BE weight, float BE mean)
+    """
+    if len(buf) < 4:
+        raise TDigestSerdeError("buffer too short for compat preamble")
+    (ctype,) = struct.unpack_from(">I", buf, 0)
+    if ctype == _COMPAT_DOUBLE:
+        if len(buf) < 32:
+            raise TDigestSerdeError("truncated compat-double preamble")
+        mn, mx, kd = struct.unpack_from(">ddd", buf, 4)
+        (n_cent,) = struct.unpack_from(">I", buf, 28)
+        off, rec = 32, np.dtype([("w", ">f8"), ("m", ">f8")])
+    elif ctype == _COMPAT_FLOAT:
+        if len(buf) < 30:
+            raise TDigestSerdeError("truncated compat-float preamble")
+        mn, mx = struct.unpack_from(">dd", buf, 4)
+        (kd,) = struct.unpack_from(">f", buf, 20)
+        (n_cent,) = struct.unpack_from(">H", buf, 28)
+        off, rec = 30, np.dtype([("w", ">f4"), ("m", ">f4")])
+    else:
+        raise TDigestSerdeError(f"unexpected compat preamble 0 0 0 {ctype}")
+    need = off + rec.itemsize * n_cent
+    if len(buf) < need:
+        raise TDigestSerdeError(f"truncated centroids: need {need}, have {len(buf)}")
+    inter = np.frombuffer(buf, rec, count=n_cent, offset=off)
+    if not np.isfinite(mn) or not np.isfinite(mx):
+        raise TDigestSerdeError("non-finite min/max")
+    if n_cent and (not np.isfinite(inter["w"]).all() or (inter["w"] <= 0).any()
+                   or not np.isfinite(inter["m"]).all()):
+        raise TDigestSerdeError("corrupt centroid weight/mean")
+    td = TDigest(int(kd))
+    # the reference truncates weights to integers (static_cast<W>)
+    td.means = inter["m"].astype(np.float64)
+    td.weights = inter["w"].astype(np.float64).astype(np.uint64).astype(np.float64)
+    order = np.argsort(td.means, kind="stable")
+    td.means, td.weights = td.means[order], td.weights[order]
+    td.n = int(td.weights.sum())
+    td.min = float(mn)
+    td.max = float(mx)
+    return td
+
+
 def deserialize_tdigest(buf: bytes) -> TDigest:
     """Reference-layout bytes → TDigest; fails fast on type/version
-    mismatch and truncation."""
+    mismatch and truncation. A stream whose first three bytes are zero is
+    dispatched to the original-reference-implementation compat parser
+    (tdigest_impl.hpp:406)."""
     if len(buf) < 8:
         raise TDigestSerdeError(f"buffer too short for preamble: {len(buf)}")
     pre, sv, typ, k, flags, _ = struct.unpack_from("<BBBHBH", buf, 0)
+    if pre == 0 and sv == 0 and typ == 0:
+        return deserialize_tdigest_compat(buf)
     if typ != _SKETCH_TYPE:
         raise TDigestSerdeError(f"not a t-digest (sketch type {typ})")
     if sv != _SERIAL_VERSION:

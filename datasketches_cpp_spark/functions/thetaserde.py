@@ -29,7 +29,20 @@ tests against a direct transliteration of the reference's scalar
 pack_bits loop. `serialize_compressed` mirrors the reference's
 is_suitable_for_compression gate (v4 when ordered and non-trivial, else
 v3); `deserialize_compact` dispatches on the stream's version byte.
-v1/v2 legacy streams are out of scope.
+
+Legacy v1/v2 streams (the formats pre-0.10 datasketches-java wrote, and
+the format of the reference's own golden test binaries
+theta/test/theta_compact_*_from_java_v{1,2}.sk) are read-only supported,
+mirroring theta_sketch_impl.hpp:588-644 deserialize_v1/_v2:
+
+    v1: bytes 0-2 preamble_longs/version/type, bytes 3-7 unused,
+        uint32 num_entries @8, bytes 12-15 unused (the old float p),
+        uint64 theta @16, entries @24. No seed hash; empty ⇔
+        num_entries==0 ∧ theta==MAX_THETA.
+    v2: bytes 0-2 as above, byte 3 unused, bytes 4-5 unused,
+        uint16 seed_hash @6 (checked); preamble_longs selects the rest:
+        1 → empty; 2 → uint32 num_entries @8, entries @16, exact mode;
+        3 → uint32 num_entries @8, uint64 theta @16, entries @24.
 """
 
 from __future__ import annotations
@@ -258,10 +271,69 @@ def deserialize_compact_v4(
     return (-1 if theta >= MAX_THETA else int(theta)), entries.view(np.int64)
 
 
+# legacy streams write LLONG_MAX (2^63-1) for "keep all" (theta_constants.hpp:36);
+# this engine's exact-mode sentinel is 2^63 — map on read
+_LEGACY_MAX_THETA = MAX_THETA - 1
+
+
+def _read_entries(buf: bytes, off: int, n: int) -> np.ndarray:
+    need = off + 8 * n
+    if len(buf) < need:
+        raise ThetaSerdeError(
+            f"truncated entries: need {need} bytes, have {len(buf)}"
+        )
+    return np.frombuffer(buf, dtype="<u8", count=n, offset=off)
+
+
+def deserialize_compact_v1(buf: bytes, seed: int = DEFAULT_SEED) -> tuple[int, np.ndarray]:
+    """Legacy v1 parse (theta_sketch_impl.hpp:588-602). v1 carries no seed
+    hash, so ``seed`` is unused — accepted for signature symmetry."""
+    if len(buf) < 24:
+        raise ThetaSerdeError(f"truncated v1 preamble: {len(buf)} bytes")
+    if buf[2] != _SKETCH_TYPE:
+        raise ThetaSerdeError(f"not a compact theta sketch (type {buf[2]})")
+    (n,) = struct.unpack_from("<I", buf, 8)
+    (theta,) = struct.unpack_from("<Q", buf, 16)
+    is_empty = n == 0 and theta >= _LEGACY_MAX_THETA
+    entries = np.empty(0, "<u8") if is_empty else _read_entries(buf, 24, n)
+    entries = np.sort(entries)  # v1 may be unsorted (theta_sketch_test.cpp:446)
+    return (-1 if theta >= _LEGACY_MAX_THETA else int(theta)), entries.view(np.int64)
+
+
+def deserialize_compact_v2(buf: bytes, seed: int = DEFAULT_SEED) -> tuple[int, np.ndarray]:
+    """Legacy v2 parse (theta_sketch_impl.hpp:605-644)."""
+    if len(buf) < 8:
+        raise ThetaSerdeError(f"truncated v2 preamble: {len(buf)} bytes")
+    preamble_longs = buf[0]
+    if buf[2] != _SKETCH_TYPE:
+        raise ThetaSerdeError(f"not a compact theta sketch (type {buf[2]})")
+    (sh,) = struct.unpack_from("<H", buf, 6)
+    if sh != seed_hash(seed):
+        raise ThetaSerdeError(
+            f"seed hash mismatch: stream {sh:#06x} vs seed {seed} "
+            f"-> {seed_hash(seed):#06x}"
+        )
+    if preamble_longs == 1:
+        return -1, np.empty(0, np.int64)
+    if preamble_longs == 2:
+        (n,) = struct.unpack_from("<I", buf, 8)
+        entries = _read_entries(buf, 16, n)
+        return -1, np.sort(entries).view(np.int64)
+    if preamble_longs == 3:
+        if len(buf) < 24:
+            raise ThetaSerdeError("truncated v2 preamble (theta)")
+        (n,) = struct.unpack_from("<I", buf, 8)
+        (theta,) = struct.unpack_from("<Q", buf, 16)
+        entries = _read_entries(buf, 24, n)
+        return (-1 if theta >= _LEGACY_MAX_THETA else int(theta)), np.sort(entries).view(np.int64)
+    raise ThetaSerdeError(f"bad v2 preamble_longs {preamble_longs}")
+
+
 def deserialize_compact(
     buf: bytes, seed: int = DEFAULT_SEED
 ) -> tuple[int, np.ndarray]:
-    """Version-dispatching parse (byte 1): v3 uncompressed or v4 packed."""
+    """Version-dispatching parse (byte 1): v3 uncompressed, v4 packed,
+    or legacy v1/v2 (read-only)."""
     if len(buf) < 2:
         raise ThetaSerdeError("buffer too short")
     ver = buf[1]
@@ -269,6 +341,10 @@ def deserialize_compact(
         return deserialize_compact_v3(buf, seed)
     if ver == _COMPRESSED_SERIAL_VERSION:
         return deserialize_compact_v4(buf, seed)
+    if ver == 1:
+        return deserialize_compact_v1(buf, seed)
+    if ver == 2:
+        return deserialize_compact_v2(buf, seed)
     raise ThetaSerdeError(f"unsupported serial version {ver}")
 
 
