@@ -185,23 +185,55 @@ def substring_pairs(
 
     out_schema = f"a {id_type}, b {id_type}"
 
+    # Verification kernel regimes. Token-level containment is equivalent to
+    # byte containment of single-space-joined tokens with boundary spaces
+    # (" A ").find(" B ") — tokens cannot contain spaces after split() — so
+    # the common case (captions: tens of tokens, few candidates per host)
+    # runs on the C substring search, O(n+m) per probe with no Python-level
+    # inner loop. The suffix array (O(m log n) probes after an O(n log² n)
+    # build) only wins when a LONG host is probed MANY times; crossover in
+    # this runtime is far past typical captions, so the SA path engages at
+    # the thresholds below and otherwise stays the documented long-document
+    # API (suffix_array/_contains above, tested independently).
+    _SA_MIN_HOST_TOKENS = 4096
+    _SA_MIN_PROBES = 8
+
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             a_out, b_out = [], []
-            # build each host's suffix array once per batch
-            sa_cache: dict = {}
-            for _, r in pdf.iterrows():
-                host = r["host_text"].split()
-                needle = r["needle_text"].split()
-                key = r["host_id"]
-                if key not in sa_cache:
-                    sa_cache[key] = suffix_array(host)
-                if _contains(host, sa_cache[key], needle):
-                    x, y = r["needle_id"], r["host_id"]
-                    a_out.append(min(x, y))
-                    b_out.append(max(x, y))
+            needle_ids = pdf["needle_id"].tolist()
+            host_ids = pdf["host_id"].tolist()
+            needle_texts = pdf["needle_text"].tolist()
+            host_texts = pdf["host_text"].tolist()
+            # group candidate rows by host: each host is tokenized (and, in
+            # the SA regime, suffix-arrayed) ONCE per batch
+            by_host: dict = {}
+            for i, h in enumerate(host_ids):
+                by_host.setdefault(h, []).append(i)
+            padded_needles: dict = {}  # needle_id → " tok tok ... "
+            for h, idxs in by_host.items():
+                htokens = host_texts[idxs[0]].split()
+                use_sa = (
+                    len(htokens) >= _SA_MIN_HOST_TOKENS
+                    and len(idxs) >= _SA_MIN_PROBES
+                )
+                sa = suffix_array(htokens) if use_sa else None
+                hpadded = None if use_sa else " " + " ".join(htokens) + " "
+                for i in idxs:
+                    nid = needle_ids[i]
+                    if use_sa:
+                        hit = _contains(htokens, sa, needle_texts[i].split())
+                    else:
+                        np_ = padded_needles.get(nid)
+                        if np_ is None:
+                            np_ = " " + " ".join(needle_texts[i].split()) + " "
+                            padded_needles[nid] = np_
+                        hit = np_ in hpadded
+                    if hit:
+                        a_out.append(min(nid, h))
+                        b_out.append(max(nid, h))
             yield pd.DataFrame({"a": a_out, "b": b_out})
 
     return pairs.mapInPandas(check, out_schema).dropDuplicates(["a", "b"])

@@ -162,3 +162,45 @@ def test_images_pipeline_finds_planted_groups(spark, corpus):
                 missed += 1
     assert total > 10
     assert missed / total <= 0.05, f"{missed}/{total} planted groups split"
+
+
+def test_substring_verify_regimes(spark):
+    """The verify kernel's two regimes (C substring-find for short hosts,
+    suffix array for long multi-probe hosts) must agree with brute force."""
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = {}
+    # one LONG host (> _SA_MIN_HOST_TOKENS) probed by many needles
+    long_host = [rng.choice(vocab) for _ in range(5000)]
+    docs[1000] = " ".join(long_host)
+    for i in range(12):
+        start = rng.randrange(0, 4900)
+        ln = rng.randrange(4, 30)
+        docs[i] = " ".join(long_host[start : start + ln])
+    # short hosts with planted + non-substring needles
+    docs[2000] = "alpha beta gamma delta epsilon zeta eta theta"
+    docs[50] = "gamma delta epsilon"
+    docs[51] = "delta gamma"  # present tokens, wrong order → NOT a substring
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "id long, text string"
+    )
+    got = {(r["a"], r["b"]) for r in substring_pairs(df, "id", "text", CFG).collect()}
+
+    def brute(a_text, b_text):
+        a, b = a_text.split(), b_text.split()
+        if len(a) >= len(b):
+            return False
+        return any(b[i : i + len(a)] == a for i in range(len(b) - len(a) + 1))
+
+    expect = set()
+    ids = sorted(docs)
+    for x in ids:
+        for y in ids:
+            if x != y and brute(docs[x], docs[y]):
+                expect.add((min(x, y), max(x, y)))
+    assert expect and (50, 2000) in expect and (51, 2000) not in expect
+    # kernel must find every brute-force pair whose needle min-shingle
+    # blocking admits (full recall here: vocab is tiny, no posting caps hit)
+    assert got == expect
