@@ -26,11 +26,20 @@ lane is batch-only (its inverted index wants a corpus-wide build — run it
 as a periodic compaction job over the same stores).
 
 Scale notes: the per-batch join is |new bands| ⋈ band index — broadcast the
-new side (micro-batches are small by construction); the band index is
-bucketed parquet keyed by (band_idx, band_hash) so at 10^12 rows the join
-prunes to matching buckets instead of rescanning the store. Per-new-row
-fan-out in degenerate bands is capped deterministically (``max_fanout``),
-the streaming analog of the batch hot-band cap.
+new side (micro-batches are small by construction). Both persistent stores
+are BUCKETED: the band index by pmod(xxhash64(band_idx, band_hash), B) and
+the signature store by pmod(xxhash64(id), B), written as
+``partitionBy("bucket")`` parquet. A probe first computes the (≤ B)
+distinct buckets its keys can live in, then reads ONLY those partitions —
+Spark partition pruning turns the per-epoch probe from a full store scan
+into |touched buckets|/B of the store, the property that keeps 10^12-row
+stores joinable per micro-batch (plan-asserted in
+tests/test_streaming.py). Epoch writes land per-epoch directories of
+bucket partitions; ``compact_store`` folds committed epochs' partitions
+into one directory under a manifest commit point so file count stays
+O(B), not O(B × epochs). Per-new-row fan-out in degenerate bands is
+capped deterministically (``max_fanout``), the streaming analog of the
+batch hot-band cap.
 """
 
 from __future__ import annotations
@@ -60,6 +69,7 @@ class IncrementalDeduper:
         byte_stride: int = 4,
         max_fanout: int = 64,
         enable_lanes: tuple = ("caption", "bytes", "phash"),
+        num_buckets: int = 64,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -71,6 +81,7 @@ class IncrementalDeduper:
         self.byte_stride = byte_stride
         self.max_fanout = max_fanout
         self.enable_lanes = enable_lanes
+        self.num_buckets = num_buckets
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state paths ---------------------------------------------------------
@@ -93,6 +104,94 @@ class IncrementalDeduper:
             self.spark.read.option("recursiveFileLookup", "true")
             .parquet(self._p(name))
         )
+
+    # -- bucketed stores ------------------------------------------------------
+    # Layout: <store>/epoch_XXXX/bucket=Y/*.parquet plus an optional
+    # <store>/_LIVE.json manifest written by compact_store. Each epoch dir is
+    # a self-contained partitioned dataset, so partition pruning applies to
+    # every probe; the manifest is the compaction commit point.
+    def _bucket_expr(self, *cols):
+        return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
+
+    def _live_epoch_dirs(self, name: str) -> list[str]:
+        root = self._p(name)
+        if not os.path.isdir(root):
+            return []
+        on_disk = sorted(d for d in os.listdir(root)
+                         if d.startswith("epoch_") or d.startswith("compacted_"))
+        manifest = os.path.join(root, "_LIVE.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                m = json.load(f)
+            superseded = set(m.get("superseded", []))
+            # live = compacted output + anything written after the swap;
+            # directories named in `superseded` are folded-in duplicates
+            # (possibly orphaned by a crash before their delete) — excluded
+            dirs = [d for d in on_disk if d not in superseded]
+        else:
+            dirs = on_disk
+        return [os.path.join(root, d) for d in dirs
+                if os.path.isdir(os.path.join(root, d))]
+
+    def _write_epoch_bucketed(self, name: str, df: DataFrame, epoch_id: int,
+                              key_cols: list[str]) -> None:
+        (df.withColumn("bucket", self._bucket_expr(*key_cols))
+           .write.mode("overwrite").partitionBy("bucket")
+           .parquet(self._p(os.path.join(name, f"epoch_{epoch_id:012d}"))))
+
+    def _read_bucketed(self, name: str, buckets: list[int] | None = None
+                       ) -> DataFrame | None:
+        """Union of the store's live epoch directories; with ``buckets``
+        given, each read carries a partition filter — Spark prunes to the
+        matching bucket=Y directories and never lists the rest."""
+        dirs = self._live_epoch_dirs(name)
+        out = None
+        for d in dirs:
+            df = self.spark.read.parquet(d)
+            if buckets is not None:
+                df = df.where(F.col("bucket").isin([int(b) for b in buckets]))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _touched_buckets(self, df: DataFrame, *cols) -> list[int]:
+        """Distinct bucket ids a probe's keys can live in — bounded by
+        num_buckets, so the collect is a scalar-sized driver hop."""
+        rows = (df.select(self._bucket_expr(*cols).alias("bucket"))
+                  .distinct().collect())
+        return sorted(int(r["bucket"]) for r in rows)
+
+    def compact_store(self, name: str) -> int:
+        """Fold all live epoch directories of a bucketed store into one
+        compacted directory (file count back to O(num_buckets)). Only safe
+        for epochs already marked done — which is every directory on disk
+        except a mid-flight epoch's, and process_batch never interleaves
+        with maintenance by contract. Commit protocol: write the merged
+        directory, atomically swap the _LIVE manifest to point at it, then
+        delete the superseded directories (crash between the last two steps
+        leaves harmless orphans that the manifest already excludes).
+        Returns the number of directories folded."""
+        import shutil
+
+        dirs = self._live_epoch_dirs(name)
+        if len(dirs) <= 1:
+            return 0
+        df = self._read_bucketed(name)
+        tag = f"compacted_{int(time.time() * 1000):013d}"
+        target = self._p(os.path.join(name, tag))
+        (df.write.mode("overwrite").partitionBy("bucket").parquet(target))
+        manifest = self._p(os.path.join(name, "_LIVE.json"))
+        prior_superseded: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                prior_superseded = json.load(f).get("superseded", [])
+        folded = sorted({os.path.basename(d) for d in dirs} | set(prior_superseded))
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"live": [tag], "superseded": folded}, f)
+        os.replace(tmp, manifest)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(dirs)
 
     # -- epoch-atomic store writes --------------------------------------------
     # foreachBatch is at-least-once: a crash AFTER a store write but BEFORE
@@ -134,21 +233,27 @@ class IncrementalDeduper:
         use_simhash: bool,
         epoch_id: int,
     ) -> DataFrame:
-        """Write new sigs into the lane store's epoch slot (idempotent on
-        replay), join new bands against the full band index, verify.
+        """Write new sigs (bucketed by id) and their exploded bands
+        (bucketed by band key) into the lane stores' epoch slots
+        (idempotent on replay), probe the band index with partition
+        pruning, verify against a bucket-pruned signature lookup.
         Returns passed (a, b) edges."""
-        self._write_epoch(store_name, sig_new, epoch_id)
-        sig_all = self._read(store_name)
 
         def bands_of(df: DataFrame) -> DataFrame:
             return df.where(F.col("n_shingles") > 0).select(
                 "id", F.posexplode("bands").alias("band_idx", "band_hash")
             )
 
+        self._write_epoch_bucketed(store_name, sig_new, epoch_id, ["id"])
+        self._write_epoch_bucketed(
+            store_name + "_bands", bands_of(sig_new), epoch_id,
+            ["band_idx", "band_hash"],
+        )
         new_b = bands_of(sig_new).select(
             F.col("id").alias("new_id"), "band_idx", "band_hash"
         )
-        all_b = bands_of(sig_all)
+        probe_buckets = self._touched_buckets(new_b, "band_idx", "band_hash")
+        all_b = self._read_bucketed(store_name + "_bands", probe_buckets)
         matched = all_b.join(F.broadcast(new_b), ["band_idx", "band_hash"]).where(
             F.col("id") != F.col("new_id")
         )
@@ -165,7 +270,13 @@ class IncrementalDeduper:
             )
             .dropDuplicates(["a", "b"])
         )
-        return verify_pairs(cand, sig_all, cfg, use_simhash=use_simhash, include_mh=False).where(
+        cand = cand.localCheckpoint(eager=True)  # reused for bucket calc + verify
+        id_buckets = sorted(
+            set(self._touched_buckets(cand, "a"))
+            | set(self._touched_buckets(cand, "b"))
+        )
+        sig_lookup = self._read_bucketed(store_name, id_buckets).drop("bucket")
+        return verify_pairs(cand, sig_lookup, cfg, use_simhash=use_simhash, include_mh=False).where(
             "passed"
         ).select("a", "b")
 
@@ -224,7 +335,9 @@ class IncrementalDeduper:
 
     def _phash_lane(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
         """Streaming pHash lane: slice-combo keys of the new batch join the
-        accumulated pHash store; verify with bit_count."""
+        accumulated (bucketed, pre-exploded) pHash key store with partition
+        pruning; verify with bit_count. Keys are materialized once at
+        ingest — the store is never re-exploded on probe."""
         from ..operators.imagededup import phash_combo_keys_expr
 
         def keys(df: DataFrame, idc: str) -> DataFrame:
@@ -234,10 +347,16 @@ class IncrementalDeduper:
                 F.posexplode(arr).alias("band_idx", "band_hash"),
             )
 
-        self._write_epoch("phash", batch_df.select("image_id", "phash"), epoch_id)
-        store = self._read("phash")
         new_k = keys(batch_df.select("image_id", "phash"), "new_id")
-        all_k = keys(store, "id")
+        self._write_epoch_bucketed(
+            "phash_keys",
+            new_k.select(F.col("new_id").alias("id"),
+                         F.col("ph_new_id").alias("ph_id"),
+                         "band_idx", "band_hash"),
+            epoch_id, ["band_idx", "band_hash"],
+        )
+        probe_buckets = self._touched_buckets(new_k, "band_idx", "band_hash")
+        all_k = self._read_bucketed("phash_keys", probe_buckets)
         cand = (
             all_k.join(F.broadcast(new_k), ["band_idx", "band_hash"])
             .where(F.col("id") != F.col("new_id"))
