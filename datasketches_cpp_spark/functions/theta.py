@@ -170,19 +170,41 @@ def with_estimate(sketch_df: DataFrame, out_col: str = "estimate") -> DataFrame:
 
 
 def with_bounds(sketch_df: DataFrame, num_std_devs: int = 2) -> DataFrame:
-    """Closed-form normal-approx bounds (kmv.ThetaSketch.get_bounds), also
-    JVM-side: rse = sqrt((1-f)/n), lb = est/(1+z·rse), ub = est·(1+z·rse)."""
+    """Binomial bounds, entirely JVM-side: the Gaussian-with-continuity-
+    correction closed forms of the reference's n>120 regime
+    (binomial_bounds.hpp cont_classic_lb/ub — exactly the regime every
+    estimation-mode sketch with k > 120 lands in, so the SQL expressions
+    match kmv.ThetaSketch.get_bounds to machine precision there). Sketch
+    rows with ≤ 120 retained entries in estimation mode (deep
+    intersections of tiny sketches) get the same closed form rather than
+    the reference's exact small-n evaluation — use the Python-side
+    get_bounds for those."""
     df = with_estimate(sketch_df, "estimate")
     n = F.size("sig").cast("double")
     f = F.when(F.col("theta") < 0, F.lit(1.0)).otherwise(
         F.col("theta").cast("double") / F.lit(float(MAX_THETA))
     )
-    rse = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - f) / F.greatest(n, F.lit(1.0)))
     z = F.lit(float(num_std_devs))
-    lb = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.greatest(n, F.col("estimate") / (F.lit(1.0) + z * rse))
+    b = z * F.sqrt((F.lit(1.0) - f) / f)
+    nhat_lb = (n - F.lit(0.5)) / f
+    raw_lb = (
+        nhat_lb + F.lit(0.5) * b * b
+        - F.lit(0.5) * b * F.sqrt(b * b + F.lit(4.0) * nhat_lb)
+        - F.lit(0.5)
     )
-    ub = F.when(n == 0, F.lit(0.0)).otherwise(F.col("estimate") * (F.lit(1.0) + z * rse))
+    nhat_ub = (n + F.lit(0.5)) / f
+    raw_ub = (
+        nhat_ub + F.lit(0.5) * b * b
+        + F.lit(0.5) * b * F.sqrt(b * b + F.lit(4.0) * nhat_ub)
+        + F.lit(0.5)
+    )
+    exact = (F.col("theta") < 0) | (n == 0)
+    lb = F.when(exact, F.col("estimate")).otherwise(
+        F.least(F.col("estimate"), F.greatest(n, raw_lb))
+    )
+    ub = F.when(exact, F.col("estimate")).otherwise(
+        F.greatest(F.col("estimate"), raw_ub)
+    )
     return df.withColumn("lower_bound", lb).withColumn("upper_bound", ub)
 
 

@@ -55,20 +55,22 @@ class ThetaSketch:
         return len(self.hashes) / (self.theta / MAX_THETA)
 
     def get_bounds(self, num_std_devs: int = 2) -> tuple[float, float]:
-        """Normal-approximation CI on the binomial sampling process, exact
-        (== estimate) when theta==MAX_THETA. Re-derivation of the intent of
-        binomial_bounds.hpp:295-310, not a bit-parity port: RSE of a KMV
-        estimate with n retained at sampling rate f is sqrt((1-f)/n)."""
+        """Binomial confidence bounds on the sampled count, exact
+        (== estimate) when theta==MAX_THETA — the re-derived
+        binomial_bounds regimes (binomial_bounds.py; reference:
+        common/include/binomial_bounds.hpp get_lower/upper_bound). Matches
+        the reference's bound VALUES in every regime except the
+        equivalent-z corner (n ≤ 120 at theta < n/360), validated to
+        1e-10 against the reference's own golden-sketch assertions in
+        tests/test_golden_sk.py."""
+        from . import binomial_bounds as bb
+
         n = len(self.hashes)
         if not self.is_estimation_mode or n == 0:
             est = self.get_estimate()
             return est, est
         f = self.theta / MAX_THETA
-        est = n / f
-        rse = math.sqrt(max(0.0, 1.0 - f) / n)
-        lb = est / (1.0 + num_std_devs * rse)
-        ub = est * (1.0 + num_std_devs * rse)
-        return max(float(n), lb), ub
+        return bb.lower_bound(n, f, num_std_devs), bb.upper_bound(n, f, num_std_devs)
 
     def __len__(self) -> int:
         return len(self.hashes)

@@ -142,30 +142,58 @@ def connected_components(
       component-min labels), which tests/test_dedup_pipeline.py asserts.
 
     Convergence of the distributed regime is detected with the commutative
-    checksum every ``check_every`` rounds after ``min_rounds``."""
+    checksum every ``check_every`` rounds after ``min_rounds``.
+
+    The regime choice itself costs ONE action, not three: a
+    ``limit(threshold+1).toPandas()`` probe. If at most ``threshold``
+    canonical edges come back they ARE the whole graph — driver finish
+    proceeds on them directly, with no checkpoint or checksum job ever
+    scheduled. Only a genuinely giant graph pays for the distributed
+    regime's materialization barriers. (At small corpus sizes each Spark
+    job is ~fixed-cost in multi-executor mode; this fusion removes two of
+    the flagship's serial barriers — Amdahl terms the N→4N scaling gate
+    measures directly.)"""
     t_init = time.time()
-    cur = _canonical(edges).localCheckpoint(eager=True)
-    prev_sig = _checksum(cur)
     LAST_STATS.clear()
-    LAST_STATS.update(
-        {"rounds": 0, "checksums": [], "init_sec": round(time.time() - t_init, 2)}
-    )
-    if prev_sig[0] == 0:
+    LAST_STATS.update({"rounds": 0, "checksums": []})
+    cur = _canonical(edges)
+    spark = edges.sparkSession
+    # CollectLimit default is incremental (1 partition, then 4x more, ...)
+    # — each escalation is another serial job. The probe wants ONE pass
+    # over all partitions; restore the caller's setting afterwards.
+    key = "spark.sql.limit.initialNumPartitions"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, str(1 << 30))
+    try:
+        probe = cur.limit(driver_finish_edges + 1).toPandas()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    LAST_STATS["init_sec"] = round(time.time() - t_init, 2)
+    if len(probe) == 0:
         return edges.sparkSession.createDataFrame(
             [], schema=edges.select(
                 edges["a"].alias("id"), edges["b"].alias("cluster_id")
             ).schema,
         )
 
-    def _finish_on_driver(cur: DataFrame) -> DataFrame:
+    def _finish_on_driver(pdf) -> DataFrame:
         t_d = time.time()
-        comp = _driver_min_label(cur.toPandas())
+        comp = _driver_min_label(pdf)
         out = edges.sparkSession.createDataFrame(comp)
         LAST_STATS["driver_finish_sec"] = round(time.time() - t_d, 2)
         return out
 
-    if prev_sig[0] <= driver_finish_edges:
-        return _finish_on_driver(cur)
+    if len(probe) <= driver_finish_edges:
+        return _finish_on_driver(probe)
+
+    # giant graph: distributed star rounds need the lineage barrier + a
+    # baseline checksum for convergence detection
+    del probe
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
 
     for rnd in range(max_iter):
         check = (rnd + 1 >= min_rounds) and ((rnd + 1 - min_rounds) % check_every == 0)
@@ -181,7 +209,7 @@ def connected_components(
         if sig == prev_sig:
             break
         if sig[0] <= driver_finish_edges:
-            return _finish_on_driver(cur)
+            return _finish_on_driver(cur.toPandas())
         prev_sig = sig
     else:
         raise RuntimeError(f"connected components did not converge in {max_iter} rounds")

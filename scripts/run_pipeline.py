@@ -44,7 +44,16 @@ def main() -> None:
         profile=phases if profile else None,
     )
     tp = time.time()
-    n_assigned = res["assignments"].count()
+    # single publish action: row count AND the partition-order-insensitive
+    # checksum (proves the two cluster-size runs computed the identical
+    # result) come from ONE aggregate — not a count job plus a checksum job
+    import pyspark.sql.functions as F
+
+    pub = res["assignments"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)")).alias("cs"),
+    ).collect()[0]
+    n_assigned, checksum = int(pub["n"]), pub["cs"]
     wall = time.time() - t0
     if profile:
         from datasketches_cpp_spark.operators import cc
@@ -52,14 +61,6 @@ def main() -> None:
         phases["final_assign"] = round(time.time() - tp, 2)
         phases["cc_stats"] = dict(cc.LAST_STATS)
     assert n_assigned == n
-
-    # a partition-order-insensitive checksum of the assignments proves the
-    # two cluster-size runs computed the identical result
-    import pyspark.sql.functions as F
-
-    checksum = res["assignments"].agg(
-        F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)")).alias("cs")
-    ).collect()[0]["cs"]
 
     out = {
         "master": master,

@@ -51,6 +51,10 @@ def run_once(master: str, zpath: str, img_parquet: str, shuffle_parts: int) -> d
         "--conf", "spark.sql.files.maxPartitionBytes=33554432",
         "--conf", "spark.driver.memory=16g",
         "--conf", "spark.ui.enabled=false",
+        # multi-executor mode: never stall a ~100ms task 3s waiting for a
+        # process-local slot — on a one-box local-cluster every executor is
+        # equally "local" to the data, so locality waits are pure serial cost
+        "--conf", "spark.locality.wait=0s",
         "--py-files", zpath,
         os.path.join(ROOT, "scripts", "run_pipeline.py"),
         img_parquet,

@@ -103,19 +103,19 @@ def test_theta_golden_v1_v2_identical_entries():
 
 
 def test_theta_golden_bounds_vs_reference_values():
-    """The reference asserts binomial-approximation bounds
-    (theta_sketch_test.cpp:209-210: lb2=7996.956955317471,
-    ub2=8339.090301078124). This engine re-derives bounds with a normal
-    approximation (documented deviation, MIGRATION.md) — quantify the
-    divergence and pin it below 0.1% so a regression in either direction
-    is caught."""
+    """EXACT bound parity on the golden sketch: the reference asserts
+    lb2=7996.956955317471 / ub2=8339.090301078124 to 1e-10
+    (theta_sketch_test.cpp:209-210). n=4342 > 120 lands in the
+    continuity-corrected Gaussian regime, which binomial_bounds.py
+    re-derives in closed form — the values must agree to the same 1e-10
+    the reference's own test uses."""
     theta, sig = deserialize_compact(
         _read(os.path.join(THETA_DIR, "theta_compact_estimation_from_java_v1.sk"))
     )
     sk = kmv.from_hashes(np.asarray(sig, np.int64), k=1 << 30, theta=theta)
     lb, ub = sk.get_bounds(2)
-    assert lb == pytest.approx(7996.956955317471, rel=1e-3)
-    assert ub == pytest.approx(8339.090301078124, rel=1e-3)
+    assert lb == pytest.approx(7996.956955317471, abs=1e-10)
+    assert ub == pytest.approx(8339.090301078124, abs=1e-10)
 
 
 def test_theta_golden_reserialize_roundtrip():
