@@ -697,6 +697,66 @@ def q_lsh_exact_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_countmin_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency guarantee as a hash-checkable coverage
+    contract (count_min.hpp one-sided error: exact ≤ estimate ≤ exact +
+    ε·total with ε = e/num_buckets... here the deterministic-seed bound is
+    checked directly): estimate each event_type's count from the sketch,
+    compare against the exact groupBy count computed Spark-side. Oracle
+    re-derives the exact counts and asserts the same coverage booleans."""
+    from datasketches_cpp_spark.functions.countmin import (
+        count_min_agg,
+        estimate_frequencies,
+        relative_error,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = count_min_agg(ev, [], "event_type", num_hashes=5, num_buckets=2048)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = estimate_frequencies(sk, exact, "event_type")
+    _ = relative_error  # bound columns below already encode ε·total
+    return est.select(
+        "event_type",
+        "exact_count",
+        (
+            (F.col("exact_count") <= F.col("upper_bound"))
+            & (F.col("exact_count") >= F.col("lower_bound"))
+        ).alias("covered"),
+    ).orderBy("event_type")
+
+
+def q_ks_test_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS test over KLL sketches (kll_sketch.hpp kolmogorov_smirnov_test
+    analog, functions.quantiles.ks_test): two halves of the SAME value
+    distribution (split by event_id parity) must NOT reject; the value
+    distribution against its doubled-and-shifted copy MUST reject. The
+    verdicts are deterministic (fixed data, fixed k), so the oracle pins
+    them as literal expected booleans — a violated guarantee flips a
+    column and fails the hash."""
+    from datasketches_cpp_spark.functions.quantiles import (
+        KllSketch,
+        kll_sketch_agg,
+        ks_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("half"),
+        F.col("value"),
+    ).union(
+        ev.select(F.lit("shifted").alias("half"), F.col("value") * 2 + 1000)
+    )
+    sk = kll_sketch_agg(labeled, ["half"], "value", k=200)
+    rows = {r["half"]: KllSketch.from_row(200, 9001, r.asDict()) for r in sk.collect()}
+    same = ks_test(rows["even"], rows["odd"], 0.01)
+    shifted = ks_test(rows["even"], rows["shifted"], 0.01)
+    return spark.createDataFrame(
+        [("same_distribution", bool(same), False),
+         ("shifted_distribution", bool(shifted), True)],
+        "case string, rejected boolean, expected boolean",
+    ).orderBy("case")
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
@@ -739,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_p99_tail": q_exact_p99_tail,
         "tdigest_price_tails": q_tdigest_price_tails,
         "lsh_exact_dup_recall": q_lsh_exact_dup_recall,
+        "countmin_event_counts": q_countmin_event_counts,
+        "ks_test_epochs": q_ks_test_epochs,
     }
 
 
@@ -971,6 +1033,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COALESCE(SUM(c * (2 * c - 1)), 0) AS BIGINT) AS exact_dup_pairs, "
             "CAST(COALESCE(SUM(c * (2 * c - 1)), 0) AS BIGINT) AS pairs_same_cluster "
             "FROM g"
+        ),
+        "countmin_event_counts": (
+            # the sketch's one-sided bound law (count_min.hpp:71-88):
+            # lower_bound ≤ exact ≤ upper_bound, deterministic under the
+            # fixed seed — a violated bound flips `covered` and fails the hash
+            "SELECT event_type, COUNT(*) AS exact_count, TRUE AS covered "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "ks_test_epochs": (
+            # deterministic KS verdicts: same-distribution halves accept,
+            # a doubled+shifted copy rejects (p=0.01)
+            'SELECT * FROM (VALUES '
+            "('same_distribution', FALSE, FALSE), "
+            "('shifted_distribution', TRUE, TRUE)"
+            ') AS t("case", rejected, expected) ORDER BY "case"'
         ),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
         # ann_lsh_topk, tdigest_price_tails:
