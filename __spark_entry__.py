@@ -757,6 +757,47 @@ def q_ks_test_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case string, rejected boolean, expected boolean",
     ).orderBy("case")
 
+
+def q_kll_string_rank_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-item KLL (kll_items.KllItemSketch — the reference's
+    kll_sketch<std::string> configuration) as a coverage contract: the
+    EXACT rank of the sketch's median estimate over each order status's
+    o_orderpriority strings must lie within 2× the KLL normalized rank
+    error plus a discreteness margin (only 5 distinct priorities, so
+    exact ranks move in big steps — the margin is the largest single
+    value's mass, bounded here by 0.25)."""
+    from datasketches_cpp_spark.functions.kll_items import (
+        kll_string_agg,
+        with_string_quantiles,
+    )
+
+    k = 200
+    od = _t(spark, sf_dir, "orders")
+    sk = kll_string_agg(od, ["o_orderstatus"], "o_orderpriority", k=k)
+    est = with_string_quantiles(sk, [0.5]).select(
+        "o_orderstatus", F.col("quantiles")[0].alias("median_est")
+    )
+    tol = 2.0 * 2.296 / (k ** 0.9) + 0.25
+    ranked = (
+        od.join(F.broadcast(est), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum((F.col("o_orderpriority") <= F.col("median_est")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("exact_rank"),
+        )
+    )
+    return ranked.select(
+        "o_orderstatus",
+        "n_rows",
+        (
+            (F.col("exact_rank") >= F.lit(0.5) - F.lit(tol) - F.lit(0.25))
+            & (F.col("exact_rank") <= F.lit(0.5) + F.lit(tol) + F.lit(0.25))
+        ).alias("covered"),
+    ).orderBy("o_orderstatus")
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
@@ -801,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_exact_dup_recall": q_lsh_exact_dup_recall,
         "countmin_event_counts": q_countmin_event_counts,
         "ks_test_epochs": q_ks_test_epochs,
+        "kll_string_rank_coverage": q_kll_string_rank_coverage,
     }
 
 
@@ -1048,6 +1090,10 @@ def oracle_sql() -> dict[str, str]:
             "('same_distribution', FALSE, FALSE), "
             "('shifted_distribution', TRUE, TRUE)"
             ') AS t("case", rejected, expected) ORDER BY "case"'
+        ),
+        "kll_string_rank_coverage": (
+            "SELECT o_orderstatus, COUNT(*) AS n_rows, TRUE AS covered "
+            "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
         # ann_lsh_topk, tdigest_price_tails:
