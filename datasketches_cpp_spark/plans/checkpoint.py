@@ -98,6 +98,23 @@ class StageCheckpointer:
     epoch: int = 0
     metrics: list = field(default_factory=list)
 
+    def __post_init__(self) -> None:
+        # HARD contract, not just a docstring: manifest/lineage bookkeeping
+        # uses os/shutil primitives, so a non-local root (s3://, hdfs://,
+        # abfs://, ...) would silently mis-detect completed stages — the
+        # worst possible failure for a resume mechanism. Fail loudly here;
+        # porting = routing manifest I/O through the Hadoop FileSystem API.
+        scheme = self.root.split("://", 1)[0] if "://" in self.root else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"StageCheckpointer requires a local filesystem root, got "
+                f"'{self.root}' (scheme '{scheme}'). Remote roots need the "
+                "manifest I/O ported to the Hadoop FileSystem API — see the "
+                "module docstring."
+            )
+        if self.root.startswith("file://"):
+            self.root = self.root[len("file://"):]
+
     # -- paths ---------------------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)

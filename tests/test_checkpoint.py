@@ -190,3 +190,18 @@ def test_observed_metrics_in_manifest(spark, tmp_path):
     ck2 = StageCheckpointer(spark, str(tmp_path / "ck"), "fp-observe")
     ck2.run_stage("obs_stage", lambda: (_ for _ in ()).throw(AssertionError))
     assert ck2.load_manifest("obs_stage")["observed"]["rows"] == 100
+
+
+def test_non_local_root_rejected(spark):
+    """A remote checkpoint root must fail LOUDLY at construction — silent
+    manifest mis-detection on an object store is the worst resume failure."""
+    import pytest as _pytest
+
+    from datasketches_cpp_spark.plans.checkpoint import StageCheckpointer
+
+    for bad in ("s3://bucket/ckpt", "hdfs://nn:8020/ckpt", "abfs://c@a/ckpt"):
+        with _pytest.raises(ValueError, match="local filesystem root"):
+            StageCheckpointer(spark, bad, "fp")
+    # file:// is local — accepted and normalized
+    cp = StageCheckpointer(spark, "file:///tmp/ckpt_ok", "fp")
+    assert cp.root == "/tmp/ckpt_ok"
