@@ -215,6 +215,115 @@ def _approx_ub(n: int, theta: float, nsd: int) -> float:
     return float(_posterior_tail_m(n + 1, theta, 1.0 - delta, strict=False))
 
 
+# ---------------------------------------------------------------------------
+# Binomial-proportion bounds (approximate Clopper-Pearson) and ratio bounds
+# for sampled sets — the machinery behind jaccard CIs
+# (common/include/bounds_binomial_proportions.hpp,
+#  theta/include/bounds_on_ratios_in_sampled_sets.hpp), re-derived from the
+# PUBLISHED formulas those headers cite: erf via Abramowitz & Stegun 7.1.28,
+# inverse incomplete beta via A&S 26.5.22.
+# ---------------------------------------------------------------------------
+
+# A&S 7.1.28 coefficients (public-domain handbook values)
+_ERF_A = (0.0705230784, 0.0422820123, 0.0092705272,
+          0.0001520143, 0.0002765672, 0.0000430638)
+
+
+def erf_approx(x: float) -> float:
+    """erf to ~7 decimal digits (A&S 7.1.28: (1+Σ a_i x^i)^-16 form)."""
+    if x < 0.0:
+        return -erf_approx(-x)
+    s = 1.0
+    xp = 1.0
+    for a in _ERF_A:
+        xp *= x
+        s += a * xp
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    return 1.0 - 1.0 / (s8 * s8)
+
+
+def normal_cdf(x: float) -> float:
+    return 0.5 * (1.0 + erf_approx(x / math.sqrt(2.0)))
+
+
+def _delta_of_num_stdevs(kappa: float) -> float:
+    return normal_cdf(-kappa)
+
+
+def _as_26_5_22(a: float, b: float, yp: float) -> float:
+    """A&S 26.5.22: approximate x solving I_x(a, b) = delta, with delta
+    given through yp = #stddevs leaving delta in the right normal tail."""
+    b2m1 = 2.0 * b - 1.0
+    a2m1 = 2.0 * a - 1.0
+    lam = (yp * yp - 3.0) / 6.0
+    h = 2.0 / (1.0 / a2m1 + 1.0 / b2m1)
+    w = (yp * math.sqrt(h + lam)) / h - (1.0 / b2m1 - 1.0 / a2m1) * (
+        lam + 5.0 / 6.0 - 2.0 / (3.0 * h)
+    )
+    return a / (a + b * math.exp(2.0 * w))
+
+
+def approximate_lower_bound_on_p(n: int, k: int, num_std_devs: float) -> float:
+    """Approximate Clopper-Pearson lower bound on a binomial proportion."""
+    if k > n:
+        raise ValueError("k cannot exceed n")
+    if n == 0 or k == 0:
+        return 0.0
+    if k == 1:
+        return 1.0 - (1.0 - _delta_of_num_stdevs(num_std_devs)) ** (1.0 / n)
+    if k == n:
+        return _delta_of_num_stdevs(num_std_devs) ** (1.0 / n)
+    return 1.0 - _as_26_5_22((n - k) + 1.0, float(k), -num_std_devs)
+
+
+def approximate_upper_bound_on_p(n: int, k: int, num_std_devs: float) -> float:
+    if k > n:
+        raise ValueError("k cannot exceed n")
+    if n == 0 or k == n:
+        return 1.0
+    if k == n - 1:
+        return (1.0 - _delta_of_num_stdevs(num_std_devs)) ** (1.0 / n)
+    if k == 0:
+        return 1.0 - _delta_of_num_stdevs(num_std_devs) ** (1.0 / n)
+    return 1.0 - _as_26_5_22(float(n - k), k + 1.0, num_std_devs)
+
+
+def _sampling_adjuster(f: float) -> float:
+    """CI width shrinkage for Bernoulli-sampled sets: √(1−f), with the
+    reference's empirical +0.01·(f−0.5) correction above f=0.5
+    (bounds_on_ratios_in_sampled_sets.hpp hacky_adjuster)."""
+    t = math.sqrt(1.0 - f)
+    return t if f <= 0.5 else t + 0.01 * (f - 0.5)
+
+
+def lower_bound_for_b_over_a(a: int, b: int, f: float, num_std_devs: float = 2.0) -> float:
+    """Lower bound on |B|/|A| from a Bernoulli(f) sample of A containing
+    ``a`` items, ``b`` of which are in B."""
+    if b > a:
+        raise ValueError("a must be >= b")
+    if not (0.0 < f <= 1.0):
+        raise ValueError("f must be in (0, 1]")
+    if a == 0:
+        return 0.0
+    if f == 1.0:
+        return b / a
+    return approximate_lower_bound_on_p(a, b, num_std_devs * _sampling_adjuster(f))
+
+
+def upper_bound_for_b_over_a(a: int, b: int, f: float, num_std_devs: float = 2.0) -> float:
+    if b > a:
+        raise ValueError("a must be >= b")
+    if not (0.0 < f <= 1.0):
+        raise ValueError("f must be in (0, 1]")
+    if a == 0:
+        return 1.0
+    if f == 1.0:
+        return b / a
+    return approximate_upper_bound_on_p(a, b, num_std_devs * _sampling_adjuster(f))
+
+
 def lower_bound(num_samples: int, theta: float, num_std_devs: int = 2) -> float:
     """Frequentist lower bound on the population count; matches the
     reference's binomial_bounds::get_lower_bound in every regime except

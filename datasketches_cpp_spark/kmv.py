@@ -134,12 +134,16 @@ def a_not_b(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
 
 
 def jaccard(a: ThetaSketch, b: ThetaSketch, num_std_devs: float = 2.0) -> tuple[float, float, float]:
-    """{lower, estimate, upper} bound of J(A,B), following the shape of
+    """{lower, estimate, upper} bound of J(A,B), following
     theta_jaccard_similarity_base.hpp:55-146: trivial cases first, then an
     effectively-lossless union (adaptive k, :138-146), intersection of
-    {a, b, union}, and a ratio estimate with a sampling-widened binomial CI
-    (bounds_on_ratios_in_sampled_sets.hpp:56-123, incl. the
-    ``hacky_adjuster = sqrt(1-f)`` idea at :120 — re-derived, not copied)."""
+    {a, b, union}, and the reference's ratio bounds: an approximate
+    Clopper-Pearson CI on b-over-a with CI width scaled by the sampling
+    adjuster √(1−f) (binomial_bounds.lower/upper_bound_for_b_over_a — the
+    re-derived bounds_on_ratios_in_sampled_sets.hpp:56-123, A&S-formula
+    Clopper-Pearson per bounds_binomial_proportions.hpp)."""
+    from . import binomial_bounds as bb
+
     if a.is_empty and b.is_empty:
         return (1.0, 1.0, 1.0)
     if a.is_empty or b.is_empty:
@@ -155,12 +159,8 @@ def jaccard(a: ThetaSketch, b: ThetaSketch, num_std_devs: float = 2.0) -> tuple[
     if theta == MAX_THETA and len(ha) == len(a.hashes) and len(hb) == len(b.hashes):
         return (p, p, p)  # exact mode — identical_sets short-circuit incl.
     f = theta / MAX_THETA
-    # binomial-proportion CI on the retained union sample, shrunk by the
-    # sampled fraction (as f→1 the sketch is exact and the CI collapses) —
-    # the re-derived intent of hacky_adjuster(f)=sqrt(1-f)
-    se = math.sqrt(p * (1.0 - p) / uni) * math.sqrt(max(0.0, 1.0 - f))
-    lb = max(0.0, p - num_std_devs * se)
-    ub = min(1.0, p + num_std_devs * se)
+    lb = bb.lower_bound_for_b_over_a(uni, inter, f, num_std_devs)
+    ub = bb.upper_bound_for_b_over_a(uni, inter, f, num_std_devs)
     return (lb, p, ub)
 
 

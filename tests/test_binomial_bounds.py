@@ -155,3 +155,58 @@ def test_estimation_sketch_bound_laws(spark):
     assert n_ret > 120
     assert lb == pytest.approx(bb.lower_bound(n_ret, theta_frac, 2), abs=1e-9)
     assert ub == pytest.approx(bb.upper_bound(n_ret, theta_frac, 2), abs=1e-9)
+
+
+def test_proportion_bounds_vs_exact_clopper_pearson():
+    """The A&S 26.5.22 approximation must track the EXACT Clopper-Pearson
+    interval (computed via the incomplete-beta the engine already has):
+    exact lower p* solves P(Bin(n,p*) >= k) = delta."""
+    for n, k in [(100, 30), (1000, 500), (5000, 123), (64, 2), (64, 62)]:
+        for nsd in (1.0, 2.0, 3.0):
+            delta = bb._delta_of_num_stdevs(nsd)
+            lb = bb.approximate_lower_bound_on_p(n, k, nsd)
+            ub = bb.approximate_upper_bound_on_p(n, k, nsd)
+            # exact CP endpoints via regularized incomplete beta:
+            # lower: I_p(k, n-k+1) = 1 - delta at p = lb_exact
+            # (tail P(X>=k) = I_p(k, n-k+1) = delta at the lower endpoint)
+            def tail_ge(p):  # P(Bin(n,p) >= k)
+                return bb._reg_inc_beta(k, n - k + 1, p) if 0 < p < 1 else (0.0 if p <= 0 else 1.0)
+
+            lo, hi = 0.0, 1.0
+            for _ in range(80):
+                mid = (lo + hi) / 2
+                if tail_ge(mid) < delta:
+                    lo = mid
+                else:
+                    hi = mid
+            lb_exact = (lo + hi) / 2
+
+            def tail_le(p):  # P(Bin(n,p) <= k) = 1 - P(>= k+1)
+                return 1.0 - (bb._reg_inc_beta(k + 1, n - k, p) if 0 < p < 1 else (0.0 if p <= 0 else 1.0))
+
+            lo, hi = 0.0, 1.0
+            for _ in range(80):
+                mid = (lo + hi) / 2
+                if tail_le(mid) > delta:
+                    lo = mid
+                else:
+                    hi = mid
+            ub_exact = (lo + hi) / 2
+            assert lb == pytest.approx(lb_exact, abs=5e-3)
+            assert ub == pytest.approx(ub_exact, abs=5e-3)
+            assert lb <= k / n <= ub
+
+
+def test_ratio_bounds_shape_and_collapse():
+    # f = 1 → exact ratio, no interval
+    assert bb.lower_bound_for_b_over_a(100, 40, 1.0) == 0.4
+    assert bb.upper_bound_for_b_over_a(100, 40, 1.0) == 0.4
+    # interval brackets the estimate and tightens as f -> 1
+    lb1 = bb.lower_bound_for_b_over_a(1000, 400, 0.1)
+    lb2 = bb.lower_bound_for_b_over_a(1000, 400, 0.9)
+    assert lb1 < lb2 < 0.4
+    ub1 = bb.upper_bound_for_b_over_a(1000, 400, 0.1)
+    ub2 = bb.upper_bound_for_b_over_a(1000, 400, 0.9)
+    assert ub1 > ub2 > 0.4
+    with pytest.raises(ValueError):
+        bb.lower_bound_for_b_over_a(10, 11, 0.5)
