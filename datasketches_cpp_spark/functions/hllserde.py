@@ -199,6 +199,67 @@ def _unpack_hll6(buf: bytes, off: int, lg_k: int) -> np.ndarray:
     return (usable * weights).sum(axis=1).astype(np.uint8)
 
 
+def serialize_hll4(regs: np.ndarray, lg_k: int) -> bytes:
+    """K uint8 registers → compact HLL_4 bytes (k/2 nibbles relative to
+    cur_min + aux exception map for values ≥ cur_min+15) — the reference's
+    most space-efficient dense form, half the bytes of HLL_8 when the
+    register spread allows. Readable by deserialize_hll and any
+    DataSketches deployment."""
+    regs = np.ascontiguousarray(np.asarray(regs, np.uint8))
+    if len(regs) != (1 << lg_k):
+        raise HllSerdeError(f"register count {len(regs)} != 2^lg_k ({1 << lg_k})")
+    cur_min = int(regs.min())
+    rel = regs.astype(np.int64) - cur_min
+    exc_slots = np.nonzero(rel >= _AUX_TOKEN)[0]
+    nib = np.minimum(rel, _AUX_TOKEN).astype(np.uint8)
+    packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+    kxq0, kxq1 = _kxq(regs)
+    flags = _F_COMPACT | _F_OUT_OF_ORDER
+    if cur_min == 0 and not regs.any():
+        flags |= _F_EMPTY
+    out = bytearray()
+    out += struct.pack("<BBBBBBBB", _PREINTS, _SER_VER, _FAMILY, lg_k, 0,
+                       flags, cur_min, 2 | (0 << 2))
+    out += struct.pack("<ddd", 0.0, kxq0, kxq1)
+    out += struct.pack(
+        "<II", int(np.count_nonzero(regs == cur_min)), len(exc_slots)
+    )
+    out += packed.tobytes()
+    if len(exc_slots):
+        pairs = (exc_slots.astype(np.uint32)
+                 | (regs[exc_slots].astype(np.uint32) << np.uint32(_KEY_BITS_26)))
+        out += pairs.astype("<u4").tobytes()
+    return bytes(out)
+
+
+def serialize_hll6(regs: np.ndarray, lg_k: int) -> bytes:
+    """K uint8 registers → dense HLL_6 bytes (6-bit little-endian packing,
+    (3k/4)+1 bytes) — no aux map needed since rho < 64 always."""
+    regs = np.ascontiguousarray(np.asarray(regs, np.uint8))
+    if len(regs) != (1 << lg_k):
+        raise HllSerdeError(f"register count {len(regs)} != 2^lg_k ({1 << lg_k})")
+    if (regs >= 64).any():
+        raise HllSerdeError("HLL register value ≥ 64 is impossible/corrupt")
+    k = len(regs)
+    bits = np.zeros(k * 6, np.uint8)
+    for i in range(6):
+        bits[i::6] = (regs >> i) & 1
+    arr = np.packbits(bits, bitorder="little")
+    body = np.zeros(((k * 3) >> 2) + 1, np.uint8)
+    body[: len(arr)] = arr
+    kxq0, kxq1 = _kxq(regs)
+    flags = _F_COMPACT | _F_OUT_OF_ORDER
+    if not regs.any():
+        flags |= _F_EMPTY
+    out = bytearray()
+    out += struct.pack("<BBBBBBBB", _PREINTS, _SER_VER, _FAMILY, lg_k, 0,
+                       flags, int(regs.min()), 2 | (1 << 2))
+    out += struct.pack("<ddd", 0.0, kxq0, kxq1)
+    out += struct.pack("<II", int(np.count_nonzero(regs == regs.min())), 0)
+    out += body.tobytes()
+    return bytes(out)
+
+
 def deserialize_hll(buf: bytes) -> tuple[int, np.ndarray]:
     """Parse ANY reference HLL stream — coupon LIST, coupon SET, or dense
     HLL mode in all three register widths (HLL_4 / HLL_6 / HLL_8) — into

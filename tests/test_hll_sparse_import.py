@@ -198,3 +198,50 @@ def test_truncation_and_bad_mode_rejected():
         deserialize_hll(bytes(bad))
     with pytest.raises(HllSerdeError):
         deserialize_hll(_list_bytes(COUPONS[:3], lg_k=25))  # lg_k out of range
+
+
+def test_hll4_write_read_roundtrip():
+    """Engine-written HLL_4 (with aux exceptions) round-trips exactly and
+    is half the register bytes of HLL_8."""
+    from datasketches_cpp_spark.functions.hllserde import serialize_hll4
+
+    rng = np.random.default_rng(46)
+    regs = rng.integers(3, 14, K).astype(np.uint8)
+    regs[[7, 1000, 2000]] = [45, 30, 50]  # exceptions
+    buf = serialize_hll4(regs, LG_K)
+    lg_k, got = deserialize_hll(buf)
+    assert lg_k == LG_K
+    np.testing.assert_array_equal(got, regs)
+    buf8 = serialize_hll8(regs, LG_K)
+    assert len(buf) < len(buf8) - K // 2 + 64  # ~half register payload
+
+
+def test_hll6_write_read_roundtrip():
+    from datasketches_cpp_spark.functions.hllserde import serialize_hll6
+
+    rng = np.random.default_rng(47)
+    regs = rng.integers(0, 63, K).astype(np.uint8)
+    buf = serialize_hll6(regs, LG_K)
+    lg_k, got = deserialize_hll(buf)
+    assert lg_k == LG_K
+    np.testing.assert_array_equal(got, regs)
+
+
+def test_all_widths_estimate_identically():
+    """HLL_4 / HLL_6 / HLL_8 encodings of the same registers must produce
+    the identical composite estimate after import — width is storage, not
+    semantics (the reference's tgtHllType contract)."""
+    from datasketches_cpp_spark.functions.hll import _composite_estimate
+    from datasketches_cpp_spark.functions.hllserde import (
+        serialize_hll4,
+        serialize_hll6,
+    )
+
+    rng = np.random.default_rng(48)
+    regs = rng.integers(1, 16, K).astype(np.uint8)
+    ests = {
+        _composite_estimate(deserialize_hll(blob)[1])
+        for blob in (serialize_hll4(regs, LG_K), serialize_hll6(regs, LG_K),
+                     serialize_hll8(regs, LG_K))
+    }
+    assert len(ests) == 1
