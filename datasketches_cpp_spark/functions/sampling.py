@@ -37,7 +37,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _tau_for(weights: np.ndarray, k: int) -> float:
@@ -286,24 +286,39 @@ def ebpps_sample(
     weight_col: str,
     k: int,
     seed: int = 9001,
+    num_buckets: int | None = None,
 ) -> DataFrame:
-    """PPS sampling with bounded expected size — the Spark re-expression of
-    the reference's EBPPS sketch (sampling/include/ebpps_sketch.hpp:64-152,
+    """PPS sampling with a HARD size bound — the Spark re-expression of the
+    reference's EBPPS sketch (sampling/include/ebpps_sketch.hpp:64-152,
     'Exact PPS Sampling with Bounded Sample Size', Hentschel/Haas/Tian 2023):
     every row is included with probability EXACTLY pi_i = min(1, w_i / tau)
-    where tau solves Σ min(w_i/tau, 1) = k, so E[|sample|] = min(k, n).
+    where tau solves Σ min(w_i/tau, 1) = k, and the realized sample size is
+    ⌈Σpi − U⌉ ∈ {k−1, k} — the same {⌊c⌋, ⌈c⌉} contract the reference's
+    coin-flip merge provides (ebpps_sample.hpp get_c()), met here by a
+    different mechanism: SYSTEMATIC PPS sampling (Madow 1949). Items are
+    placed on a line in random (hash-permuted) order at intervals pi_i; one
+    global uniform U picks the lattice {U, U+1, …}; item i is included iff
+    its interval (cum_{i−1}, cum_i] contains a lattice point. Marginals are
+    exactly pi_i; the size is hard-bounded because consecutive lattice
+    points are 1 apart and Σpi = k. The reference's sequential coin-flip
+    coupling would serialize the scan; systematic sampling needs only a
+    global prefix sum, which distributes.
 
-    Documented deviation: the reference couples the inclusion draws so the
-    realized size is hard-bounded at ⌈k⌉; that coupling is inherently
-    sequential. Here inclusions are independent (Poisson-PPS), so |sample|
-    concentrates at k ± O(√k) — same exact marginal probabilities, same
-    Horvitz-Thompson estimator (ht_weight = max(w, tau)), no hard cap.
-
-    Spark-first plan: tau needs only (Σ w, top-(k+1) weights) — one agg and
-    one TakeOrdered, never a full sort — and the inclusion decision is a
-    deterministic per-item uniform from xxhash64, entirely JVM-side (zero
-    Python in the per-row path). Scales to any corpus: the only driver-side
-    data is k+1 doubles."""
+    Spark-first plan, JVM-only per-row path (plan-asserted in
+    tests/test_plans.py):
+      1. tau from (Σw, top-(k+1) weights) — one agg + one TakeOrdered.
+      2. A layout-invariant bucket id from the TOP bits of the permutation
+         hash — buckets are contiguous hash ranges, a pure function of the
+         data (no RangePartitioner boundary sampling, so the offsets job
+         and the output job agree by construction).
+      3. Per-bucket Σpi (one small agg, ≤ num_buckets doubles to the
+         driver) → driver prefix sum → broadcast as a literal map.
+      4. Within-bucket running sum via a window partitioned by bucket —
+         parallel across buckets; global cum = map[bucket] + local cum.
+      5. Include iff ceil(cum − U) > ceil(cum_pre − U): one codegen filter.
+    Driver-side data: k+1 doubles + num_buckets doubles. At 10^12 rows,
+    size num_buckets so a bucket's rows fit one task's sort (the window
+    sorts per bucket)."""
     total = df.agg(F.sum(F.col(weight_col).cast("double"))).collect()[0][0]
     if total is None:
         return df.select(
@@ -332,21 +347,56 @@ def ebpps_sample(
             F.lit(1.0).alias("inclusion_prob"),
             w.alias("ht_weight"),
         )
-    # deterministic uniform in [0, 1): top 53 bits of xxhash64(item, seed)
-    u = (
-        F.shiftrightunsigned(F.xxhash64(F.col(item_col), F.lit(seed)), 11)
-        .cast("double")
-        / F.lit(float(1 << 53))
-    )
-    pi = F.least(F.lit(1.0), w / F.lit(tau))
-    return (
-        df.where(u < pi)
-        .select(
-            F.col(item_col).alias("item"),
-            w.alias("weight"),
-            pi.alias("inclusion_prob"),
-            F.greatest(w, F.lit(tau)).alias("ht_weight"),
+    # --- systematic PPS over a hash-permuted order ---------------------
+    # one global uniform U in (0,1), a pure function of the seed
+    u_global = (
+        ((seed * 0x9E3779B97F4A7C15 + 0x632BE59BD9B4E019) & ((1 << 53) - 1)) + 0.5
+    ) / float(1 << 53)
+    if num_buckets is None:
+        num_buckets = max(
+            64, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         )
+    lg_b = max(1, (num_buckets - 1).bit_length())  # buckets = 2^lg_b
+    pi = F.least(F.lit(1.0), w / F.lit(tau))
+    # permutation position: non-negative 63-bit hash; bucket = top lg_b bits
+    # (contiguous hash ranges — layout-invariant, no boundary sampling)
+    ordh = F.shiftrightunsigned(F.xxhash64(F.col(item_col), F.lit(seed + 1)), 1)
+    base = df.select(
+        F.col(item_col).alias("item"),
+        w.alias("weight"),
+        pi.alias("inclusion_prob"),
+        ordh.alias("_ord"),
+        F.shiftrightunsigned(ordh, 63 - lg_b).alias("_bkt"),
+    )
+    # per-bucket pi sums -> driver prefix sum (<= 2^lg_b doubles)
+    bsums = (
+        base.groupBy("_bkt")
+        .agg(F.sum("inclusion_prob").alias("s"))
+        .collect()
+    )
+    by_bkt = {r["_bkt"]: r["s"] for r in bsums}
+    offsets, acc = {}, 0.0
+    for b in range(1 << lg_b):
+        offsets[b] = acc
+        acc += by_bkt.get(b, 0.0)
+    map_args: list = []
+    for b in sorted(by_bkt):
+        map_args.extend([F.lit(b), F.lit(offsets[b])])
+    offset_expr = F.element_at(F.create_map(*map_args), F.col("_bkt"))
+    win = (
+        Window.partitionBy("_bkt")
+        .orderBy("_ord", "item")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (offset_expr + F.sum("inclusion_prob").over(win)).alias("_cum")
+    scored = base.select("item", "weight", "inclusion_prob", cum)
+    cum_pre = F.col("_cum") - F.col("inclusion_prob")
+    hit = F.ceil(F.col("_cum") - F.lit(u_global)) > F.ceil(cum_pre - F.lit(u_global))
+    return scored.where(hit).select(
+        "item",
+        "weight",
+        "inclusion_prob",
+        F.greatest(F.col("weight"), F.lit(tau)).alias("ht_weight"),
     )
 
 

@@ -56,8 +56,11 @@ def test_expected_size_and_ht_unbiasedness(spark):
             if r["inclusion_prob"] == 1.0:
                 assert r["ht_weight"] == r["weight"]
     total = float(w.sum())
-    # E|S| = k; Binomial concentration: 8-run mean within ~3 sigma
-    assert abs(np.mean(sizes) - k) < 3 * np.sqrt(k / 8) + 1
+    # HARD size bound (reference {floor(c), ceil(c)} contract,
+    # ebpps_sample.hpp get_c()): systematic PPS realizes ceil(sum(pi)-U),
+    # i.e. k or k-1 up to tau's float solve
+    for sz in sizes:
+        assert abs(sz - k) <= 1, sizes
     # Horvitz-Thompson estimator of total weight is unbiased
     assert abs(np.mean(ht_totals) - total) / total < 0.15
 
