@@ -69,8 +69,11 @@ def serialize_frequent_items(state: MGState) -> bytes:
     out += struct.pack("<BBBBBBH", _PRE_NONEMPTY, _SER_VER, _FAMILY, lg_max, lg_cur, 0, 0)
     out += struct.pack("<IIQQ", n, 0, int(state.total), int(state.offset))
     items = list(state.counts.keys())
+    # wire weights are the raw map weights — the reference's get_estimate
+    # adds the serialized offset back (frequent_items_sketch_impl.hpp:105-108),
+    # while MGState.counts already carry the offset; subtract on the way out
     weights = np.fromiter(
-        (int(state.counts[i]) for i in items), np.uint64, count=n
+        (int(state.counts[i]) - state.offset for i in items), np.uint64, count=n
     )
     out += weights.astype("<u8").tobytes()
     if all(isinstance(i, (int, np.integer)) for i in items):
@@ -125,5 +128,6 @@ def deserialize_frequent_items(buf: bytes, item_type: str = "str") -> MGState:
         raise FiSerdeError(f"unknown item_type {item_type!r}")
     state.total = int(total)
     state.offset = int(offset)
-    state.counts = {i: int(w) for i, w in zip(items, weights)}
+    # raw wire weights + offset == estimates, the form MGState.counts holds
+    state.counts = {i: int(w) + int(offset) for i, w in zip(items, weights)}
     return state

@@ -322,6 +322,23 @@ def deserialize_hll(buf: bytes) -> tuple[int, np.ndarray]:
     raise HllSerdeError(f"corrupt target HLL type {tgt}")
 
 
+def hip_estimate(buf: bytes) -> float | None:
+    """Stored HIP accumulator of a dense-mode reference HLL stream, or None
+    for coupon (LIST/SET) streams and streams flagged out-of-order (where
+    the reference itself falls back to the composite estimator).  For an
+    in-order stream this IS the reference's get_estimate() answer — exact
+    wire parity without re-deriving the estimator."""
+    if len(buf) < 40:
+        return None
+    _, sv, family, _, _, flags, _, mode = struct.unpack_from("<BBBBBBBB", buf, 0)
+    if family != _FAMILY or sv != _SER_VER or (mode & 0x3) != 2:
+        return None
+    if flags & _F_OUT_OF_ORDER:
+        return None
+    (hip,) = struct.unpack_from("<d", buf, 8)
+    return hip
+
+
 def with_hll_bytes(regs_df, lg_k: int, regs_col: str = "regs", out_col: str = "sketch_bytes"):
     """Append a BinaryType column of reference HLL_8 wire blobs to a table
     carrying K-byte register states (the shape `hll.hll_sketch_agg(...,

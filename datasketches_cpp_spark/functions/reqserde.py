@@ -1,9 +1,11 @@
 """REQ sketch wire serialization — the reference byte layout
 (req/include/req_sketch_impl.hpp serialize, req_compactor_impl.hpp
 compactor serialize, constants req_sketch.hpp:443-444, MIN_K=4
-req_common.hpp:33), re-derived for float64-item REQ sketches so states
-built by `req.req_sketch_agg` can be exchanged with Java/C++
-deployments instantiated with the double serde.
+req_common.hpp:33), re-derived for REQ sketches over either wire item
+width: ``item_dtype="<f8"`` (double serde, the engine's native state) or
+``"<f4"`` (the reference's canonical ``req_sketch<float>``), so states
+built by `req.req_sketch_agg` can be exchanged with Java/C++ deployments
+of both instantiations.  Float items widen losslessly to float64 state.
 
 Layout (little-endian):
 
@@ -11,16 +13,18 @@ Layout (little-endian):
     byte 1   serial version  1
     byte 2   family          17 (REQ)
     byte 3   flags           bit0 IS_EMPTY | bit1 IS_HIGH_RANK |
-                             bit2 RAW_ITEMS | bit3 IS_LEVEL_ZERO_SORTED
+                             bit4 RAW_ITEMS | bit5 IS_LEVEL_ZERO_SORTED
     uint16 @4 k
     byte 6   num_levels
     byte 7   num_raw_items (only when RAW_ITEMS: n ≤ MIN_K)
-    [estimation mode] uint64 n, float64 min, float64 max
-    [raw items]       num_raw_items × float64
+    [estimation mode] uint64 n, item min, item max
+    [raw items]       num_raw_items × item
     [else, per compactor, ascending levels]
         uint64 state, float32 section_size_raw, uint8 lg_weight,
         uint8 num_sections, uint16 padding, uint32 num_items,
-        num_items × float64 (sorted — this engine keeps buffers sorted)
+        num_items × item (sorted — this engine keeps buffers sorted)
+
+    where "item" is 8 bytes for "<f8" and 4 bytes for "<f4".
 """
 
 from __future__ import annotations
@@ -33,18 +37,22 @@ from .req import MIN_K, ReqSketch, _Compactor
 
 _SERIAL_VERSION = 1
 _FAMILY = 17
-_F_EMPTY = 0
-_F_HIGH_RANK = 1
-_F_RAW_ITEMS = 2
-_F_LEVEL_ZERO_SORTED = 3
+# flag bits start at 2: req_sketch.hpp:446 enum flags { RESERVED1,
+# RESERVED2, IS_EMPTY, IS_HIGH_RANK, RAW_ITEMS, IS_LEVEL_ZERO_SORTED }
+_F_EMPTY = 2
+_F_HIGH_RANK = 3
+_F_RAW_ITEMS = 4
+_F_LEVEL_ZERO_SORTED = 5
 
 
 class ReqSerdeError(ValueError):
     pass
 
 
-def serialize_req(sk: ReqSketch) -> bytes:
-    """ReqSketch → reference-compatible bytes (double item type)."""
+def serialize_req(sk: ReqSketch, item_dtype: str = "<f8") -> bytes:
+    """ReqSketch → reference-compatible bytes; ``item_dtype`` picks the
+    wire item width ("<f8" double serde, "<f4" float serde)."""
+    dt = np.dtype(item_dtype)
     raw_items = sk.n <= MIN_K
     estimation = sk.is_estimation_mode() if hasattr(sk, "is_estimation_mode") else len(sk.compactors) > 1
     preamble_ints = 4 if estimation else 2
@@ -62,21 +70,27 @@ def serialize_req(sk: ReqSketch) -> bytes:
     if sk.n == 0:
         return bytes(out)
     if estimation:
-        out += struct.pack("<Qdd", sk.n, sk.min, sk.max)
+        out += struct.pack("<Q", sk.n)
+        out += np.array([sk.min, sk.max], dtype=dt).tobytes()
     if raw_items:
-        out += np.sort(sk.compactors[0].buf).astype("<f8").tobytes()
+        out += np.sort(sk.compactors[0].buf).astype(dt).tobytes()
         return bytes(out)
     for c in sk.compactors:
         buf = np.sort(np.asarray(c.buf, np.float64))
         out += struct.pack("<Qf", int(c.state), float(c.section_size_raw))
         out += struct.pack("<BBHI", int(c.lg_weight), int(c.num_sections), 0, len(buf))
-        out += buf.astype("<f8").tobytes()
+        out += buf.astype(dt).tobytes()
     return bytes(out)
 
 
-def deserialize_req(buf: bytes, seed: int = 9001) -> ReqSketch:
-    """Reference-layout bytes → ReqSketch; fails fast on family/version
-    mismatch and truncation."""
+def deserialize_req(buf: bytes, seed: int = 9001,
+                    item_dtype: str = "<f8") -> ReqSketch:
+    """Reference-layout bytes → ReqSketch; ``item_dtype`` must match the
+    writer's item serde ("<f8" doubles, "<f4" floats — items widen
+    losslessly to float64 state). Fails fast on family/version mismatch
+    and truncation."""
+    dt = np.dtype(item_dtype)
+    w = dt.itemsize
     if len(buf) < 8:
         raise ReqSerdeError(f"buffer too short for preamble: {len(buf)}")
     preamble_ints, sv, family, flags, k, num_levels, num_raw = struct.unpack_from(
@@ -93,15 +107,17 @@ def deserialize_req(buf: bytes, seed: int = 9001) -> ReqSketch:
     off = 8
     estimation = preamble_ints == 4
     if estimation:
-        if len(buf) < off + 24:
+        if len(buf) < off + 8 + 2 * w:
             raise ReqSerdeError("truncated n/min/max")
-        n, mn, mx = struct.unpack_from("<Qdd", buf, off)
-        off += 24
+        (n,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        mn, mx = np.frombuffer(buf, dt, count=2, offset=off).astype(np.float64)
+        off += 2 * w
     if flags & (1 << _F_RAW_ITEMS):
-        if len(buf) < off + 8 * num_raw:
+        if len(buf) < off + w * num_raw:
             raise ReqSerdeError("truncated raw items")
-        items = np.frombuffer(buf, "<f8", count=num_raw, offset=off)
-        sk.update_batch(items.copy())
+        items = np.frombuffer(buf, dt, count=num_raw, offset=off)
+        sk.update_batch(items.astype(np.float64))
         return sk
     compactors = []
     total = 0
@@ -111,10 +127,10 @@ def deserialize_req(buf: bytes, seed: int = 9001) -> ReqSketch:
         state, ssr = struct.unpack_from("<Qf", buf, off)
         lg_w, num_sections, _, num_items = struct.unpack_from("<BBHI", buf, off + 12)
         off += 20
-        if len(buf) < off + 8 * num_items:
+        if len(buf) < off + w * num_items:
             raise ReqSerdeError(f"truncated items at level {lvl}")
-        items = np.frombuffer(buf, "<f8", count=num_items, offset=off).copy()
-        off += 8 * num_items
+        items = np.frombuffer(buf, dt, count=num_items, offset=off).astype(np.float64)
+        off += w * num_items
         c = _Compactor(lg_w, k, hra, sk.rng)
         c.state = int(state)
         c.section_size_raw = float(ssr)

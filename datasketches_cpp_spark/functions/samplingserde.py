@@ -293,5 +293,9 @@ def deserialize_bloom(buf: bytes) -> dict:
         raise SamplingSerdeError(f"truncated bit array: need {need}, have {len(buf)}")
     (nset,) = struct.unpack_from("<Q", buf, 24)
     bits = np.frombuffer(buf, np.uint8, count=cap_longs * 8, offset=32).copy()
+    if nset == 0xFFFFFFFFFFFFFFFF:
+        # the reference tracks the set-bit count lazily and serializes
+        # UINT64_MAX when it is dirty — recount from the array
+        nset = int(np.unpackbits(bits).sum())
     return {"num_hashes": int(num_hashes), "seed": int(seed),
             "num_bits_set": int(nset), "bits": bits}

@@ -119,56 +119,115 @@ class TDigest:
 
     # -- queries --------------------------------------------------------------
     def get_quantile(self, rank: float) -> float:
-        """Piecewise-linear interpolation between centroid mid-ranks, with
-        exact min/max endpoints (mirrors the reference's quantile path)."""
+        """The published t-digest quantile rule (tdigest_impl.hpp
+        get_quantile): unit-weight tail stretches to exact min/max, snapping
+        to singleton centroids, weighted-average interpolation between
+        adjacent centroid mid-ranks.
+
+        DOCUMENTED DEVIATION: the C++ reference transposes the two
+        interpolation weights in the interior case (tdigest_impl.hpp:214
+        passes w1 = weight − left_anchor as the weight of the LEFT mean, so
+        the returned value slides toward the wrong neighbour; Dunning's
+        reference Java implementation passes them swapped).  This engine
+        interpolates in the standard orientation, which measurably tightens
+        mid-range rank error; rank queries (get_rank, which has no such
+        transposition) match the reference bit-for-bit — verified against
+        reference-generated fixtures in tests/test_reference_interop.py."""
         if self.n == 0:
             return math.nan
-        if rank <= 0.0:
-            return self.min
-        if rank >= 1.0:
-            return self.max
         m, w = self.means, self.weights
-        total = w.sum()
-        target = rank * total
-        cw = np.cumsum(w)
-        mid = cw - 0.5 * w  # centroid mid-ranks
-        if target <= mid[0]:
-            frac = target / mid[0] if mid[0] > 0 else 1.0
-            return float(self.min + frac * (m[0] - self.min))
-        if target >= mid[-1]:
-            span = total - mid[-1]
-            frac = (target - mid[-1]) / span if span > 0 else 1.0
-            return float(m[-1] + frac * (self.max - m[-1]))
-        hi = int(np.searchsorted(mid, target, side="left"))
-        lo = hi - 1
-        span = mid[hi] - mid[lo]
-        frac = (target - mid[lo]) / span if span > 0 else 0.0
-        return float(m[lo] + frac * (m[hi] - m[lo]))
+        if len(m) == 1:
+            return float(m[0])
+        total = float(w.sum())
+        weight = rank * total
+        if weight < 1.0:
+            return self.min
+        if weight > total - 1.0:
+            return self.max
+        first_w = float(w[0])
+        if first_w > 1.0 and weight < first_w / 2.0:
+            return float(
+                self.min + (weight - 1.0) / (first_w / 2.0 - 1.0) * (m[0] - self.min)
+            )
+        last_w = float(w[-1])
+        if last_w > 1.0 and total - weight <= last_w / 2.0:
+            return float(
+                self.max + (total - weight - 1.0) / (last_w / 2.0 - 1.0) * (self.max - m[-1])
+            )
+        # mid-rank of the gap between centroid i and i+1 is
+        # cumsum(w)[i] + w[i+1]/2 − w[i]/2 … expressed as the reference's
+        # running weight_so_far to keep the float accumulation order identical
+        weight_so_far = first_w / 2.0
+        for i in range(len(m) - 1):
+            dw = (float(w[i]) + float(w[i + 1])) / 2.0
+            if weight_so_far + dw > weight:
+                left_weight = 0.0
+                if w[i] == 1.0:
+                    if weight - weight_so_far < 0.5:
+                        return float(m[i])
+                    left_weight = 0.5
+                right_weight = 0.0
+                if w[i + 1] == 1.0:
+                    if weight_so_far + dw - weight <= 0.5:
+                        return float(m[i + 1])
+                    right_weight = 0.5
+                w1 = weight - weight_so_far - left_weight
+                w2 = weight_so_far + dw - weight - right_weight
+                # standard lerp orientation: left mean weighted by the
+                # distance to the RIGHT anchor (see deviation note above)
+                return float((m[i] * w2 + m[i + 1] * w1) / (w1 + w2))
+            weight_so_far += dw
+        w1 = weight - (total - float(w[-1]) / 2.0)
+        w2 = float(w[-1]) / 2.0 - w1
+        return float((m[-1] * w2 + self.max * w1) / (w1 + w2))
 
     def get_rank(self, value: float) -> float:
+        """The published t-digest rank rule (tdigest_impl.hpp get_rank):
+        unit-weight-aware tail interpolation and half-weight crediting at
+        the bracketing centroids."""
         if self.n == 0:
             return math.nan
         if value < self.min:
             return 0.0
-        if value >= self.max:
+        if value > self.max:
             return 1.0
         m, w = self.means, self.weights
-        total = w.sum()
-        cw = np.cumsum(w)
-        mid = cw - 0.5 * w
-        if value <= m[0]:
-            span = m[0] - self.min
-            frac = (value - self.min) / span if span > 0 else 1.0
-            return float(frac * mid[0] / total)
-        if value >= m[-1]:
-            span = self.max - m[-1]
-            frac = (value - m[-1]) / span if span > 0 else 1.0
-            return float((mid[-1] + frac * (total - mid[-1])) / total)
-        hi = int(np.searchsorted(m, value, side="left"))
-        lo = hi - 1
-        span = m[hi] - m[lo]
-        frac = (value - m[lo]) / span if span > 0 else 0.0
-        return float((mid[lo] + frac * (mid[hi] - mid[lo])) / total)
+        if len(m) == 1:
+            return 0.5
+        total = float(w.sum())
+        if value < m[0]:
+            if m[0] - self.min > 0:
+                if value == self.min:
+                    return 0.5 / total
+                return float(
+                    (1.0 + (value - self.min) / (m[0] - self.min)
+                     * (float(w[0]) / 2.0 - 1.0)) / total
+                )
+            return 0.0
+        if value > m[-1]:
+            if self.max - m[-1] > 0:
+                if value == self.max:
+                    return 1.0 - 0.5 / total
+                return float(
+                    1.0 - (1.0 + (self.max - value) / (self.max - m[-1])
+                           * (float(w[-1]) / 2.0 - 1.0)) / total
+                )
+            return 1.0
+        # lower = last centroid with mean ≤ value; upper = first with mean ≥ value
+        lo = int(np.searchsorted(m, value, side="left"))
+        hi = int(np.searchsorted(m, value, side="right"))
+        lower = lo if (lo < len(m) and m[lo] <= value) else lo - 1
+        upper = hi - 1 if (hi == len(m) or m[hi - 1] == value) else hi
+        weight_below = float(w[:lower].sum()) + float(w[lower]) / 2.0
+        weight_delta = (
+            float(w[lower:upper].sum()) - float(w[lower]) / 2.0 + float(w[upper]) / 2.0
+        )
+        if m[upper] - m[lower] > 0:
+            return float(
+                (weight_below + weight_delta * (value - m[lower])
+                 / (m[upper] - m[lower])) / total
+            )
+        return float((weight_below + weight_delta / 2.0) / total)
 
     # -- serde to Spark row ---------------------------------------------------
     def to_row(self) -> dict:

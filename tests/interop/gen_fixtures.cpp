@@ -272,7 +272,13 @@ static void gen_tdigest() {
     if (n > 0) {
       std::vector<double> qs;
       for (double rk : RANKS) qs.push_back(td.get_quantile(rk));
+      // value-space probes (data is weyl ⊂ (0,1)) for exact rank parity
+      std::vector<double> probes = {0.1, 0.3, 0.5, 0.7, 0.9};
+      std::vector<double> rks;
+      for (double p : probes) rks.push_back(td.get_rank(p));
       r.arr("quantiles", qs)
+          .arr("rank_probes", probes)
+          .arr("ranks", rks)
           .num("min", td.get_min_value())
           .num("max", td.get_max_value())
           .num("total_weight", (double)td.get_total_weight());

@@ -45,13 +45,13 @@ def test_layout():
     sk = _mk(20_000)
     buf = serialize_req(sk)
     assert buf[0] == 4 and buf[1] == 1 and buf[2] == 17
-    assert buf[3] & 2  # high-rank flag
+    assert buf[3] & (1 << 3)  # high-rank flag (req_sketch.hpp:446 enum)
     (k,) = struct.unpack_from("<H", buf, 4)
     assert k == 12
     n, mn, mx = struct.unpack_from("<Qdd", buf, 8)
     assert n == 20_000 and mn == sk.min and mx == sk.max
     empty = serialize_req(_mk(0))
-    assert len(empty) == 8 and empty[3] & 1
+    assert len(empty) == 8 and empty[3] & (1 << 2)
 
 
 def test_hardening():

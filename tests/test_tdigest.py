@@ -40,7 +40,10 @@ def test_extremes_exact():
     assert td.get_quantile(0.0) == vals.min()
     assert td.get_quantile(1.0) == vals.max()
     assert td.get_rank(vals.min() - 1) == 0.0
-    assert td.get_rank(vals.max()) == 1.0
+    # reference rank semantics: the max item sits at 1 − ½/n, strictly
+    # above-max values at 1 (tdigest_impl.hpp get_rank right tail)
+    assert td.get_rank(vals.max()) == 1.0 - 0.5 / len(vals)
+    assert td.get_rank(vals.max() + 1) == 1.0
 
 
 def test_merge_matches_single_digest_envelope():
