@@ -33,7 +33,7 @@ def build_zip() -> str:
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
         for dirpath, _, files in os.walk(pkg):
             for fn in files:
-                if fn.endswith(".py"):
+                if fn.endswith((".py", ".npz")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, ROOT))
     return zpath

@@ -38,6 +38,7 @@
 #include "var_opt_sketch.hpp"
 #include "count_min.hpp"
 #include "bloom_filter.hpp"
+#include "cpc_sketch.hpp"
 
 using namespace datasketches;
 
@@ -169,6 +170,13 @@ int main(int argc, char** argv) {
         row << ", \"total_weight\": " << sk.get_total_weight()
             << ", \"num_hashes\": " << (int)sk.get_num_hashes()
             << ", \"num_buckets\": " << sk.get_num_buckets();
+        dump(path + ".out", sk.serialize());
+      } else if (fam == "cpc") {
+        auto sk = cpc_sketch::deserialize(buf.data(), buf.size());
+        row << ", \"estimate\": " << fmt(sk.get_estimate())
+            << ", \"lgk\": " << (int)sk.get_lg_k()
+            << ", \"lb2\": " << fmt(sk.get_lower_bound(2))
+            << ", \"ub2\": " << fmt(sk.get_upper_bound(2));
         dump(path + ".out", sk.serialize());
       } else if (fam == "bloom") {
         auto sk = bloom_filter::deserialize(buf.data(), buf.size());

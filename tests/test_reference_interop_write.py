@@ -28,6 +28,11 @@ from datasketches_cpp_spark.functions.classicserde import (
     deserialize_classic,
     serialize_classic,
 )
+from datasketches_cpp_spark.functions.cpc import _fold_matrix, invert_coupons
+from datasketches_cpp_spark.functions.cpcserde import (
+    deserialize_cpc,
+    serialize_cpc,
+)
 from datasketches_cpp_spark.functions.fiserde import (
     deserialize_frequent_items,
     serialize_frequent_items,
@@ -145,6 +150,22 @@ CM_MATRIX = RNG.integers(0, 1000, (5, 32)).astype(np.int64)
 BLOOM_BITS = RNG.integers(0, 256, 128, dtype=np.uint8)
 
 
+def _cpc_matrix(n: int, lg_k: int = 10) -> np.ndarray:
+    """Coupon matrix built by the engine's own update path."""
+    mat = np.zeros(1 << lg_k, np.uint64)
+    if n:
+        _fold_matrix(mat, RNG.integers(0, 1 << 63, n, dtype=np.uint64), lg_k)
+    return mat
+
+
+CPC_MATS = {  # lg_k=10: sparse / hybrid / pinned / sliding flavors
+    "sparse": _cpc_matrix(60),
+    "hybrid": _cpc_matrix(350),
+    "pinned": _cpc_matrix(2500),
+    "sliding": _cpc_matrix(120_000),
+}
+
+
 def _make_blobs() -> dict[str, bytes]:
     out: dict[str, bytes] = {}
     out["theta__exact.bin"] = serialize_compact_v3(-1, THETA_EXACT)
@@ -195,6 +216,8 @@ def _make_blobs() -> dict[str, bytes]:
     )
     out["countmin__1.bin"] = serialize_countmin(CM_MATRIX, 99_999, 5, 32)
     out["bloom__1.bin"] = serialize_bloom(BLOOM_BITS, 7, 9001)
+    for flav, mat in CPC_MATS.items():
+        out[f"cpc__{flav}.bin"] = serialize_cpc(mat, 10)
     return out
 
 
@@ -378,6 +401,26 @@ def test_countmin_write(roundtrip):
     st = deserialize_countmin(reenc)
     assert np.array_equal(st["matrix"], CM_MATRIX)
     assert st["total_weight"] == 99_999
+
+
+def test_cpc_write(roundtrip):
+    """Engine-built coupon matrices, compressed by cpcserde, must be
+    readable by the actual reference binary: its ICON estimate must agree
+    with the engine's coupon-inversion twin, and its re-serialization must
+    be BYTE-IDENTICAL to what cpcserde wrote (merged-mode stream)."""
+    for flav, mat in CPC_MATS.items():
+        name = f"cpc__{flav}.bin"
+        row, reenc = roundtrip[name]
+        assert "error" not in row, row
+        assert row["lgk"] == 10
+        c = int(np.unpackbits(mat.view(np.uint8)).sum())
+        est = invert_coupons(c, 10)
+        rse = 1.0 / np.sqrt(1 << 10)
+        assert row["estimate"] == pytest.approx(est, rel=2 * rse), flav
+        assert row["lb2"] <= row["estimate"] <= row["ub2"]
+        st = deserialize_cpc(reenc)
+        assert np.array_equal(st["matrix"], mat), flav
+        assert reenc == serialize_cpc(mat, 10), flav
 
 
 def test_bloom_write(roundtrip):
