@@ -299,3 +299,122 @@ def deserialize_bloom(buf: bytes) -> dict:
         nset = int(np.unpackbits(bits).sum())
     return {"num_hashes": int(num_hashes), "seed": int(seed),
             "num_bits_set": int(nset), "bits": bits}
+
+
+# ---------------------------------------------------------------------------
+# ebpps (family 19)
+# ---------------------------------------------------------------------------
+
+_EB_FAMILY = 19
+_EB_SER_VER = 1
+_F_HAS_PARTIAL = 8
+
+
+def serialize_ebpps(
+    items,
+    k: int,
+    n: int,
+    cumulative_wt: float,
+    wt_max: float,
+    rho: float,
+    c: float | None = None,
+    partial_item=None,
+    item_dtype: str = "int64",
+) -> bytes:
+    """Retained full items + stream totals → family-19 EBPPS bytes
+    (sampling/include/ebpps_sketch_impl.hpp:275-360 layout comment —
+    re-derived, NOT a port).  ``c`` is the expected sample size; its
+    fractional part implies a partial item, which must then be supplied.
+    Defaults to len(items) (an integral-C image — what the engine's
+    systematic PPS sampler exports, since its realized size ∈ {⌊c⌋,⌈c⌉}
+    already integrates the coin flip the reference defers)."""
+    items = list(items)
+    if c is None:
+        c = float(len(items))
+    has_partial = (c != int(c))
+    if int(c) != len(items):
+        raise SamplingSerdeError(f"⌊c⌋={int(c)} != len(items)={len(items)}")
+    if has_partial != (partial_item is not None):
+        raise SamplingSerdeError("partial_item must be given iff frac(c) != 0")
+    if n == 0:
+        return struct.pack("<BBBBI", 1, _EB_SER_VER, _EB_FAMILY, _F_EMPTY, k)
+    flags = _F_HAS_PARTIAL if has_partial else 0
+    out = bytearray()
+    out += struct.pack("<BBBBI", 5, _EB_SER_VER, _EB_FAMILY, flags, k)
+    out += struct.pack("<Qdddd", int(n), float(cumulative_wt), float(wt_max),
+                       float(rho), float(c))
+    out += _enc_items(items, item_dtype)
+    if has_partial:
+        out += _enc_items([partial_item], item_dtype)
+    return bytes(out)
+
+
+def deserialize_ebpps(buf: bytes, item_dtype: str = "int64") -> dict:
+    if len(buf) < 8:
+        raise SamplingSerdeError(f"buffer too short: {len(buf)}")
+    pre, sv, family, flags = struct.unpack_from("<BBBB", buf, 0)
+    if family != _EB_FAMILY:
+        raise SamplingSerdeError(f"not an ebpps sketch (family {family})")
+    if sv != _EB_SER_VER:
+        raise SamplingSerdeError(f"unsupported serial version {sv}")
+    (k,) = struct.unpack_from("<I", buf, 4)
+    if flags & _F_EMPTY:
+        if pre != 1:
+            raise SamplingSerdeError(f"empty sketch with preamble_longs {pre}")
+        return {"k": int(k), "n": 0, "cumulative_wt": 0.0, "wt_max": 0.0,
+                "rho": 1.0, "c": 0.0, "items": [], "partial_item": None}
+    if pre != 5:
+        raise SamplingSerdeError(f"non-empty sketch with preamble_longs {pre}")
+    if len(buf) < 48:
+        raise SamplingSerdeError("truncated preamble")
+    n, cum_wt, wt_max, rho, c = struct.unpack_from("<Qdddd", buf, 8)
+    if c < 0.0:
+        raise SamplingSerdeError("sketch image has C < 0")
+    num_full = int(c)
+    items, off = _dec_items(buf, 48, num_full, item_dtype)
+    partial = None
+    if c != num_full:
+        if not flags & _F_HAS_PARTIAL:
+            raise SamplingSerdeError("fractional C but HAS_PARTIAL flag unset")
+        (partial,), off = _dec_items(buf, off, 1, item_dtype)
+    return {"k": int(k), "n": int(n), "cumulative_wt": float(cum_wt),
+            "wt_max": float(wt_max), "rho": float(rho), "c": float(c),
+            "items": items, "partial_item": partial}
+
+
+def ebpps_export_bytes(
+    df,
+    item_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 9001,
+    item_dtype: str = "int64",
+) -> bytes:
+    """Run the engine's distributed EBPPS sampler (`sampling.ebpps_sample`
+    — systematic PPS, hard ≤k size bound) and export the realized sample
+    as a reference family-19 blob any DataSketches deployment reads.
+
+    The image is integral-C: the engine's systematic draw already
+    integrates the coin flip the reference's get_result() would perform,
+    so C = realized sample size and there is no partial item.  Driver
+    traffic is the ≤k-item sample plus three scalars."""
+    from pyspark.sql import functions as F
+
+    from .sampling import ebpps_sample
+
+    n, cum_wt, wt_max = df.agg(
+        F.count(F.lit(1)),
+        F.sum(F.col(weight_col).cast("double")),
+        F.max(F.col(weight_col).cast("double")),
+    ).collect()[0]
+    if not n:
+        return serialize_ebpps([], k, 0, 0.0, 0.0, 1.0, item_dtype=item_dtype)
+    items = [
+        r["item"]
+        for r in ebpps_sample(df, item_col, weight_col, k, seed=seed).collect()
+    ]
+    c = float(len(items))
+    return serialize_ebpps(
+        items, k, int(n), float(cum_wt), float(wt_max),
+        rho=min(1.0, c / float(cum_wt)), c=c, item_dtype=item_dtype,
+    )

@@ -39,6 +39,8 @@
 #include "count_min.hpp"
 #include "bloom_filter.hpp"
 #include "cpc_sketch.hpp"
+#include "ebpps_sketch.hpp"
+#include "density_sketch.hpp"
 
 using namespace datasketches;
 
@@ -177,6 +179,22 @@ int main(int argc, char** argv) {
             << ", \"lgk\": " << (int)sk.get_lg_k()
             << ", \"lb2\": " << fmt(sk.get_lower_bound(2))
             << ", \"ub2\": " << fmt(sk.get_upper_bound(2));
+        dump(path + ".out", sk.serialize());
+      } else if (fam == "ebpps") {
+        auto sk = ebpps_sketch<int64_t>::deserialize(buf.data(), buf.size());
+        row << ", \"k\": " << sk.get_k()
+            << ", \"n\": " << sk.get_n()
+            << ", \"c\": " << fmt(sk.get_c())
+            << ", \"cumulative_weight\": " << fmt(sk.get_cumulative_weight());
+        dump(path + ".out", sk.serialize());
+      } else if (fam == "density") {
+        auto sk = density_sketch<float>::deserialize(buf.data(), buf.size());
+        row << ", \"k\": " << sk.get_k()
+            << ", \"dim\": " << sk.get_dim()
+            << ", \"n\": " << sk.get_n()
+            << ", \"num_retained\": " << sk.get_num_retained()
+            << ", \"est_origin\": "
+            << fmt(sk.get_estimate(std::vector<float>(sk.get_dim(), 0.5f)));
         dump(path + ".out", sk.serialize());
       } else if (fam == "bloom") {
         auto sk = bloom_filter::deserialize(buf.data(), buf.size());

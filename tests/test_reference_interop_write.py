@@ -33,6 +33,11 @@ from datasketches_cpp_spark.functions.cpcserde import (
     deserialize_cpc,
     serialize_cpc,
 )
+from datasketches_cpp_spark.functions.density import DensitySketch
+from datasketches_cpp_spark.functions.densityserde import (
+    deserialize_density,
+    serialize_density,
+)
 from datasketches_cpp_spark.functions.fiserde import (
     deserialize_frequent_items,
     serialize_frequent_items,
@@ -54,6 +59,8 @@ from datasketches_cpp_spark.functions.quantiles import KllSketch
 from datasketches_cpp_spark.functions.req import ReqSketch
 from datasketches_cpp_spark.functions.reqserde import deserialize_req, serialize_req
 from datasketches_cpp_spark.functions.samplingserde import (
+    deserialize_ebpps,
+    serialize_ebpps,
     deserialize_bloom,
     deserialize_countmin,
     deserialize_varopt,
@@ -165,6 +172,17 @@ CPC_MATS = {  # lg_k=10: sparse / hybrid / pinned / sliding flavors
     "sliding": _cpc_matrix(120_000),
 }
 
+# EBPPS: the integral-C image the engine's systematic PPS sampler exports
+EBPPS_ITEMS = np.sort(RNG.choice(5000, 40, replace=False)).astype(np.int64)
+EBPPS_CUM_WT, EBPPS_WT_MAX = 12_345.5, 60.25
+
+
+def _density_sketch() -> DensitySketch:
+    ds = DensitySketch(k=10, dim=3, seed=7)
+    pts = (np.arange(6000, dtype=np.float64) * 0.6180339887498949 % 1.0)
+    ds.update_batch(np.float32(pts.reshape(2000, 3)))  # float-representable
+    return ds
+
 
 def _make_blobs() -> dict[str, bytes]:
     out: dict[str, bytes] = {}
@@ -218,6 +236,12 @@ def _make_blobs() -> dict[str, bytes]:
     out["bloom__1.bin"] = serialize_bloom(BLOOM_BITS, 7, 9001)
     for flav, mat in CPC_MATS.items():
         out[f"cpc__{flav}.bin"] = serialize_cpc(mat, 10)
+    out["ebpps__1.bin"] = serialize_ebpps(
+        EBPPS_ITEMS, 40, 5000, EBPPS_CUM_WT, EBPPS_WT_MAX,
+        rho=40.0 / EBPPS_CUM_WT,
+    )
+    ds = _density_sketch()
+    out["density__1.bin"] = serialize_density(ds.levels, ds.n, ds.k, ds.dim)
     return out
 
 
@@ -421,6 +445,42 @@ def test_cpc_write(roundtrip):
         st = deserialize_cpc(reenc)
         assert np.array_equal(st["matrix"], mat), flav
         assert reenc == serialize_cpc(mat, 10), flav
+
+
+def test_ebpps_write(roundtrip):
+    """The reference must read the engine's exported EBPPS sample and
+    report the same k / n / C / cumulative weight, and re-serialize it
+    byte-identically."""
+    row, reenc = roundtrip["ebpps__1.bin"]
+    assert "error" not in row, row
+    assert row["k"] == 40 and row["n"] == 5000
+    assert row["c"] == pytest.approx(40.0, rel=0, abs=0)
+    assert row["cumulative_weight"] == pytest.approx(EBPPS_CUM_WT, rel=1e-12)
+    st = deserialize_ebpps(reenc)
+    assert np.array_equal(np.asarray(st["items"]), EBPPS_ITEMS)
+    assert st["wt_max"] == EBPPS_WT_MAX
+    assert reenc == serialize_ebpps(
+        EBPPS_ITEMS, 40, 5000, EBPPS_CUM_WT, EBPPS_WT_MAX,
+        rho=40.0 / EBPPS_CUM_WT,
+    )
+
+
+def test_density_write(roundtrip):
+    """The reference must read the engine's KDE coreset and answer the
+    SAME density estimate the engine computes, and re-serialize the blob
+    byte-identically."""
+    row, reenc = roundtrip["density__1.bin"]
+    assert "error" not in row, row
+    ds = _density_sketch()
+    assert row["k"] == ds.k and row["dim"] == ds.dim and row["n"] == ds.n
+    assert row["num_retained"] == ds.num_retained()
+    engine_est = ds.get_estimate(np.array([[0.5, 0.5, 0.5]]))[0]
+    assert row["est_origin"] == pytest.approx(engine_est, rel=1e-5)
+    st = deserialize_density(reenc)
+    assert all(
+        np.array_equal(a, np.float32(b)) for a, b in zip(st["levels"], ds.levels)
+    )
+    assert reenc == serialize_density(ds.levels, ds.n, ds.k, ds.dim)
 
 
 def test_bloom_write(roundtrip):
