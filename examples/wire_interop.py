@@ -19,6 +19,8 @@ import os
 import sys
 import tempfile
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
@@ -76,7 +78,25 @@ def main() -> None:
         sk2 = ClassicQuantilesSketch.from_row(128, 9001, row.asDict())
         print(f"  segment {row['segment']}: median ≈ {sk2.get_quantile(0.5):.0f}")
 
-    # -- 3. the reference's own golden binaries ------------------------------
+    # -- 3. CPC: the fully-compressed family 16 ------------------------------
+    from datasketches_cpp_spark.functions.cpc import cpc_sketch_agg
+    from datasketches_cpp_spark.functions.cpc import with_estimate as cpc_estimate
+    from datasketches_cpp_spark.functions.cpcserde import (
+        cpc_from_bytes,
+        with_cpc_bytes,
+    )
+
+    cpc = cpc_sketch_agg(df, ["segment"], "id", lg_k=11)
+    cpc_path = os.path.join(workdir, "cpc_blobs.parquet")
+    with_cpc_bytes(cpc).select("segment", "sketch_bytes").write.mode(
+        "overwrite"
+    ).parquet(cpc_path)
+    back_cpc = cpc_from_bytes(spark.read.parquet(cpc_path))
+    print("cpc estimates from reimported compressed family-16 blobs:")
+    for r in cpc_estimate(back_cpc).orderBy("segment").collect():
+        print(f"  segment {r['segment']}: ~{r['estimate']:.0f} distinct")
+
+    # -- 4. the reference's own golden binaries ------------------------------
     ref = "/root/reference"
     if os.path.isdir(ref):
         from datasketches_cpp_spark import kmv
