@@ -79,6 +79,28 @@ def _fold_matrix(mat: np.ndarray, hashes: np.ndarray, lg_k: int) -> None:
     np.bitwise_or.at(mat, rows, np.uint64(1) << cols.astype(np.uint64))
 
 
+def fold_matrix_k(mat: np.ndarray, levels: int = 1) -> np.ndarray:
+    """Downsample a K-word coupon matrix to K/2^levels — the engine analog
+    of the reference union's reduce-k path (cpc_union_impl.hpp reduce_k /
+    walk_table_updating_sketch), which lets sketches built at different
+    lg_k merge.
+
+    EXACT: row = low lg_k hash bits and the column window starts at bit
+    lg_k, so the row bit removed by halving becomes the new window's
+    first bit.  Lower-half coupons keep their geometric tail one bit
+    longer (col + 1 == word << 1); upper-half rows have that bit set, so
+    ANY coupon there becomes col 0.  Hence fold(matrix@lg_k) ==
+    matrix@(lg_k - levels) built from the same update stream."""
+    mat = np.asarray(mat, np.uint64)
+    for _ in range(levels):
+        if mat.shape[0] <= 16:
+            raise ValueError("cannot fold below lg_k = 4")
+        k2 = mat.shape[0] // 2
+        lo, hi = mat[:k2], mat[k2:]
+        mat = (lo << np.uint64(1)) | (hi != 0).astype(np.uint64)
+    return mat
+
+
 def _coupon_count(mat: np.ndarray) -> int:
     # popcount via unpackbits on the byte view (numpy<2 safe)
     return int(np.unpackbits(mat.view(np.uint8)).sum())
@@ -171,10 +193,15 @@ def cpc_sketch_agg(
 
 def _merge_sketches(partials: DataFrame, group_cols: list[str], schema: str) -> DataFrame:
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        lg_k = int(pdf["lg_k"].iloc[0])
+        # mixed lg_k (reference cpc_union reduce-k semantics): fold larger
+        # matrices down to the group's smallest k before the OR merge
+        lg_k = int(pdf["lg_k"].min())
         mat = np.zeros(1 << lg_k, dtype=np.uint64)
-        for arr in pdf["coupons"]:
-            mat |= np.asarray(arr, dtype=np.int64).view(np.uint64)
+        for arr, src_lg_k in zip(pdf["coupons"], pdf["lg_k"]):
+            m = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if int(src_lg_k) != lg_k:
+                m = fold_matrix_k(m, int(src_lg_k) - lg_k)
+            mat |= m
         row = {c: [pdf[c].iloc[0]] for c in group_cols}
         row["lg_k"] = [lg_k]
         row["coupons"] = [mat.view(np.int64)]
@@ -186,8 +213,10 @@ def _merge_sketches(partials: DataFrame, group_cols: list[str], schema: str) -> 
 
 
 def cpc_union_agg(sketch_df: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Union CPC sketch rows (same lg_k) per group — bitwise-OR merge, the
-    analog of cpc_union::update (cpc_union.hpp:39-86)."""
+    """Union CPC sketch rows per group — bitwise-OR merge, the analog of
+    cpc_union::update (cpc_union.hpp:39-86).  Mixed lg_k unions fold the
+    larger matrices to the group's smallest k first (`fold_matrix_k`, the
+    reference's reduce-k path), losslessly vs a direct build there."""
     fields = dict(zip(sketch_df.schema.names, sketch_df.schema.fields))
     group_fields = ", ".join(
         f"`{n}` {fields[n].dataType.simpleString()}" for n in group_cols

@@ -106,6 +106,32 @@ def _rho(hashes: np.ndarray, lg_k: int) -> np.ndarray:
     return (width - _bit_length_u64(w) + 1).astype(np.uint8)
 
 
+def fold_registers(regs: np.ndarray, levels: int = 1) -> np.ndarray:
+    """Downsample a K-register array to K/2^levels — the engine analog of
+    the reference union's configured-lg-k fold (hll_union downsampling,
+    HllUnion-internal.hpp union_impl / HllArray downsample), which lets
+    sketches built at different lg_k merge.
+
+    EXACT, not lossy-beyond-the-smaller-sketch: slot = low lg_k hash bits
+    and rho = leading zeros of bits [lg_k, 63) + 1, so halving k appends
+    the removed slot bit at the BOTTOM of the rho window.  That leaves
+    every unsaturated rho unchanged; only a saturated register
+    (rho = 64 - lg_k, window all zeros) feels the new bit — it stays
+    saturated in the upper half (bit = 1) and grows by one in the lower
+    (bit = 0).  Hence fold(state@lg_k) == state@(lg_k - levels) built
+    from the same update stream, register for register."""
+    regs = np.asarray(regs, np.uint8)
+    for _ in range(levels):
+        if regs.shape[0] <= 16:
+            raise ValueError("cannot fold below lg_k = 4")
+        k2 = regs.shape[0] // 2
+        lg_k = k2.bit_length()  # source lg_k = log2(2*k2)
+        sat = np.uint8(64 - lg_k)
+        lo, hi = regs[:k2], regs[k2:]
+        regs = np.maximum(np.where(lo == sat, lo + 1, lo).astype(np.uint8), hi)
+    return regs
+
+
 def _alpha(k: int) -> float:
     if k == 16:
         return 0.673
@@ -215,8 +241,16 @@ def finalize_hll_sketches(
     )
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        stacked = np.stack([np.frombuffer(b, np.uint8) for b in pdf["regs"]])
-        regs = stacked.max(axis=0)
+        arrs = [np.frombuffer(b, np.uint8) for b in pdf["regs"]]
+        k_min = min(a.shape[0] for a in arrs)
+        # mixed lg_k (reference hll_union semantics): fold larger states
+        # down to the group's smallest k before the register-max merge
+        arrs = [
+            a if a.shape[0] == k_min
+            else fold_registers(a, (a.shape[0] // k_min).bit_length() - 1)
+            for a in arrs
+        ]
+        regs = np.stack(arrs).max(axis=0)
         k = regs.shape[0]
         est = _composite_estimate(regs)
         z = num_std_devs * HLL_NON_HIP_RSE_FACTOR / math.sqrt(float(k))
@@ -238,7 +272,10 @@ def hll_merge_sketches(
 ) -> DataFrame:
     """HLL UNION across two sketch tables (reference hll_union semantics):
     register-wise max of the K-byte states — associative, idempotent, and
-    expressible only because `hll_sketch_agg` carries real registers."""
+    expressible only because `hll_sketch_agg` carries real registers.
+    Tables built at DIFFERENT lg_k merge too: larger states fold down to
+    the smaller k first (`fold_registers` — the reference union's
+    downsampling), losslessly vs a direct build at the smaller k."""
     both = a.select(group_cols + ["regs"]).unionByName(b.select(group_cols + ["regs"]))
     group_fields = [f for f in both.schema.fields if f.name in group_cols]
     return finalize_hll_sketches(both, group_cols, group_fields, num_std_devs)

@@ -577,3 +577,48 @@ def test_classic_quantiles_pmf_cdf():
     pmf = sk.get_pmf(splits)
     assert pmf.sum() == pytest.approx(1.0, abs=1e-12)
     assert np.all(pmf >= 0)
+
+
+def test_hll_merge_mixed_lg_k(spark):
+    """Sketches built at DIFFERENT lg_k merge (reference hll_union
+    downsampling): the mixed union's register state equals the direct
+    build of A ∪ B at the smaller lg_k, bit for bit — the fold is exact
+    because the removed slot bit lands at the bottom of the rho window
+    (functions/hll.py fold_registers)."""
+    from datasketches_cpp_spark.functions.hll import hll_merge_sketches, hll_sketch_agg
+    import datasketches_cpp_spark.functions.hll as hllmod
+
+    a = spark.range(0, 40_000).select(F.col("id").alias("v"))
+    b = spark.range(25_000, 70_000).select(F.col("id").alias("v"))
+    sk_a = _partials(hllmod, a, 12)     # bigger sketch
+    sk_b = _partials(hllmod, b, 10)     # smaller sketch
+    merged = hll_merge_sketches(sk_a, sk_b, [], num_std_devs=2).collect()[0]
+    direct = hll_sketch_agg(a.unionByName(b), [], "v", lg_k=10).collect()[0]
+    assert merged["estimate"] == direct["estimate"]
+    assert abs(merged["estimate"] - 70_000) / 70_000 < 0.1
+
+
+def test_cpc_union_mixed_lg_k(spark):
+    """CPC mixed-lg_k union (reference cpc_union reduce-k): OR-merge after
+    folding the larger matrix equals the direct build at the smaller
+    lg_k, bit for bit (functions/cpc.py fold_matrix_k)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.functions.cpc import (
+        cpc_sketch_agg,
+        cpc_union_agg,
+        with_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), int(i % 2)) for i in range(12_000)], "v long, epoch int"
+    )
+    hi = cpc_sketch_agg(df.where("epoch = 0"), [], "v", lg_k=12)
+    lo = cpc_sketch_agg(df.where("epoch = 1"), [], "v", lg_k=10)
+    merged = with_estimate(cpc_union_agg(hi.unionByName(lo), [])).collect()[0]
+    direct = cpc_sketch_agg(df, [], "v", lg_k=10).collect()[0]
+    assert merged["lg_k"] == 10
+    got = np.asarray(merged["coupons"], np.int64).view(np.uint64)
+    want = np.asarray(direct["coupons"], np.int64).view(np.uint64)
+    assert np.array_equal(got, want)
+    assert abs(merged["estimate"] - 12_000) / 12_000 < 0.1
