@@ -107,23 +107,62 @@ class ClassicQuantilesSketch:
 
     # -- merge -------------------------------------------------------------
 
+    def is_estimation_mode(self) -> bool:
+        return any(arr is not None for arr in self.levels)
+
+    def _downsample_to(self, k_target: int) -> None:
+        """Convert this sketch in place to a smaller power-of-two k — the
+        reference's downsampling_merge direction
+        (quantiles_sketch_impl.hpp:236-260): every valid k-buffer at
+        level ℓ is subsampled every (k/k_target)-th item from a uniform
+        random offset (unbiased: each item survives with probability
+        k_target/k), landing at level ℓ + lg2(ratio) with its total
+        weight preserved; base-buffer items re-stream as raw updates."""
+        if k_target == self.k:
+            return
+        ratio = self.k // k_target
+        if k_target < 2 or ratio * k_target != self.k or ratio & (ratio - 1):
+            raise ValueError(f"cannot downsample k={self.k} to {k_target}")
+        lgr = ratio.bit_length() - 1
+        old_levels, old_base, old_n = self.levels, self.base, self.n
+        self.k = k_target
+        self.levels = []
+        self.base = np.empty(0, np.float64)
+        self.n = old_n
+        for lvl, arr in enumerate(old_levels):
+            if arr is not None:
+                off = int(self.rng.integers(0, ratio))
+                self._inject(arr[off::ratio][:k_target], lvl + lgr)
+        if len(old_base):
+            self.n -= len(old_base)  # update_batch re-counts them
+            self.update_batch(old_base)
+
     def merge(self, other: "ClassicQuantilesSketch") -> None:
-        if other.k != self.k:
-            raise ValueError(
-                f"merging different k not supported ({self.k} vs {other.k}); "
-                "the reference downsamples to min k — out of scope here"
-            )
+        """Reference merge semantics (quantiles_sketch_impl.hpp:236-260):
+        an exact-mode ``other`` streams in as raw items regardless of k;
+        mixed-k estimation merges downsample to min(k) — the merged
+        sketch ends at the smaller k, like the reference's."""
         if other.n == 0:
             return
+        if other.k != self.k and not other.is_estimation_mode():
+            self.update_batch(other.base)
+            return
+        if other.k < self.k:
+            self._downsample_to(other.k)
         self.min_item = min(self.min_item, other.min_item)
         self.max_item = max(self.max_item, other.max_item)
         n_before = self.n
         self.update_batch(other.base)
         # update_batch counted base items; levels are added below
+        ratio = other.k // self.k
+        lgr = ratio.bit_length() - 1
         for lvl, arr in enumerate(other.levels):
             if arr is not None:
-                self._inject(arr, lvl)
-                self.n += self.k << (lvl + 1)
+                if ratio > 1:  # other is the bigger sketch: subsample
+                    off = int(self.rng.integers(0, ratio))
+                    arr = arr[off::ratio][: self.k]
+                self._inject(arr, lvl + lgr)
+                self.n += other.k << (lvl + 1)
         assert self.n == n_before + other.n, (self.n, n_before, other.n)
 
     # -- queries -----------------------------------------------------------

@@ -111,7 +111,7 @@ def serialize_kll(sk: KllSketch, item_dtype: str = "<f8") -> bytes:
         "<BBBBHBB", _PREAMBLE_FULL, _SV_FULL, _FAMILY,
         1 << _F_LEVEL_ZERO_SORTED, sk.k, _M, 0,
     )
-    out += struct.pack("<QHBB", sk.n, sk.k, num_levels, 0)
+    out += struct.pack("<QHBB", sk.n, min(sk.min_k, sk.k), num_levels, 0)
     offsets = np.empty(num_levels + 1, np.uint32)
     offsets[0] = capacity - retained
     for i, lvl in enumerate(levels):
@@ -174,6 +174,7 @@ def deserialize_kll(buf: bytes, seed: int = 9001,
         )
     items = np.frombuffer(buf, dt, count=retained, offset=off).astype(np.float64)
     sk.n = int(n)
+    sk.min_k = int(_min_k)
     sk.min_item = float(mn)
     sk.max_item = float(mx)
     sk.levels = [

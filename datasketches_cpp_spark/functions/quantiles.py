@@ -59,7 +59,7 @@ def _level_cap(k: int, depth_from_top: int) -> int:
 class KllSketch:
     """Mutable KLL state over float64 items (pure numpy, no Spark)."""
 
-    __slots__ = ("k", "seed", "levels", "n", "min_item", "max_item")
+    __slots__ = ("k", "seed", "levels", "n", "min_item", "max_item", "min_k")
 
     def __init__(self, k: int = DEFAULT_K, seed: int = 9001):
         self.k = k
@@ -68,6 +68,9 @@ class KllSketch:
         self.n = 0
         self.min_item = math.inf
         self.max_item = -math.inf
+        # smallest k that ever contributed while in estimation mode — the
+        # honest error parameter after mixed-k merges (kll_sketch.hpp min_k_)
+        self.min_k = k
 
     # -- update ---------------------------------------------------------------
     def update_batch(self, items: np.ndarray) -> None:
@@ -110,7 +113,15 @@ class KllSketch:
 
     # -- merge ----------------------------------------------------------------
     def merge(self, other: "KllSketch") -> None:
-        assert self.k == other.k, "merging sketches with different k"
+        """Index-wise level concat + re-compress.  Differing k is allowed
+        (reference kll_sketch::merge, kll_sketch_impl.hpp:210-232): levels
+        re-compact under THIS sketch's capacities, and ``min_k`` records
+        the smallest estimation-mode contributor so rank-error reporting
+        stays honest."""
+        if other.n == 0:
+            return
+        if other.is_estimation_mode():
+            self.min_k = min(self.min_k, other.min_k)
         self.n += other.n
         self.min_item = min(self.min_item, other.min_item)
         self.max_item = max(self.max_item, other.max_item)
@@ -164,6 +175,12 @@ class KllSketch:
     def normalized_rank_error(k: int, pmf: bool = False) -> float:
         """Published KLL error constants (kll_helper_impl.hpp)."""
         return (2.446 if pmf else 2.296) / (k ** 0.9)
+
+    def get_normalized_rank_error(self, pmf: bool = False) -> float:
+        """This sketch's rank error — parameterized by ``min_k`` so a
+        mixed-k merge reports the coarsest contributor's envelope
+        (kll_sketch_impl.hpp get_normalized_rank_error(min_k_, pmf))."""
+        return self.normalized_rank_error(self.min_k, pmf)
 
     # -- serde to Spark row ------------------------------------------------------
     def to_row(self) -> dict:

@@ -535,8 +535,11 @@ def test_classic_quantiles_merge_law():
     eps = ClassicQuantilesSketch.normalized_rank_error(128)
     med = a.get_quantile(0.5)
     assert abs((full <= med).mean() - 0.5) <= 2.5 * eps
-    with pytest.raises(ValueError, match="different k"):
-        a.merge(ClassicQuantilesSketch(64))
+    # mixed-k merges are supported now (downsampling to min k, reference
+    # semantics — test_classic_mixed_k_merge); an empty other is a no-op
+    # regardless of k
+    a.merge(ClassicQuantilesSketch(64))
+    assert a.n == 70_001 and a.k == 128
 
 
 def test_classic_quantiles_spark_agg(spark, sf_dir):
@@ -622,3 +625,68 @@ def test_cpc_union_mixed_lg_k(spark):
     want = np.asarray(direct["coupons"], np.int64).view(np.uint64)
     assert np.array_equal(got, want)
     assert abs(merged["estimate"] - 12_000) / 12_000 < 0.1
+
+
+def test_kll_mixed_k_merge():
+    """Reference kll_sketch::merge accepts differing k; the merged sketch
+    keeps this k's structure and reports rank error by the smallest
+    estimation-mode contributor (min_k)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.functions.quantiles import KllSketch
+
+    rng = np.random.default_rng(1)
+    a_vals, b_vals = rng.random(40_000), rng.random(30_000) + 0.5
+    a = KllSketch(200)
+    a.update_batch(a_vals)
+    b = KllSketch(100)
+    b.update_batch(b_vals)
+    a.merge(b)
+    assert a.n == 70_000
+    assert a.min_k == 100
+    assert a.get_normalized_rank_error() == KllSketch.normalized_rank_error(100)
+    exact = np.sort(np.concatenate([a_vals, b_vals]))
+    for r in (0.1, 0.5, 0.9):
+        true_rank = np.searchsorted(exact, a.get_quantile(r)) / len(exact)
+        assert abs(true_rank - r) < 3 * a.get_normalized_rank_error()
+    # exact-mode other never degrades min_k
+    c = KllSketch(200)
+    c.update_batch(rng.random(5000))
+    d = KllSketch(8)
+    d.update_batch(np.array([1.0, 2.0]))
+    c.merge(d)
+    assert c.min_k == 200 and c.n == 5002
+
+
+def test_classic_mixed_k_merge():
+    """Reference quantiles_sketch::merge downsampling semantics: mixed-k
+    estimation merges end at min(k) with total weight conserved; an
+    exact-mode other streams raw regardless of k."""
+    import numpy as np
+
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+    )
+
+    rng = np.random.default_rng(2)
+    a_vals, b_vals = rng.random(40_000), rng.random(30_000) + 0.5
+    exact = np.sort(np.concatenate([a_vals, b_vals]))
+    for ka, kb in ((128, 32), (32, 128)):
+        ca = ClassicQuantilesSketch(ka)
+        ca.update_batch(a_vals)
+        cb = ClassicQuantilesSketch(kb)
+        cb.update_batch(b_vals)
+        ca.merge(cb)
+        assert ca.k == min(ka, kb) and ca.n == 70_000
+        _, w = ca.sorted_view()
+        assert w[-1] == 70_000  # weight conserved through the level algebra
+        eps = 1.576 / (ca.k ** 0.9726)
+        for r in (0.1, 0.5, 0.9):
+            true_rank = np.searchsorted(exact, ca.get_quantile(r)) / len(exact)
+            assert abs(true_rank - r) < 3 * eps
+    ca = ClassicQuantilesSketch(128)
+    ca.update_batch(a_vals)
+    cb = ClassicQuantilesSketch(32)
+    cb.update_batch(np.array([9.0, 10.0]))
+    ca.merge(cb)
+    assert ca.k == 128 and ca.n == 40_002 and ca.max_item == 10.0
