@@ -163,7 +163,11 @@ class ReqSketch:
 
     # -- merge ----------------------------------------------------------------
     def merge(self, other: "ReqSketch") -> None:
-        assert self.k == other.k and self.hra == other.hra, "incompatible REQ sketches"
+        """Reference req_sketch::merge (req_sketch_impl.hpp:189-210):
+        mixing HRA and LRA is invalid; differing k is allowed — merged
+        compactors re-compress under THIS sketch's section sizes."""
+        if self.hra != other.hra:
+            raise ValueError("merging HRA and LRA is not valid")
         if other.n == 0:
             return
         self.n += other.n

@@ -105,7 +105,9 @@ class TDigest:
 
     # -- merge ----------------------------------------------------------------
     def merge(self, other: "TDigest") -> None:
-        assert self.delta == other.delta, "merging digests with different delta"
+        """Reference tdigest::merge (tdigest_impl.hpp:71-79): no parameter
+        restriction — the other digest's centroids re-compress under THIS
+        digest's delta."""
         if other.n == 0:
             return
         self.n += other.n

@@ -117,3 +117,27 @@ def test_spark_req_agg(spark):
         assert state[r["g"]]["req_n"] == len(sub)
         err = abs(exact_rank(sub, r["q0_99"]) - 0.99)
         assert err <= 0.01, err
+
+
+def test_req_mixed_k_merge():
+    """Reference merge rule: HRA/LRA mixing is invalid; differing k is
+    allowed, re-compressing under the receiving sketch's sections."""
+    import numpy as np
+    import pytest
+
+    from datasketches_cpp_spark.functions.req import ReqSketch
+
+    rng = np.random.default_rng(7)
+    a_vals, b_vals = rng.random(30_000), rng.random(20_000) + 0.5
+    a = ReqSketch(12, hra=True)
+    a.update_batch(a_vals)
+    b = ReqSketch(24, hra=True)
+    b.update_batch(b_vals)
+    a.merge(b)
+    assert a.n == 50_000
+    exact = np.sort(np.concatenate([a_vals, b_vals]))
+    for r in (0.9, 0.99):  # HRA: high ranks are tight
+        true_rank = np.searchsorted(exact, a.get_quantile(r)) / len(exact)
+        assert abs(true_rank - r) < 0.05
+    with pytest.raises(ValueError, match="HRA and LRA"):
+        a.merge(ReqSketch(12, hra=False))

@@ -124,3 +124,25 @@ def test_spark_tdigest_agg(spark):
             assert rank_err <= max(6.0 * q * (1 - q) / DEFAULT_K, 4.0 / len(sub)), (
                 r["g"], q, rank_err,
             )
+
+
+def test_tdigest_mixed_delta_merge():
+    """Reference tdigest::merge has no parameter restriction: the other
+    digest's centroids re-compress under this digest's delta."""
+    import numpy as np
+
+    from datasketches_cpp_spark.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(8)
+    a_vals, b_vals = rng.random(30_000), rng.random(30_000)
+    a = TDigest(100)
+    a.update_batch(a_vals)
+    b = TDigest(400)
+    b.update_batch(b_vals)
+    a.merge(b)
+    assert a.n == 60_000
+    exact = np.sort(np.concatenate([a_vals, b_vals]))
+    for r in (0.01, 0.5, 0.99):
+        got = a.get_quantile(r)
+        true_rank = np.searchsorted(exact, got) / len(exact)
+        assert abs(true_rank - r) < 0.02, (r, true_rank)
