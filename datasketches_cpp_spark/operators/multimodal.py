@@ -2,10 +2,12 @@
 with typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-partitioning, vectorized UDF signatures. The codec calls are STUBBED
-(`fmt='raw'` identity only) because this container ships no image/audio
-libraries; swapping in a real decoder is a one-function change per modality
-(the seam is `_decode_block` / `sources.images.decode_image`).
+partitioning, vectorized UDF signatures. Image decode is REAL for raw,
+PNG, PPM and BMP (operators/imagecodec.py — pure numpy + stdlib zlib;
+no image libraries needed). Audio is raw PCM16; compressed audio/video
+containers remain stubbed behind `NotImplementedError` (no codec libs in
+this container) — that seam is `_decode_block` / `sources.images.
+decode_image` per modality.
 
 Operators (all `mapInPandas`, zero per-row Python — rows are grouped by
 (w, h, fmt) inside each Arrow batch and each uniform group is decoded and
@@ -37,17 +39,18 @@ from pyspark.sql import DataFrame
 
 
 def _decode_block(bufs: list, w: int, h: int, fmt: str) -> np.ndarray:
-    """Uniform-shape group decode: list of raw buffers → (m, h*w*3) uint8.
-    One C-level join+frombuffer, no per-row ndarray churn. The codec seam:
-    a real decoder replaces the fmt=='raw' branch per format."""
-    if fmt != "raw":
-        raise NotImplementedError(
-            f"decode for fmt={fmt!r} requires an image codec not present in "
-            "this environment; only fmt='raw' is supported here"
-        )
-    sz = w * h * 3
-    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-    return flat.reshape(len(bufs), sz)
+    """Uniform-shape group decode: list of buffers → (m, h*w*3) uint8.
+    fmt='raw' is one C-level join+frombuffer (no per-row ndarray churn);
+    'png'/'ppm'/'bmp' decode through the pure-numpy codecs in
+    imagecodec.py (stdlib zlib only) — a per-buffer loop over rows whose
+    inner work is vectorized across each image's pixels."""
+    if fmt == "raw":
+        sz = w * h * 3
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        return flat.reshape(len(bufs), sz)
+    from .imagecodec import decode
+
+    return np.stack([decode(bytes(b), w, h, fmt) for b in bufs])
 
 
 def _shape_groups(pdf: pd.DataFrame):

@@ -5,10 +5,11 @@ Generates the exact `input_hint` table shape from BASELINE.json:
      caption string, phash long)
 plus a ground-truth frame (image_id, dup_group, dup_kind, overlap) for
 recall measurement. Everything is seeded numpy — no external data, no image
-libraries. "Decode" for fmt='raw' is identity; for lossy formats the decode
-step is STUBBED (see decode_image) while the pixel buffers are generated so
-the PSNR ≥ 40 dB invariant holds by construction (near-dup noise amplitude
-±2/255 ⇒ PSNR ≈ 42-48 dB).
+libraries. fmt='raw' decode is identity; 'png'/'ppm'/'bmp' corpora
+(``fmt=`` parameter, or 'mixed' for a per-id rotation) encode and decode
+through the pure-numpy codecs in operators/imagecodec.py — all lossless,
+so the PSNR ≥ 40 dB decode invariant holds exactly (PSNR = ∞); the
+near-dup noise amplitude ±2/255 keeps near-pixel pairs at ≈ 42-48 dB.
 
 The pHash surrogate is a real perceptual-hash-shaped function (8×8 block
 means vs their median → 64 bits) computed from the pixel buffer — so
@@ -71,15 +72,29 @@ def _captions(rng: np.random.Generator, lengths: np.ndarray) -> list[str]:
 def _emit_block(
     rows: list, truth: list, ids: np.ndarray, pixels: np.ndarray,
     w: int, h: int, captions: list[str], groups: np.ndarray,
-    kinds: list[str], overlaps: np.ndarray,
+    kinds: list[str], overlaps: np.ndarray, fmt: str = "raw",
 ) -> None:
+    """``fmt``: 'raw' (default — the golden-checksum corpus), a codec name
+    ('png'/'ppm'/'bmp'), or 'mixed' (deterministic per-id rotation across
+    all supported formats — exercises grouped decode paths)."""
     ph = phash64_batch(pixels, w, h).astype(np.int64)
+    if fmt != "raw":
+        from ..operators.imagecodec import SUPPORTED_FORMATS, encode
     for j in range(len(ids)):
+        if fmt == "raw":
+            f_j, payload = "raw", pixels[j].tobytes()
+        else:
+            f_j = (
+                SUPPORTED_FORMATS[int(ids[j]) % len(SUPPORTED_FORMATS)]
+                if fmt == "mixed"
+                else fmt
+            )
+            payload = encode(pixels[j], w, h, f_j)
         rows.append(
             {
                 "image_id": f"img{ids[j]:09d}",
-                "bytes": pixels[j].tobytes(),
-                "w": w, "h": h, "fmt": "raw",
+                "bytes": payload,
+                "w": w, "h": h, "fmt": f_j,
                 "caption": captions[j],
                 "phash": ph[j],
             }
@@ -100,6 +115,7 @@ def iter_image_chunks(
     hot_group_frac: float = 0.01,
     chain_len: int = 24,
     chunk_size: int = DEFAULT_CHUNK,
+    fmt: str = "raw",
 ):
     """Yields (images_pdf, truth_pdf) chunks. One RNG drives everything;
     chunk boundaries align to dup-group boundaries so no pair straddles."""
@@ -118,7 +134,7 @@ def iter_image_chunks(
     _emit_block(
         rows, truth, np.arange(next_id, next_id + n_hot), hp, w, h,
         [hot_caption] * n_hot, np.full(n_hot, next_gid), ["exact"] * n_hot,
-        np.ones(n_hot),
+        np.ones(n_hot), fmt,
     )
     next_id += n_hot
     next_gid += 1
@@ -136,7 +152,7 @@ def iter_image_chunks(
         _emit_block(
             rows, truth, np.arange(next_id, next_id + m_chain), px, w, h,
             caps, np.full(m_chain, next_gid), ["near_caption"] * m_chain,
-            np.full(m_chain, 0.8),
+            np.full(m_chain, 0.8), fmt,
         )
         next_id += m_chain
         next_gid += 1
@@ -253,7 +269,7 @@ def iter_image_chunks(
                     overlaps2[t] = 0.8
             _emit_block(
                 rows, truth, ids[idx_first[has_second] + 1], second_px, sz, sz,
-                caps2, gids[sel2], kinds2, overlaps2,
+                caps2, gids[sel2], kinds2, overlaps2, fmt,
             )
 
         images_pdf = pd.DataFrame(rows).sort_values("image_id", ignore_index=True)
@@ -273,10 +289,11 @@ def generate_images(
     seed: int = 42,
     hot_group_frac: float = 0.01,
     chain_len: int = 24,
+    fmt: str = "raw",
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Returns (images_pdf, truth_pdf) — concatenation of all chunks."""
     imgs, truths = [], []
-    for i, t in iter_image_chunks(n, seed, hot_group_frac, chain_len):
+    for i, t in iter_image_chunks(n, seed, hot_group_frac, chain_len, fmt=fmt):
         imgs.append(i)
         truths.append(t)
     return (
@@ -286,16 +303,15 @@ def generate_images(
 
 
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode to an (h*w*3,) uint8 pixel array. fmt='raw' is identity;
-    compressed formats are a STUB in this container (no image libs baked
-    in) — the Spark-side plumbing (binary column, typed metadata, batch
-    UDF shape) is real and tested with raw buffers."""
+    """Decode to an (h*w*3,) uint8 pixel array.  fmt='raw' is identity;
+    'png' / 'ppm' / 'bmp' decode through the pure-numpy codecs in
+    operators/imagecodec.py (stdlib zlib only — no image libraries
+    needed).  Other formats raise ImageCodecError."""
     if fmt == "raw":
         return np.frombuffer(buf, dtype=np.uint8)
-    raise NotImplementedError(
-        f"decode for fmt={fmt!r} requires an image codec not present in "
-        "this environment; only fmt='raw' is supported here"
-    )
+    from ..operators.imagecodec import decode
+
+    return decode(buf, w, h, fmt)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -307,7 +323,9 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
 
 
-def write_images_parquet(path: str, n: int, seed: int = 42) -> tuple[str, str]:
+def write_images_parquet(
+    path: str, n: int, seed: int = 42, fmt: str = "raw"
+) -> tuple[str, str]:
     """Materialize images + truth as parquet, streaming one chunk at a
     time (a 10^6-image corpus never lives in memory whole). Small row
     groups (~25 MB of pixels) keep the file splittable across many scan
@@ -319,7 +337,7 @@ def write_images_parquet(path: str, n: int, seed: int = 42) -> tuple[str, str]:
     truth_path = f"{path}/images_truth.parquet"
     iw = tw = None
     try:
-        for images, truth in iter_image_chunks(n, seed=seed):
+        for images, truth in iter_image_chunks(n, seed=seed, fmt=fmt):
             it = pa.Table.from_pandas(images, preserve_index=False)
             tt = pa.Table.from_pandas(truth, preserve_index=False)
             if iw is None:

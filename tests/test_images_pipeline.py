@@ -58,8 +58,12 @@ def test_near_pixel_psnr_invariant(corpus):
     assert checked > 0
 
 
-def test_decode_stub_raises_for_lossy():
-    with pytest.raises(NotImplementedError):
+def test_decode_unknown_format_raises():
+    """raw/png/ppm/bmp decode for real (operators/imagecodec.py); formats
+    needing codec libraries absent from this container still fail fast."""
+    from datasketches_cpp_spark.operators.imagecodec import ImageCodecError
+
+    with pytest.raises(ImageCodecError):
         decode_image(b"xx", 2, 2, "jpg")
 
 
