@@ -554,6 +554,35 @@ def q_cpc_distinct_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aod_orderkey_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-doubles tuple sketch (functions/tuplesketch.py
+    array_tuple_sketch_agg; reference array_of_doubles_sketch.hpp — the
+    Java ArrayOfDoublesSketch): per returnflag, keys = orderkeys, each
+    carrying a [quantity, extendedprice] vector folded element-wise.
+    lg_k=16 ≥ ndv ⇒ exact mode: distinct-key count and per-column
+    population sums are EXACT and hash-checkable against plain SQL."""
+    from datasketches_cpp_spark.functions.tuplesketch import (
+        array_tuple_sketch_agg,
+        with_value_sums_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+        ).alias("vals"),
+    )
+    sk = array_tuple_sketch_agg(li, ["l_returnflag"], "l_orderkey", "vals", 2, lg_k=16)
+    return with_value_sums_estimate(sk, 2).select(
+        "l_returnflag",
+        F.size("sig").cast("long").alias("distinct_orders"),
+        F.round(F.col("value_sums")[0], 2).alias("sum_qty"),
+        F.round(F.col("value_sums")[1], 2).alias("sum_price"),
+    )
+
+
 _KDE_POINTS = [(0.2, 0.1), (0.0, 0.0), (-1.0, 1.0)]
 
 
@@ -898,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_epochs": q_ks_test_epochs,
         "kll_string_rank_coverage": q_kll_string_rank_coverage,
         "density_kde_coverage": q_density_kde_coverage,
+        "aod_orderkey_sums": q_aod_orderkey_sums,
     }
 
 
@@ -1149,6 +1179,13 @@ def oracle_sql() -> dict[str, str]:
         "kll_string_rank_coverage": (
             "SELECT o_orderstatus, COUNT(*) AS n_rows, TRUE AS covered "
             "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "aod_orderkey_sums": (
+            "SELECT l_returnflag, "
+            "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders, "
+            "ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty, "
+            "ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_price "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "density_kde_coverage": (
             # independent exact-KDE re-derivation (DuckDB arrays are

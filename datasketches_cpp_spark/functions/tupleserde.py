@@ -133,3 +133,106 @@ def deserialize_tuple_compact(
         inter["k"].view(np.int64).copy(),
         inter["s"].copy(),
     )
+
+
+# ---------------------------------------------------------------------------
+# array-of-doubles compact sketch (family 9, sketch type 3 — the
+# Java-interoperable ArrayOfDoublesSketch; layout per
+# array_tuple_sketch_impl.hpp:70-141 serialize: fixed 16-byte preamble
+# with num_values at byte 5 and theta ALWAYS present, then num_entries,
+# then ALL keys, then ALL value arrays — keys and values in separate
+# blocks, unlike the interleaved type-1 stream)
+# ---------------------------------------------------------------------------
+
+_AOD_SERIAL_VERSION = 1
+_AOD_SKETCH_TYPE = 3
+_AODF_EMPTY = 2
+_AODF_HAS_ENTRIES = 3
+_AODF_ORDERED = 4
+# the reference's theta_constants::MAX_THETA is LLONG_MAX (2^63 - 1, the
+# Java-compat signed max) while this engine's exact-mode sentinel is 2^63;
+# AOD streams carry theta unconditionally, so map at the wire boundary
+_REF_MAX_THETA = (1 << 63) - 1
+
+
+def serialize_aod(
+    theta: int,
+    keys: np.ndarray,
+    summaries: np.ndarray,
+    num_values: int,
+    seed: int = DEFAULT_SEED,
+) -> bytes:
+    """(theta [-1 ⇔ exact], sorted u64 keys, (n, num_values) float64
+    summaries) → reference-compatible compact AOD bytes."""
+    theta = MAX_THETA if theta < 0 else int(theta)
+    keys = np.ascontiguousarray(np.asarray(keys, np.int64).view(np.uint64))
+    d = int(num_values)
+    summaries = np.ascontiguousarray(np.asarray(summaries, np.float64)).reshape(-1, d)
+    if len(keys) != len(summaries):
+        raise TupleSerdeError(
+            f"keys ({len(keys)}) and summaries ({len(summaries)}) misaligned"
+        )
+    if len(keys) > 1 and not (keys[:-1] < keys[1:]).all():
+        raise TupleSerdeError("keys must be strictly ascending")
+    n = len(keys)
+    is_empty = n == 0 and theta >= MAX_THETA
+    flags = (
+        ((1 << _AODF_EMPTY) if is_empty else 0)
+        | ((1 << _AODF_HAS_ENTRIES) if n > 0 else 0)
+        | (1 << _AODF_ORDERED)
+    )
+    out = bytearray()
+    out += struct.pack(
+        "<BBBBBBH", 1, _AOD_SERIAL_VERSION, _FAMILY, _AOD_SKETCH_TYPE,
+        flags, d, seed_hash(seed),
+    )
+    out += struct.pack("<Q", min(theta, _REF_MAX_THETA))
+    if n > 0:
+        out += struct.pack("<II", n, 0)
+        out += keys.astype("<u8").tobytes()
+        out += summaries.astype("<f8").tobytes()
+    return bytes(out)
+
+
+def deserialize_aod(
+    buf: bytes, seed: int = DEFAULT_SEED
+) -> tuple[int, np.ndarray, np.ndarray, int]:
+    """Reference compact AOD bytes → (theta [-1 ⇔ exact], sorted int64
+    keys, (n, num_values) float64 summaries, num_values)."""
+    if len(buf) < 16:
+        raise TupleSerdeError(f"buffer too short for AOD preamble: {len(buf)}")
+    _pre, ver, family, typ, flags, d, sh = struct.unpack_from("<BBBBBBH", buf, 0)
+    if family != _FAMILY:
+        raise TupleSerdeError(f"not a tuple sketch (family {family})")
+    if ver != _AOD_SERIAL_VERSION:
+        raise TupleSerdeError(f"unsupported AOD serial version {ver}")
+    if typ != _AOD_SKETCH_TYPE:
+        raise TupleSerdeError(f"unsupported sketch type {typ} (want 3)")
+    if sh != seed_hash(seed):
+        raise TupleSerdeError(
+            f"seed hash mismatch: stream {sh:#06x} vs seed {seed}"
+        )
+    (theta,) = struct.unpack_from("<Q", buf, 8)
+    has_entries = bool(flags & (1 << _AODF_HAS_ENTRIES))
+    if not has_entries:
+        return (
+            -1 if theta >= _REF_MAX_THETA else int(theta),
+            np.empty(0, np.int64),
+            np.empty((0, d), np.float64),
+            int(d),
+        )
+    if len(buf) < 24:
+        raise TupleSerdeError("truncated AOD num_entries")
+    (n,) = struct.unpack_from("<I", buf, 16)
+    off = 24
+    need = off + 8 * n + 8 * n * d
+    if len(buf) < need:
+        raise TupleSerdeError(f"truncated AOD entries: need {need}, have {len(buf)}")
+    keys = np.frombuffer(buf, "<u8", count=n, offset=off)
+    vals = np.frombuffer(buf, "<f8", count=n * d, offset=off + 8 * n)
+    return (
+        -1 if theta >= _REF_MAX_THETA else int(theta),
+        keys.view(np.int64).copy(),
+        vals.reshape(n, d).copy(),
+        int(d),
+    )

@@ -329,3 +329,266 @@ def tuple_pair_set_ops(
             yield compute(pdf)
 
     return joined.mapInPandas(run, _TUPLE_SETOP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# array-of-doubles tuple sketches (reference array_tuple_sketch.hpp /
+# array_of_doubles_sketch.hpp — the Java-interoperable AOD family: each
+# retained key carries a fixed-width vector of doubles, combined
+# element-wise by the policy)
+# ---------------------------------------------------------------------------
+
+
+def _fold_nd(
+    hashes: np.ndarray, values: np.ndarray, policy: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce (m, d) value rows per distinct hash, element-wise."""
+    d = values.shape[1]
+    frame = pd.DataFrame(values)
+    frame["_h"] = hashes.astype(np.uint64)
+    agg = getattr(frame.groupby("_h", sort=True), _POLICIES.get(policy, policy))()
+    return (
+        agg.index.to_numpy(dtype=np.uint64),
+        np.ascontiguousarray(agg.to_numpy(dtype=np.float64).reshape(-1, d)),
+    )
+
+
+def array_tuple_sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    values_col: str,
+    num_values: int,
+    policy: str = "sum",
+    lg_k: int = 12,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """groupBy(group_cols).array_tuple_sketch(key, values[d], policy) →
+    one row per group: (group..., theta long [-1 ⇔ exact], sig
+    array<long>, summaries array<double> of length size(sig)·d,
+    row-major).  ``values_col`` is an array<double> column of fixed
+    length ``num_values``; summaries combine element-wise (the
+    default_array_tuple_union_policy is element-wise sum).  Same k-min
+    cut / lazy 2k-trim discipline as `tuple_sketch_agg` — the shuffle
+    carries O(k·d) doubles per group, never raw rows."""
+    if policy not in _POLICIES:
+        raise ValueError(f"unknown policy {policy!r}; use {sorted(_POLICIES)}")
+    d = int(num_values)
+    if d < 1:
+        raise ValueError("num_values must be >= 1")
+    k = 1 << lg_k
+    key_dtype = dict(df.dtypes)[key_col]
+    group_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in group_cols
+    )
+    prefix = f"{group_fields}, " if group_fields else ""
+    schema = f"{prefix}theta long, sig array<long>, summaries array<double>"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, tuple[int, np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            pdf = pdf[pdf[key_col].notna()]
+            if len(pdf) == 0:
+                continue
+            hashes_all = _hash_items(pdf[key_col], key_dtype, seed)
+            vals_all = np.stack(
+                [np.asarray(v, np.float64) for v in pdf[values_col]]
+            ).reshape(len(pdf), d)
+            grouped = (
+                pdf.groupby(group_cols, sort=False, dropna=False).indices
+                if group_cols
+                else {(): np.arange(len(pdf))}
+            )
+            for key, idx in grouped.items():
+                key = key if isinstance(key, tuple) else (key,)
+                h, s = _fold_nd(hashes_all[idx], vals_all[idx], policy)
+                if key in acc:
+                    ptheta, ph, ps = acc[key]
+                    keep = h < np.uint64(ptheta)
+                    h2, s2 = _fold_nd(
+                        np.concatenate([ph, h[keep]]),
+                        np.concatenate([ps, s[keep]]),
+                        policy,
+                    )
+                    theta = ptheta
+                else:
+                    theta, h2, s2 = MAX_THETA, h, s
+                if len(h2) > 2 * k:
+                    theta, h2, s2 = _cut(h2, s2, theta, k)
+                acc[key] = (theta, h2, s2)
+        rows = []
+        for key, (theta, h, s) in acc.items():
+            theta, h, s = _cut(h, s, theta, k)
+            r = {c: key[i] for i, c in enumerate(group_cols)}
+            r["theta"] = -1 if theta >= MAX_THETA else theta
+            r["sig"] = h.astype(np.int64)
+            r["summaries"] = s.reshape(-1)
+            rows.append(r)
+        if not rows:
+            return
+        yield pd.DataFrame(rows, columns=group_cols + ["theta", "sig", "summaries"])
+
+    partials = df.select(group_cols + [key_col, values_col]).mapInPandas(
+        partial, schema
+    )
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        theta = MAX_THETA
+        hs, ss = [], []
+        for _, row in pdf.iterrows():
+            t = int(row["theta"])
+            theta = min(theta, MAX_THETA if t < 0 else t)
+            hs.append(np.asarray(row["sig"], np.int64).astype(np.uint64))
+            ss.append(np.asarray(row["summaries"], np.float64).reshape(-1, d))
+        h, s = _fold_nd(np.concatenate(hs), np.concatenate(ss), policy)
+        theta, h, s = _cut(h, s, theta, k)
+        r = {c: [pdf[c].iloc[0]] for c in group_cols}
+        r["theta"] = [-1 if theta >= MAX_THETA else theta]
+        r["sig"] = [h.astype(np.int64)]
+        r["summaries"] = [s.reshape(-1)]
+        return pd.DataFrame(r, columns=group_cols + ["theta", "sig", "summaries"])
+
+    if group_cols:
+        return partials.groupBy(*group_cols).applyInPandas(final, schema)
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(final, schema)
+
+
+def with_value_sums_estimate(
+    sketch_df: DataFrame, num_values: int, out_col: str = "value_sums"
+) -> DataFrame:
+    """Estimated per-column population sums over ALL keys: column j's
+    retained sum ÷ theta-fraction (the AOD analog of
+    with_summary_sum_estimate), entirely JVM-side — positional filter +
+    aggregate over the flattened row-major summaries array."""
+    d = int(num_values)
+    frac = F.col("theta").cast("double") / F.lit(float(MAX_THETA))
+
+    def _col_filter(j: int):
+        return lambda x, i: i % d == j
+
+    cols = []
+    for j in range(d):
+        total = F.aggregate(
+            F.filter("summaries", _col_filter(j)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cols.append(F.when(F.col("theta") < 0, total).otherwise(total / frac))
+    return sketch_df.withColumn(out_col, F.array(*cols))
+
+
+def array_tuple_pair_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: list[str],
+    k: int,
+    num_values: int,
+    policy: str = "sum",
+) -> DataFrame:
+    """AOD union / intersection / a-not-b with element-wise summary
+    combine, per join key — reference array_tuple_union.hpp /
+    array_tuple_intersection.hpp / array_tuple_a_not_b.hpp (the
+    ArrayOfDoublesUnion/Intersection/AnotB trio in Java).  Same min-theta
+    screening and re-trim law as `tuple_pair_set_ops`; emits distinct-key
+    estimates plus per-column population-sum estimates (arrays of length
+    num_values) for each set op."""
+    d = int(num_values)
+    join_cols = key_cols or ["_k"]
+    a = df_a.select(
+        *key_cols,
+        F.col("theta").alias("theta_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("summaries").alias("sum_col_a"),
+    )
+    b = df_b.select(
+        *key_cols,
+        F.col("theta").alias("theta_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("summaries").alias("sum_col_b"),
+    )
+    if not key_cols:
+        a = a.withColumn("_k", F.lit(1))
+        b = b.withColumn("_k", F.lit(1))
+    joined = a.join(b, join_cols, "full_outer")
+
+    schema = (
+        "key string, theta long, "
+        "est_a double, est_b double, est_union double, "
+        "est_intersection double, est_a_not_b double, "
+        "vsum_a array<double>, vsum_b array<double>, "
+        "vsum_union array<double>, vsum_intersection array<double>, "
+        "vsum_a_not_b array<double>"
+    )
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():
+            def mk(theta_enc, sig, summ):
+                if sig is None or (isinstance(sig, float) and pd.isna(sig)):
+                    return MAX_THETA, np.empty(0, np.uint64), np.empty((0, d), np.float64)
+                t = MAX_THETA if int(theta_enc) < 0 else int(theta_enc)
+                h = np.asarray(sig, np.int64).view(np.uint64)
+                return t, h, np.asarray(summ, np.float64).reshape(-1, d)
+
+            ta, ha, sa = mk(r.get("theta_a") if pd.notna(r.get("theta_a", np.nan)) else -1, r.get("sig_a"), r.get("sum_col_a"))
+            tb, hb, sb = mk(r.get("theta_b") if pd.notna(r.get("theta_b", np.nan)) else -1, r.get("sig_b"), r.get("sum_col_b"))
+            theta = min(ta, tb)
+            ca = int(np.searchsorted(ha, np.uint64(theta)))
+            cb = int(np.searchsorted(hb, np.uint64(theta)))
+            ha, sa_s = ha[:ca], sa[:ca]
+            hb, sb_s = hb[:cb], sb[:cb]
+
+            common, ia, ib = np.intersect1d(ha, hb, assume_unique=True, return_indices=True)
+            mask_a_only = np.ones(len(ha), bool); mask_a_only[ia] = False
+            mask_b_only = np.ones(len(hb), bool); mask_b_only[ib] = False
+
+            u_h = np.concatenate([common, ha[mask_a_only], hb[mask_b_only]])
+            u_s = np.concatenate([
+                _combine_summaries(sa_s[ia], sb_s[ib], policy),
+                sa_s[mask_a_only],
+                sb_s[mask_b_only],
+            ])
+            order = np.argsort(u_h, kind="stable")
+            u_h, u_s = u_h[order], u_s[order]
+            if len(u_h) > k:
+                theta = int(u_h[k])
+                u_h, u_s = u_h[:k], u_s[:k]
+                ca = int(np.searchsorted(ha, np.uint64(theta)))
+                cb = int(np.searchsorted(hb, np.uint64(theta)))
+                ha, sa_s = ha[:ca], sa[:ca]
+                hb, sb_s = hb[:cb], sb[:cb]
+                common, ia, ib = np.intersect1d(ha, hb, assume_unique=True, return_indices=True)
+                mask_a_only = np.ones(len(ha), bool); mask_a_only[ia] = False
+
+            i_s = _combine_summaries(sa_s[ia], sb_s[ib], policy)
+            anb_h, anb_s = ha[mask_a_only], sa_s[mask_a_only]
+
+            frac = theta / float(MAX_THETA)
+            def est(n):
+                return float(n) / frac
+            def vsum(arr):
+                return (arr.sum(axis=0) / frac if len(arr) else np.zeros(d)).tolist()
+
+            out.append({
+                "key": "|".join(str(r[c]) for c in key_cols),
+                "theta": -1 if theta >= MAX_THETA else theta,
+                "est_a": est(len(ha)), "est_b": est(len(hb)),
+                "est_union": est(len(u_h)),
+                "est_intersection": est(len(common)),
+                "est_a_not_b": est(len(anb_h)),
+                "vsum_a": vsum(sa_s), "vsum_b": vsum(sb_s),
+                "vsum_union": vsum(u_s),
+                "vsum_intersection": vsum(i_s),
+                "vsum_a_not_b": vsum(anb_s),
+            })
+        return pd.DataFrame(out)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield compute(pdf)
+
+    return joined.mapInPandas(run, schema)

@@ -38,6 +38,7 @@
 #include "tdigest.hpp"
 #include "frequent_items_sketch.hpp"
 #include "tuple_sketch.hpp"
+#include "array_of_doubles_sketch.hpp"
 #include "var_opt_sketch.hpp"
 #include "ebpps_sketch.hpp"
 #include "count_min.hpp"
@@ -342,6 +343,34 @@ static void gen_tuple() {
   }
 }
 
+// ------------------------------------------------------ array of doubles
+static void gen_aod() {
+  for (uint64_t n : {0ULL, 1000ULL, 20000ULL}) {
+    auto upd = update_array_of_doubles_sketch::builder(3).set_lg_k(12).build();
+    std::vector<double> v(3);
+    for (uint64_t i = 0; i < n; i++) {
+      v[0] = (double)(i % 7); v[1] = 1.0; v[2] = (double)(i % 3);
+      upd.update(i, v);
+    }
+    auto c = upd.compact();
+    double sum0 = 0, sum1 = 0, sum2 = 0;
+    for (const auto& e : c) { sum0 += e.second[0]; sum1 += e.second[1]; sum2 += e.second[2]; }
+    std::string file = "aod3_lgk12_n" + std::to_string(n) + ".sk";
+    write_blob(file, c.serialize());
+    Row(file, "aod3")
+        .num("n", (double)n)
+        .num("lgk", 12)
+        .num("num_values", 3)
+        .num("estimate", c.get_estimate())
+        .num("theta", c.get_theta())
+        .num("num_retained", c.get_num_retained())
+        .num("sum0", sum0)
+        .num("sum1", sum1)
+        .num("sum2", sum2)
+        .emit();
+  }
+}
+
 // -------------------------------------------------------------- var_opt
 static void gen_varopt() {
   {
@@ -471,6 +500,7 @@ int main(int argc, char** argv) {
   gen_tdigest();
   gen_fi();
   gen_tuple();
+  gen_aod();
   gen_varopt();
   gen_ebpps();
   gen_countmin();

@@ -35,6 +35,7 @@
 #include "tdigest.hpp"
 #include "frequent_items_sketch.hpp"
 #include "tuple_sketch.hpp"
+#include "array_of_doubles_sketch.hpp"
 #include "var_opt_sketch.hpp"
 #include "count_min.hpp"
 #include "bloom_filter.hpp"
@@ -151,6 +152,15 @@ int main(int argc, char** argv) {
         row << ", \"estimate\": " << fmt(sk.get_estimate())
             << ", \"num_retained\": " << sk.get_num_retained()
             << ", \"summary_sum\": " << fmt(sum);
+        dump(path + ".out", sk.serialize());
+      } else if (fam == "aod") {
+        auto sk = compact_array_of_doubles_sketch::deserialize(buf.data(), buf.size());
+        double sum0 = 0;
+        for (const auto& e : sk) sum0 += e.second[0];
+        row << ", \"estimate\": " << fmt(sk.get_estimate())
+            << ", \"num_retained\": " << sk.get_num_retained()
+            << ", \"num_values\": " << (int)sk.get_num_values()
+            << ", \"sum0\": " << fmt(sum0);
         dump(path + ".out", sk.serialize());
       } else if (fam == "varopti") {
         auto sk = var_opt_sketch<int64_t>::deserialize(buf.data(), buf.size());

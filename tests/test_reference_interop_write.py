@@ -79,7 +79,9 @@ from datasketches_cpp_spark.functions.thetaserde import (
     serialize_compressed,
 )
 from datasketches_cpp_spark.functions.tupleserde import (
+    deserialize_aod,
     deserialize_tuple_compact,
+    serialize_aod,
     serialize_tuple_compact,
 )
 from datasketches_cpp_spark.kmv import MAX_THETA
@@ -150,6 +152,8 @@ REQ_VALS = RNG.random(8000).astype(np.float32).astype(np.float64)
 TD_VALS = (np.arange(4000) * 0.6180339887498949) % 1.0
 TUPLE_KEYS = np.sort(RNG.integers(0, _TH, 300, dtype=np.uint64))
 TUPLE_SUMS = RNG.random(300) * 10
+AOD_KEYS = np.sort(RNG.choice(1 << 62, 250, replace=False).astype(np.uint64))
+AOD_VALS = RNG.random((250, 3)) * 5
 VAROPT_H_ITEMS = np.arange(10, dtype=np.int64)
 VAROPT_H_WTS = np.linspace(50, 30, 10)
 VAROPT_R_ITEMS = np.arange(100, 122, dtype=np.int64)
@@ -222,6 +226,8 @@ def _make_blobs() -> dict[str, bytes]:
     fii.update_batch(pd.Series(np.arange(2000, dtype=np.int64) % 7))
     out["fii__1.bin"] = serialize_frequent_items(fii)
     out["tuple__1.bin"] = serialize_tuple_compact(_TH, TUPLE_KEYS, TUPLE_SUMS)
+    out["aod__est.bin"] = serialize_aod(_TH, AOD_KEYS[AOD_KEYS < _TH], AOD_VALS[AOD_KEYS < _TH], 3)
+    out["aod__exact.bin"] = serialize_aod(-1, AOD_KEYS, AOD_VALS, 3)
     out["varopti__exact.bin"] = serialize_varopt(
         VAROPT_H_ITEMS, VAROPT_H_WTS, np.ones(10, bool), 10, 32, "int64"
     )
@@ -396,6 +402,30 @@ def test_tuple_write(roundtrip):
     assert t2 == _TH
     assert np.array_equal(keys2.view(np.uint64), TUPLE_KEYS)
     assert np.array_equal(sums2, TUPLE_SUMS)
+
+
+def test_aod_write(roundtrip):
+    """The reference must read engine-written ArrayOfDoublesSketch blobs
+    (family 9 type 3), report matching estimates and column sums, and
+    re-serialize byte-identically."""
+    for name, theta_enc, keys, vals in (
+        ("aod__exact.bin", -1, AOD_KEYS, AOD_VALS),
+        ("aod__est.bin", _TH, AOD_KEYS[AOD_KEYS < _TH], AOD_VALS[AOD_KEYS < _TH]),
+    ):
+        row, reenc = roundtrip[name]
+        assert "error" not in row, row
+        assert row["num_values"] == 3
+        assert row["num_retained"] == len(keys)
+        theta = MAX_THETA if theta_enc < 0 else theta_enc
+        assert row["estimate"] == pytest.approx(
+            kmv.estimate(theta, len(keys)), rel=1e-12
+        )
+        assert row["sum0"] == pytest.approx(vals[:, 0].sum(), rel=1e-12)
+        t2, k2, v2, d2 = deserialize_aod(reenc)
+        assert d2 == 3
+        assert np.array_equal(k2.view(np.uint64), keys)
+        assert np.array_equal(v2, vals)
+        assert reenc == serialize_aod(theta_enc, keys, vals, 3), name
 
 
 def test_varopt_write(roundtrip):

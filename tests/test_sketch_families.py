@@ -690,3 +690,79 @@ def test_classic_mixed_k_merge():
     cb.update_batch(np.array([9.0, 10.0]))
     ca.merge(cb)
     assert ca.k == 128 and ca.n == 40_002 and ca.max_item == 10.0
+
+
+def test_array_tuple_exact_mode(spark, sf_dir):
+    """AOD agg in exact mode (lg_k ≥ ndv): per-key vectors equal the
+    groupBy oracle; value_sums estimate is exactly the column sums."""
+    from datasketches_cpp_spark.functions.tuplesketch import (
+        array_tuple_sketch_agg,
+        with_value_sums_estimate,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.lit(1.0),
+        ).alias("vals"),
+    )
+    sk = array_tuple_sketch_agg(li, [], "l_orderkey", "vals", 3, lg_k=16)
+    row = with_value_sums_estimate(sk, 3).collect()[0]
+    assert row["theta"] == -1  # exact mode
+    exact = li.agg(
+        F.count_distinct("l_orderkey"),
+        F.sum(F.col("vals")[0]),
+        F.sum(F.col("vals")[1]),
+        F.count(F.lit(1)).cast("double"),
+    ).collect()[0]
+    assert len(row["sig"]) == exact[0]
+    assert row["value_sums"][0] == pytest.approx(exact[1], rel=1e-9)
+    assert row["value_sums"][1] == pytest.approx(exact[2], rel=1e-9)
+    assert row["value_sums"][2] == pytest.approx(exact[3], rel=1e-9)
+
+
+def test_array_tuple_estimation_and_setops(spark):
+    """Estimation mode: distinct-key and per-column-sum estimates within
+    the theta error envelope; AOD set ops combine element-wise."""
+    import numpy as np
+
+    from datasketches_cpp_spark.functions.tuplesketch import (
+        array_tuple_pair_set_ops,
+        array_tuple_sketch_agg,
+        with_value_sums_estimate,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.array((F.col("id") % 5).cast("double"), F.lit(2.0)).alias("vals"),
+    )
+    sk = array_tuple_sketch_agg(df, [], "k", "vals", 2, lg_k=10)
+    row = with_value_sums_estimate(sk, 2).collect()[0]
+    assert row["theta"] > 0  # estimation mode
+    rse = 3 / np.sqrt(1 << 10)
+    true0 = sum(i % 5 for i in range(n))
+    assert abs(row["value_sums"][0] - true0) / true0 < 2 * rse
+    assert abs(row["value_sums"][1] - 2.0 * n) / (2.0 * n) < 2 * rse
+
+    # overlapping halves, exact mode: set-op sums are exact
+    a = spark.range(0, 3000).select(
+        F.col("id").alias("k"), F.array(F.lit(1.0), F.lit(3.0)).alias("vals")
+    )
+    b = spark.range(2000, 5000).select(
+        F.col("id").alias("k"), F.array(F.lit(1.0), F.lit(3.0)).alias("vals")
+    )
+    ska = array_tuple_sketch_agg(a, [], "k", "vals", 2, lg_k=13)
+    skb = array_tuple_sketch_agg(b, [], "k", "vals", 2, lg_k=13)
+    ops = array_tuple_pair_set_ops(ska, skb, [], k=1 << 13, num_values=2).collect()[0]
+    assert ops["est_union"] == 5000.0
+    assert ops["est_intersection"] == 1000.0
+    assert ops["est_a_not_b"] == 2000.0
+    # union: overlap keys combine by sum → (3000+3000-1000·(dup collapses
+    # to combined 2)) per column: 4000 keys at 1.0 + 1000 keys at 2.0
+    assert ops["vsum_union"][0] == pytest.approx(6000.0)
+    assert ops["vsum_union"][1] == pytest.approx(18000.0)
+    assert ops["vsum_intersection"][0] == pytest.approx(2000.0)
+    assert ops["vsum_a_not_b"][0] == pytest.approx(2000.0)
