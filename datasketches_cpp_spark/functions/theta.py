@@ -92,13 +92,23 @@ def theta_sketch_agg(
     item_col: str,
     lg_k: int = 12,
     seed: int = DEFAULT_SEED,
+    p: float = 1.0,
 ) -> DataFrame:
     """groupBy(group_cols).theta_sketch(item_col) with explicit two-stage
     (partial per input partition → shuffle → final union) aggregation.
 
+    ``p`` is the up-front sampling probability of the reference builder's
+    set_p (theta_update_sketch_base.hpp): the sketch starts at
+    theta = p·2^63 instead of exact mode, dropping 1−p of the hash space
+    before any k-min cut — estimates and binomial bounds stay unbiased
+    because both condition only on the final theta fraction.
+
     Returns DataFrame(group_cols..., theta long, sig array<long>) where
     theta = -1 encodes exact mode (theta == 2^63)."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"sampling probability p must be in (0, 1], got {p}")
     k = 1 << lg_k
+    theta0 = MAX_THETA if p == 1.0 else int(p * MAX_THETA)
     item_dtype = dict(df.dtypes)[item_col]
     group_fields = [f for f in df.schema.fields if f.name in group_cols]
     out_schema = sketch_schema(group_fields)
@@ -115,7 +125,7 @@ def theta_sketch_agg(
                 grouped = kept.groupby(group_cols, sort=False, dropna=False).indices
             for key, idx in grouped.items():
                 key = key if isinstance(key, tuple) else (key,)
-                st = state.get(key, (MAX_THETA, np.empty(0, np.uint64)))
+                st = state.get(key, (theta0, np.empty(0, np.uint64)))
                 state[key] = _kmin_merge(st, hashes[idx], k)
         if not state:
             # Empty input partition (common at sf>=0.1 where parquet row

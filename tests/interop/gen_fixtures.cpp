@@ -14,8 +14,13 @@
 // Everything here is original harness code: it *calls* the reference's
 // public API exactly like the reference's own unit tests do; it copies no
 // implementation.  random_utils::override_seed pins the reference's RNG so
-// KLL/REQ compaction offsets and var_opt/ebpps eviction draws are
-// reproducible run-to-run.
+// NOTE: the reference's random compaction offsets (KLL/REQ/classic,
+// var_opt/ebpps eviction, density halving) draw from its global RNG,
+// so regeneration is NOT byte-stable run-to-run for those families.
+// When adding a family, run into a scratch dir and merge ONLY the new
+// blobs + manifest rows; each committed blob is consistent with the
+// committed manifest row from the same run, which is what the tests
+// compare against.
 //
 // Build:  tests/interop/build.sh   (g++ -O2 -std=c++17, ~30 s)
 // Run:    ./gen_fixtures <outdir>

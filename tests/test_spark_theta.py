@@ -124,3 +124,29 @@ def test_nulls_and_empties_skipped(spark):
     sk = theta_sketch_agg(df, [], "v", lg_k=10)
     est = with_estimate(sk).collect()[0]["estimate"]
     assert est == 2.0
+
+
+def test_theta_sampling_probability(spark):
+    """Reference builder set_p semantics: the sketch starts at
+    theta = p·2^63; estimates stay unbiased and bounds cover."""
+    import pytest as _pytest
+
+    from datasketches_cpp_spark.functions.theta import (
+        theta_sketch_agg,
+        with_bounds,
+        with_estimate,
+    )
+    from datasketches_cpp_spark.kmv import MAX_THETA
+
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    row = with_bounds(
+        with_estimate(theta_sketch_agg(df, [], "v", lg_k=14, p=0.25)),
+        num_std_devs=3,
+    ).collect()[0]
+    # lg_k=14 (k=16384) would be exact without p; with p=0.25 theta<=p·MAX
+    assert 0 < row["theta"] <= int(0.25 * MAX_THETA)
+    assert row["estimate"] == _pytest.approx(n, rel=0.05)
+    assert row["lower_bound"] <= n <= row["upper_bound"]
+    with _pytest.raises(ValueError, match="sampling probability"):
+        theta_sketch_agg(df, [], "v", p=0.0)
