@@ -231,13 +231,123 @@ def decode_bmp(buf: bytes) -> tuple[np.ndarray, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# DCT — the lossy lane (JPEG-style transform codec)
+# ---------------------------------------------------------------------------
+#
+# The input_hint's per-row invariant is "decoded-pixel allclose (PSNR ≥
+# 40 dB for lossy)".  This codec is built so that floor is ANALYTIC, not
+# empirical: 8×8 orthonormal DCT-II per channel (RGB domain — no color
+# conversion, no chroma subsampling) with one uniform quantization step
+# s per coefficient.  Orthonormality preserves L2, so per-block pixel
+# MSE ≤ (s/2)²; the final round-to-uint8 adds ≤ 0.5 amplitude, giving a
+# worst-case RMSE ≤ s/2 + 0.5 for ANY input (clipping only shrinks it).
+# Default quality 90 → s = 2 → PSNR ≥ 20·log10(255/1.5) = 44.6 dB
+# guaranteed; any quality ≥ 80 (s ≤ 4) keeps the 40 dB gate (the L2
+# argument is exact for block-aligned dims; ragged edges are padded by
+# replication and covered by the empirical tests).  Entropy stage:
+# zigzag scan + cross-block DC delta + zlib over the int16 plane.
+#
+# This is a codec in the JPEG mold (T.81's transform/quantize/entropy
+# pipeline shape), NOT JPEG interchange format — a real libjpeg decoder
+# slots into the same `_DECODERS` seam if the container ever grows one.
+# Everything is one vectorized pass over (N, 8, 8) block stacks.
+
+_DCT_MAGIC = b"DCT1"
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8, dtype=np.float64)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    D[0] *= 1 / np.sqrt(2)
+    return D  # orthonormal: D @ D.T == I
+
+
+_DCT_D = _dct_matrix()
+
+
+def _zigzag_order() -> np.ndarray:
+    idx = sorted(
+        ((i, j) for i in range(8) for j in range(8)),
+        key=lambda t: (t[0] + t[1], t[1] if (t[0] + t[1]) % 2 else t[0]),
+    )
+    return np.array([i * 8 + j for i, j in idx])
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+
+def _dct_step(quality: int) -> int:
+    if not 1 <= quality <= 100:
+        raise ImageCodecError(f"quality {quality} outside [1, 100]")
+    return max(1, round((100 - quality) / 5))
+
+
+def encode_dct(pixels: np.ndarray, w: int, h: int, quality: int = 90) -> bytes:
+    """(h*w*3,) or (h, w, 3) uint8 RGB → lossy DCT stream."""
+    step = _dct_step(quality)
+    px = np.asarray(pixels, np.uint8).reshape(h, w, 3).astype(np.float64) - 128.0
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        px = np.pad(px, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    nby, nbx = px.shape[0] // 8, px.shape[1] // 8
+    # (H, W, 3) → (N, 8, 8) block stack, channel-major within each tile row
+    blocks = (
+        px.reshape(nby, 8, nbx, 8, 3).transpose(0, 2, 4, 1, 3).reshape(-1, 8, 8)
+    )
+    coef = np.einsum("ij,njk,lk->nil", _DCT_D, blocks, _DCT_D, optimize=True)
+    qc = np.round(coef / step).astype(np.int16).reshape(-1, 64)[:, _ZIGZAG]
+    dc = qc[:, 0].copy()
+    qc[1:, 0] = dc[1:] - dc[:-1]  # cross-block DC delta
+    header = _DCT_MAGIC + struct.pack("<IIB", w, h, quality)
+    return header + zlib.compress(qc.astype("<i2").tobytes(), 6)
+
+
+def decode_dct(buf: bytes) -> tuple[np.ndarray, int, int]:
+    if buf[:4] != _DCT_MAGIC:
+        raise ImageCodecError("not a DCT1 stream")
+    if len(buf) < 13:
+        raise ImageCodecError("truncated DCT1 header")
+    w, h, quality = struct.unpack_from("<IIB", buf, 4)
+    step = _dct_step(quality)
+    try:
+        plane = zlib.decompress(buf[13:])
+    except zlib.error as exc:
+        raise ImageCodecError(f"corrupt DCT1 payload: {exc}") from None
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    n = nby * nbx * 3
+    if len(plane) != n * 128:
+        raise ImageCodecError(
+            f"DCT1 payload holds {len(plane)} bytes, header implies {n * 128}"
+        )
+    qc = np.frombuffer(plane, "<i2").reshape(n, 64).astype(np.int64)
+    qc[:, 0] = np.cumsum(qc[:, 0])  # undo DC delta
+    coef = (qc[:, _UNZIGZAG] * step).astype(np.float64).reshape(n, 8, 8)
+    blocks = np.einsum("ji,njk,kl->nil", _DCT_D, coef, _DCT_D, optimize=True)
+    px = (
+        blocks.reshape(nby, nbx, 3, 8, 8)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(nby * 8, nbx * 8, 3)[:h, :w]
+    )
+    out = np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
+    return out.reshape(-1), int(w), int(h)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp}
-_DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp}
+_ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp,
+             "dct": encode_dct}
+_DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp,
+             "dct": decode_dct}
 
 SUPPORTED_FORMATS = ("raw",) + tuple(sorted(_ENCODERS))
+# Formats whose decode(encode(x)) == x exactly — the only ones eligible
+# for the 'mixed' corpus rotation (its contract is decode-identity with
+# the raw corpus).  'dct' is lossy by design: PSNR ≥ 44.6 dB at the
+# default quality, never bit-identity.
+LOSSLESS_FORMATS = ("raw",) + tuple(sorted(set(_ENCODERS) - {"dct"}))
 
 
 def encode(pixels: np.ndarray, w: int, h: int, fmt: str) -> bytes:

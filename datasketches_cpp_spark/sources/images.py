@@ -75,17 +75,19 @@ def _emit_block(
     kinds: list[str], overlaps: np.ndarray, fmt: str = "raw",
 ) -> None:
     """``fmt``: 'raw' (default — the golden-checksum corpus), a codec name
-    ('png'/'ppm'/'bmp'), or 'mixed' (deterministic per-id rotation across
-    all supported formats — exercises grouped decode paths)."""
+    ('png'/'ppm'/'bmp'/'dct' — the last is lossy, PSNR ≥ 44.6 dB), or
+    'mixed' (deterministic per-id rotation across the LOSSLESS formats —
+    exercises grouped decode paths while keeping decode-identity with the
+    raw corpus)."""
     ph = phash64_batch(pixels, w, h).astype(np.int64)
     if fmt != "raw":
-        from ..operators.imagecodec import SUPPORTED_FORMATS, encode
+        from ..operators.imagecodec import LOSSLESS_FORMATS, encode
     for j in range(len(ids)):
         if fmt == "raw":
             f_j, payload = "raw", pixels[j].tobytes()
         else:
             f_j = (
-                SUPPORTED_FORMATS[int(ids[j]) % len(SUPPORTED_FORMATS)]
+                LOSSLESS_FORMATS[int(ids[j]) % len(LOSSLESS_FORMATS)]
                 if fmt == "mixed"
                 else fmt
             )
@@ -215,7 +217,7 @@ def iter_image_chunks(
             _emit_block(
                 rows, truth, ids[idx_first], base_px, sz, sz,
                 [captions[g] for g in sel], gids[sel],
-                ["unique"] * len(sel), np.ones(len(sel)),
+                ["unique"] * len(sel), np.ones(len(sel)), fmt,
             )
             has_second = kc > 0
             if not has_second.any():

@@ -12,13 +12,16 @@ import numpy as np
 import pytest
 
 from datasketches_cpp_spark.operators.imagecodec import (
+    LOSSLESS_FORMATS,
     SUPPORTED_FORMATS,
     ImageCodecError,
     decode,
     decode_bmp,
+    decode_dct,
     decode_png,
     encode,
     encode_bmp,
+    encode_dct,
     encode_png,
     encode_ppm,
 )
@@ -159,6 +162,74 @@ def test_error_paths():
         decode(px.tobytes()[:-1], 8, 8, "raw")  # size mismatch
 
 
+# ---------------------------------------------------------------------------
+# DCT (lossy lane) — the input_hint's "PSNR ≥ 40 dB for lossy" invariant
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(32, 32), (64, 64), (33, 7), (1, 1), (8, 8)])
+def test_dct_psnr_floor_on_noise(w, h):
+    """Uniform random noise is the WORST input for a transform codec —
+    the analytic floor (PSNR ≥ 20·log10(255/(s/2+0.5)) = 44.6 dB at the
+    default step 2) must hold even there."""
+    px = _px(w, h)
+    back = decode(encode(px, w, h, "dct"), w, h, "dct")
+    assert psnr(px, back) >= 44.0, (w, h, psnr(px, back))
+
+
+def test_dct_quality_knob():
+    """Lower quality → coarser steps → smaller stream, lower (but still
+    gated) PSNR; quality ≥ 80 keeps the 40 dB invariant by construction."""
+    # smooth gradient: the compressible case
+    y, x = np.mgrid[0:64, 0:64]
+    px = np.stack([x * 4, y * 4, (x + y) * 2], axis=-1).astype(np.uint8).reshape(-1)
+    sizes, psnrs = [], []
+    for q in (95, 90, 80):
+        buf = encode_dct(px, 64, 64, quality=q)
+        back, _, _ = decode_dct(buf)
+        sizes.append(len(buf))
+        psnrs.append(psnr(px, back))
+    # PSNR degrades monotonically with quality; stream size on an
+    # already-sparse spectrum is zlib-noise-dominated, so only the
+    # compression property itself is asserted (< half the 12 KiB raw)
+    assert psnrs[0] >= psnrs[1] >= psnrs[2] >= 40.0
+    assert max(sizes) < 64 * 64 * 3 // 2
+
+
+def test_dct_deterministic_and_errors():
+    px = _px(16, 16)
+    assert encode(px, 16, 16, "dct") == encode(px, 16, 16, "dct")
+    with pytest.raises(ImageCodecError, match="not a DCT1"):
+        decode_dct(b"JUNKJUNKJUNKJUNK")
+    with pytest.raises(ImageCodecError, match="metadata"):
+        decode(encode(px, 16, 16, "dct"), 17, 16, "dct")
+    with pytest.raises(ImageCodecError):
+        decode_dct(encode(px, 16, 16, "dct")[:-7])  # truncated zlib
+    with pytest.raises(ImageCodecError, match="quality"):
+        encode_dct(px, 16, 16, quality=0)
+
+
+def test_dct_corpus_decodes_within_gate(spark):
+    """A fmt='dct' corpus: decoded pixels sit within the PSNR gate of the
+    raw corpus from the same seed (same RNG stream → same source pixels),
+    and the Spark-side grouped decode path handles the lossy format."""
+    from datasketches_cpp_spark.operators.multimodal import decode_stats
+    from datasketches_cpp_spark.sources.images import decode_image, generate_images
+
+    raw_pdf, _ = generate_images(300, seed=23)
+    dct_pdf, _ = generate_images(300, seed=23, fmt="dct")
+    assert (raw_pdf["phash"] == dct_pdf["phash"]).all()
+    for i in range(0, 300, 37):
+        a = np.frombuffer(raw_pdf["bytes"][i], np.uint8)
+        b = decode_image(
+            dct_pdf["bytes"][i], dct_pdf["w"][i], dct_pdf["h"][i], "dct"
+        )
+        assert psnr(a, b) >= 40.0
+    df = spark.createDataFrame(dct_pdf)
+    stats = decode_stats(df).toPandas()
+    assert len(stats) == 300
+
+
 def test_corpus_mixed_formats_decode_identical(spark):
     """A 'mixed' corpus (per-id rotation over raw/bmp/png/ppm) must
     yield byte-identical decode_stats to the raw corpus from the same
@@ -171,7 +242,8 @@ def test_corpus_mixed_formats_decode_identical(spark):
 
     raw_pdf, _ = generate_images(400, seed=17)
     mix_pdf, _ = generate_images(400, seed=17, fmt="mixed")
-    assert set(mix_pdf["fmt"]) == set(SUPPORTED_FORMATS)
+    assert set(mix_pdf["fmt"]) == set(LOSSLESS_FORMATS)
+    assert "dct" in SUPPORTED_FORMATS and "dct" not in LOSSLESS_FORMATS
     assert (raw_pdf["phash"] == mix_pdf["phash"]).all()
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
