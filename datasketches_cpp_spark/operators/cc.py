@@ -157,20 +157,17 @@ def connected_components(
     LAST_STATS.clear()
     LAST_STATS.update({"rounds": 0, "checksums": []})
     cur = _canonical(edges)
-    spark = edges.sparkSession
-    # CollectLimit default is incremental (1 partition, then 4x more, ...)
-    # — each escalation is another serial job. The probe wants ONE pass
-    # over all partitions; restore the caller's setting afterwards.
-    key = "spark.sql.limit.initialNumPartitions"
-    saved = spark.conf.get(key, None)
-    spark.conf.set(key, str(1 << 30))
-    try:
-        probe = cur.limit(driver_finish_edges + 1).toPandas()
-    finally:
-        if saved is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, saved)
+    # The probe uses Spark's DEFAULT incremental CollectLimit (1 partition,
+    # then 4× more per batch). The escalation batches are cheap: the
+    # expensive upstream (signature/verify lanes + the distinct's map side)
+    # runs once and its shuffle files are reused, so each batch is a
+    # reduce-only job over already-shuffled rows. The alternative — forcing
+    # one pass over all partitions via spark.sql.limit.initialNumPartitions
+    # — is a driver-OOM hazard at scale: every task in that single batch
+    # may ship up to `limit` rows, so P partitions × 2M-edge threshold can
+    # land P× the threshold on the driver at once. A few reduce-only serial
+    # jobs are the safer trade on both regimes.
+    probe = cur.limit(driver_finish_edges + 1).toPandas()
     LAST_STATS["init_sec"] = round(time.time() - t_init, 2)
     if len(probe) == 0:
         return edges.sparkSession.createDataFrame(
