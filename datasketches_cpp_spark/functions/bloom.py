@@ -157,6 +157,79 @@ def might_contain(
     return joined.mapInPandas(probe, schema)
 
 
+_FILTER_SCHEMA = "bits binary, num_bits int, num_hashes int, seed long, n_items long"
+
+
+def _combine_filters(filters_df: DataFrame, op: str) -> DataFrame:
+    """OR/AND every filter row of ``filters_df`` into one — the reference's
+    ``union_with`` / ``intersect`` (bloom_filter.hpp:505-512). Requires
+    identical (num_bits, num_hashes, seed), enforced exactly like the
+    reference's compatibility check. ``n_items`` degrades to an upper
+    bound: sum for union (each true item is in some input), min for
+    intersect (the result holds at most the smaller side)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cfgs = pdf[["num_bits", "num_hashes", "seed"]].drop_duplicates()
+        if len(cfgs) != 1:
+            raise ValueError(
+                f"bloom {op} requires identical (num_bits, num_hashes, seed); got "
+                f"{cfgs.to_dict('records')}"
+            )
+        mats = np.stack([np.frombuffer(b, dtype=np.uint8) for b in pdf["bits"]])
+        arr = (np.bitwise_or if op == "union" else np.bitwise_and).reduce(mats, axis=0)
+        n = int(pdf["n_items"].sum()) if op == "union" else int(pdf["n_items"].min())
+        return pd.DataFrame(
+            {
+                "bits": [arr.tobytes()],
+                "num_bits": [int(pdf["num_bits"].iloc[0])],
+                "num_hashes": [int(pdf["num_hashes"].iloc[0])],
+                "seed": [int(pdf["seed"].iloc[0])],
+                "n_items": [n],
+            }
+        )
+
+    return filters_df.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: merge(pdf), _FILTER_SCHEMA
+    )
+
+
+def bloom_union(filters_df: DataFrame) -> DataFrame:
+    """OR-merge every filter row into one (bloom_filter.hpp:505 union_with).
+    No false negatives survive: an item in ANY input filter is in the
+    union. Filters are single rows, so this is a driver-size aggregate."""
+    return _combine_filters(filters_df, "union")
+
+
+def bloom_intersect(filters_df: DataFrame) -> DataFrame:
+    """AND-merge every filter row (bloom_filter.hpp:512 intersect): an item
+    present in ALL inputs still has all its bits set (no false negatives
+    w.r.t. the true intersection); false-positive rate is higher than a
+    filter built directly on the intersection — same caveat as the
+    reference documents."""
+    return _combine_filters(filters_df, "intersect")
+
+
+def bloom_invert(filter_df: DataFrame) -> DataFrame:
+    """Flip every bit (bloom_filter.hpp:517 invert) — approximately inverts
+    set membership: items NOT in the original set now probe true with high
+    probability; items in the original set probe false unless hash
+    collisions keep all their bits set. ``n_items`` becomes -1 (unknown),
+    as the complement's cardinality is not tracked."""
+
+    def flip(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        out["bits"] = [
+            np.bitwise_not(np.frombuffer(b, dtype=np.uint8)).tobytes()
+            for b in pdf["bits"]
+        ]
+        out["n_items"] = np.int64(-1)
+        return out
+
+    return filter_df.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: flip(pdf), _FILTER_SCHEMA
+    )
+
+
 def bloom_prefilter_join(
     fact_df: DataFrame,
     dim_df: DataFrame,

@@ -248,6 +248,61 @@ def test_bloom_no_false_negatives_and_fpp(spark):
     assert fp / n < 0.03  # target 0.01, generous margin
 
 
+def test_bloom_set_ops(spark):
+    """union_with / intersect / invert semantics (bloom_filter.hpp:505-517):
+    union keeps every member of both sets; intersect keeps A∩B with no
+    false negatives; invert approximately flips membership."""
+    import pytest
+
+    from datasketches_cpp_spark.functions.bloom import (
+        bloom_intersect,
+        bloom_invert,
+        bloom_union,
+    )
+
+    n = 10_000
+    m = suggest_num_bits(2 * n, 0.01)
+    k = suggest_num_hashes_from(2 * n, m)
+    a = spark.range(0, n).withColumnRenamed("id", "x")  # [0, n)
+    b = spark.range(n // 2, n + n // 2).withColumnRenamed("id", "x")  # overlap half
+    fa = bloom_filter_agg(a, "x", m, k)
+    fb = bloom_filter_agg(b, "x", m, k)
+    both = fa.unionByName(fb)
+
+    # union: every member of A ∪ B passes
+    u = bloom_union(both)
+    all_members = spark.range(0, n + n // 2).withColumnRenamed("id", "x")
+    assert might_contain(all_members, u, "x").where(~F.col("might_contain")).count() == 0
+    assert u.collect()[0]["n_items"] == 2 * n  # upper bound: sum
+
+    # intersect: A ∩ B = [n/2, n) all pass; most of the symmetric
+    # difference fails (fpp-bounded)
+    i = bloom_intersect(both)
+    inter = spark.range(n // 2, n).withColumnRenamed("id", "x")
+    assert might_contain(inter, i, "x").where(~F.col("might_contain")).count() == 0
+    sym = spark.range(0, n // 2).withColumnRenamed("id", "x")
+    fp = might_contain(sym, i, "x").where("might_contain").count()
+    assert fp / (n // 2) < 0.05
+
+    # invert: membership asymmetry flips. A member had ALL k bits set, so
+    # after inversion it has none — members essentially never pass. A
+    # non-member passes iff all k of its bit positions were CLEAR before
+    # inversion: ≈ e^{-k²·n/m}, small but orders of magnitude above the
+    # member rate (the reference's "approximately inverts" caveat).
+    inv = bloom_invert(fa)
+    member_hits = might_contain(a, inv, "x").where("might_contain").count()
+    assert member_hits / n < 0.01
+    fresh = spark.range(5 * n, 6 * n).withColumnRenamed("id", "x")
+    fresh_hits = might_contain(fresh, inv, "x").where("might_contain").count()
+    assert fresh_hits > max(20 * member_hits, n // 100)
+    assert inv.collect()[0]["n_items"] == -1
+
+    # config mismatch fails fast
+    fb2 = bloom_filter_agg(b, "x", m + 8, k)
+    with pytest.raises(Exception, match="identical"):
+        bloom_union(fa.unionByName(fb2)).collect()
+
+
 def test_bloom_prefilter_join_equals_plain_join(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where("c_custkey % 7 = 0")
