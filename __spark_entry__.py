@@ -301,6 +301,45 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_union_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union_with (bloom_filter.hpp:505): two filters built on DISJOINT
+    customer strata, OR-merged, used to prefilter orders before the exact
+    join against the union of the strata. No false negatives survive the
+    union and the exact join removes false positives, so the result equals
+    the plain SQL join — parity IS the union-membership contract."""
+    from datasketches_cpp_spark.functions.bloom import (
+        bloom_filter_agg,
+        bloom_union,
+        might_contain,
+        suggest_num_bits,
+        suggest_num_hashes_from,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.where("c_custkey % 11 = 0")
+    b = cust.where("c_custkey % 11 = 5")
+    n = a.count() + b.count()
+    m = suggest_num_bits(max(n, 1), 0.01)
+    k = suggest_num_hashes_from(max(n, 1), m)
+    filt = bloom_union(
+        bloom_filter_agg(a, "c_custkey", m, k).unionByName(
+            bloom_filter_agg(b, "c_custkey", m, k)
+        )
+    )
+    pruned = (
+        might_contain(orders, filt, "o_custkey")
+        .where(F.col("might_contain"))
+        .drop("might_contain")
+    )
+    both = a.unionByName(b)
+    j = pruned.join(both, pruned["o_custkey"] == both["c_custkey"])
+    return j.agg(
+        F.count(F.lit(1)).alias("matched_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    )
+
+
 def q_varopt_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """var_opt with k ≥ n keeps everything ⇒ subset-sum exact (the sampling
     analog of theta exact mode)."""
@@ -903,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_median_by_flag": q_exact_median_by_flag,
         "frequent_items_sketch": q_frequent_items_sketch,
         "bloom_prefilter_join": q_bloom_prefilter_join,
+        "bloom_union_prefilter": q_bloom_union_prefilter,
         "varopt_subset_sum": q_varopt_subset_sum,
         "tuple_engagement": q_tuple_engagement,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1075,6 +1115,12 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "WHERE c_custkey % 7 = 0"
+        ),
+        "bloom_union_prefilter": (
+            "SELECT COUNT(*) AS matched_orders, "
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_custkey % 11 = 0 OR c_custkey % 11 = 5"
         ),
         "varopt_subset_sum": (
             "SELECT COUNT(*) AS custkeys_mod3 FROM customer "
