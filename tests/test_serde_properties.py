@@ -163,6 +163,100 @@ def test_kll_strings_roundtrip_properties(items, k):
 
 @settings(max_examples=40, deadline=None)
 @given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**62), 2**62),
+            st.floats(min_value=1e-6, max_value=1e9, allow_nan=False),
+            st.booleans(),
+        ),
+        min_size=0, max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(8, 256),
+    st.integers(0, 2**32 - 1),
+)
+def test_varopt_roundtrip_properties(rows, k, mark_seed):
+    """var_opt family 13: H/R region split, shared R weight, gadget marks —
+    all preserved exactly through a decode/encode cycle."""
+    from datasketches_cpp_spark.functions.samplingserde import (
+        deserialize_varopt,
+        serialize_varopt,
+    )
+
+    items = [t[0] for t in rows]
+    weights = [t[1] for t in rows]
+    exact = [t[2] for t in rows]
+    # stable-sort H first exactly like the writer, so marks line up
+    order = sorted(range(len(rows)), key=lambda i: not exact[i])
+    items = [items[i] for i in order]
+    weights = [weights[i] for i in order]
+    exact = [exact[i] for i in order]
+    h = sum(exact)
+    rng = np.random.default_rng(mark_seed)
+    marks = rng.random(h) < 0.3 if h else np.zeros(0, bool)
+    n = len(rows) * 3 + 1
+    buf = serialize_varopt(items, weights, exact, n, k, marks=marks)
+    back = deserialize_varopt(buf)
+    if not rows:
+        return
+    assert back["n"] == n and back["k"] == k
+    assert list(back["items"][:h]) == items[:h]
+    assert np.allclose(back["weights"][:h], weights[:h])
+    assert sorted(back["items"][h:]) == sorted(items[h:])
+    # R-region rows surface the shared weight total_wt_r / r
+    r = len(rows) - h
+    if r:
+        assert np.allclose(back["weights"][h:], sum(weights[h:]) / r)
+    assert np.array_equal(back["marks"][:h], marks)
+    # second cycle: re-encode the decoded state, decode again — stable
+    buf2 = serialize_varopt(
+        back["items"], back["weights"], back["exact"], back["n"], back["k"],
+        marks=back["marks"][:h],
+    )
+    back2 = deserialize_varopt(buf2)
+    assert list(back2["items"]) == list(back["items"])
+    assert np.allclose(back2["weights"], back["weights"])
+    assert np.array_equal(back2["exact"], back["exact"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 5), st.integers(4, 300), st.integers(0, 2**32 - 1))
+def test_countmin_roundtrip_properties(d, w, rng_seed):
+    from datasketches_cpp_spark.functions.samplingserde import (
+        deserialize_countmin,
+        serialize_countmin,
+    )
+
+    rng = np.random.default_rng(rng_seed)
+    mat = rng.integers(0, 1000, size=(d, w)).astype(np.uint64)
+    total = int(mat[0].sum())
+    buf = serialize_countmin(mat, total, d, w)
+    back = deserialize_countmin(buf)
+    assert back["num_hashes"] == d and back["num_buckets"] == w
+    assert back["total_weight"] == total
+    assert np.array_equal(np.asarray(back["matrix"]).reshape(d, w), mat)
+    assert serialize_countmin(back["matrix"], total, d, w) == buf
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 64), st.integers(0, 2**32 - 1))
+def test_bloom_bytes_roundtrip_properties(num_hashes, cap_longs, rng_seed):
+    from datasketches_cpp_spark.functions.samplingserde import (
+        deserialize_bloom,
+        serialize_bloom,
+    )
+
+    rng = np.random.default_rng(rng_seed)
+    bits = rng.integers(0, 256, size=cap_longs * 8).astype(np.uint8)
+    buf = serialize_bloom(bits, num_hashes, seed=12345)
+    back = deserialize_bloom(buf)
+    assert back["num_hashes"] == num_hashes
+    assert np.array_equal(back["bits"], bits)
+    assert serialize_bloom(back["bits"], back["num_hashes"], seed=12345) == buf
+
+
+@settings(max_examples=40, deadline=None)
+@given(
     st.integers(4, 10),
     st.integers(0, 2**32 - 1),
     st.sampled_from([4, 6, 8]),
