@@ -255,6 +255,39 @@ def test_bloom_bytes_roundtrip_properties(num_hashes, cap_longs, rng_seed):
     assert serialize_bloom(back["bits"], back["num_hashes"], seed=12345) == buf
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(4, 11),
+    st.floats(min_value=0.0, max_value=0.6),
+    st.integers(0, 2**32 - 1),
+)
+def test_cpc_matrix_roundtrip_properties(lg_k, density, rng_seed):
+    """CPC family 16 full compressed wire format: random coupon matrices
+    across densities sweep all flavors (EMPTY/SPARSE/HYBRID/PINNED/
+    SLIDING) through the Huffman/unary entropy coders; matrix-exact
+    round-trip + byte idempotence."""
+    from datasketches_cpp_spark.functions.cpcserde import (
+        deserialize_cpc,
+        serialize_cpc,
+    )
+
+    rng = np.random.default_rng(rng_seed)
+    k = 1 << lg_k
+    # geometric column profile ~ a real coupon matrix; density scales how
+    # far along the stream the sketch is
+    cols = np.minimum(rng.geometric(0.5, size=(k, 8)) - 1, 60)
+    keep = rng.random((k, 8)) < density
+    mat = np.zeros(k, np.uint64)
+    for j in range(8):
+        sel = keep[:, j]
+        mat[sel] |= np.uint64(1) << cols[sel, j].astype(np.uint64)
+    buf = serialize_cpc(mat, lg_k)
+    st_ = deserialize_cpc(buf)
+    assert st_["lg_k"] == lg_k
+    assert np.array_equal(st_["matrix"], mat)
+    assert serialize_cpc(st_["matrix"], st_["lg_k"]) == buf
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.integers(4, 10),
