@@ -337,17 +337,24 @@ def decode_dct(buf: bytes) -> tuple[np.ndarray, int, int]:
 # dispatch
 # ---------------------------------------------------------------------------
 
+# 'jpg' is an alias for the DCT transform codec: FIXTURES.md F1 names the
+# lossy format slot "jpg", and this codec fills that slot's CONTRACT
+# (lossy, decoded-pixel PSNR ≥ 40 dB) — but the byte stream is the DCT1
+# container above, NOT ITU T.81 JPEG interchange. Real .jpg bytes fail
+# the magic check with a clear error rather than decoding garbage; a real
+# libjpeg decoder slots into this same registry seam if one appears.
 _ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp,
-             "dct": encode_dct}
+             "dct": encode_dct, "jpg": encode_dct}
 _DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp,
-             "dct": decode_dct}
+             "dct": decode_dct, "jpg": decode_dct}
 
+LOSSY_FORMATS = ("dct", "jpg")
 SUPPORTED_FORMATS = ("raw",) + tuple(sorted(_ENCODERS))
 # Formats whose decode(encode(x)) == x exactly — the only ones eligible
 # for the 'mixed' corpus rotation (its contract is decode-identity with
-# the raw corpus).  'dct' is lossy by design: PSNR ≥ 44.6 dB at the
+# the raw corpus).  The lossy lane guarantees PSNR ≥ 44.6 dB at the
 # default quality, never bit-identity.
-LOSSLESS_FORMATS = ("raw",) + tuple(sorted(set(_ENCODERS) - {"dct"}))
+LOSSLESS_FORMATS = ("raw",) + tuple(sorted(set(_ENCODERS) - set(LOSSY_FORMATS)))
 
 
 def encode(pixels: np.ndarray, w: int, h: int, fmt: str) -> bytes:

@@ -199,6 +199,11 @@ def test_dct_quality_knob():
 def test_dct_deterministic_and_errors():
     px = _px(16, 16)
     assert encode(px, 16, 16, "dct") == encode(px, 16, 16, "dct")
+    # 'jpg' is the F1 alias for the same transform codec (same bytes);
+    # real T.81 JPEG bytes must fail fast, not decode garbage
+    assert encode(px, 16, 16, "jpg") == encode(px, 16, 16, "dct")
+    with pytest.raises(ImageCodecError, match="not a DCT1"):
+        decode(b"\xff\xd8\xff\xe0" + b"\x00" * 32, 16, 16, "jpg")
     with pytest.raises(ImageCodecError, match="not a DCT1"):
         decode_dct(b"JUNKJUNKJUNKJUNK")
     with pytest.raises(ImageCodecError, match="metadata"):
