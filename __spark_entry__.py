@@ -493,6 +493,36 @@ def q_ann_recall_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (knn.pq_train/pq_encode/pq_topk — m-byte
+    codes + ADC scan + exact re-rank of the shortlist, Jégou et al. 2011)
+    as a hash-checkable coverage contract: with the fixed seed the
+    codebooks are deterministic, so per-probe overlap with the exact top-5
+    is a constant of the data. Contract: every probe retains ≥ 3/5 exact
+    neighbors (measured 3-5 at sf0.01)."""
+    from datasketches_cpp_spark.operators.knn import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    books = pq_train(emb, dim=64, m=8, ks=64)
+    codes = pq_encode(emb, books)
+    approx = pq_topk(
+        codes, probes, books, k=5, rerank_with=emb, rerank_shortlist=50
+    ).select("probe_id", "neighbor_id")
+    bf = brute_force_topk(emb, probes, "vec_id", "embedding", k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    hits = approx.intersect(bf).groupBy("probe_id").count()
+    return hits.select(
+        "probe_id", (F.col("count") >= 3).alias("recall_floor_met")
+    )
+
+
 def q_hll_sketch_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch HLL register sketch (functions/hll.hll_sketch_agg —
     real uint8 registers, np.maximum.at update, register-max merge; NOT the
@@ -950,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rank_coverage": q_kll_rank_coverage,
         "classic_quantiles_coverage": q_classic_quantiles_coverage,
         "ann_recall_coverage": q_ann_recall_coverage,
+        "pq_recall_coverage": q_pq_recall_coverage,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
         "hll_sketch_coverage": q_hll_sketch_coverage,
         "stratified_sample_qa": q_stratified_sample_qa,
@@ -1186,6 +1217,10 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS covered FROM lineitem GROUP BY l_returnflag"
         ),
         "ann_recall_coverage": (
+            "SELECT vec_id AS probe_id, TRUE AS recall_floor_met "
+            "FROM embeddings WHERE vec_id < 5"
+        ),
+        "pq_recall_coverage": (
             "SELECT vec_id AS probe_id, TRUE AS recall_floor_met "
             "FROM embeddings WHERE vec_id < 5"
         ),

@@ -17,7 +17,12 @@ Paths:
     vector assigned to its nearest centroid partition; probes scan only
     the ``nprobe`` nearest inverted lists. Vectorized numpy matmuls inside
     Arrow batches — the classic billion-scale layout (coarse quantizer +
-    list scan), minus product quantization (vectors stay raw).
+    list scan).
+  * pq_train / pq_encode / pq_topk — product quantization (Jégou et al.
+    2011): corpus vectors become m-byte codes (32x smaller at dim=64,
+    m=8), queries run as ADC table lookups against the codes. pq_topk
+    scans all codes (PQ-flat); compose with ivf_assign to scan only
+    nprobe lists (IVFADC) when even the code table is too big to sweep.
 """
 
 from __future__ import annotations
@@ -340,6 +345,195 @@ def ivf_topk(
     wnd = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 256,
+    vec_col: str = "embedding",
+    sample_size: int = 10_000,
+    iters: int = 8,
+    seed: int = 9001,
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): split each L2-normalized vector into
+    ``m`` subvectors of dim/m; k-means each subspace independently on a
+    bounded driver sample (same discipline as ivf_train_centroids — O(
+    sample), never a full scan). Returns (m, ks, dim//m) float32.
+
+    Why it matters at 100 TB: a dim=64 float32 embedding is 256 bytes; its
+    PQ code is m bytes (32x smaller at m=8). The corpus side of an ANN scan
+    becomes small enough to keep hot, and distance evaluation drops to m
+    table lookups per candidate (ADC)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    frac = min(1.0, sample_size / max(df.count(), 1))
+    sample = np.stack(
+        df.sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float32)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(ks, len(sample)), sub), np.float32)
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(len(x), size=books.shape[1], replace=False)].copy()
+        for _ in range(iters):
+            # squared-L2 assignment via the dot trick (constant ||x||² dropped)
+            d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code binary): each vector L2-normalized, each subvector replaced
+    by its nearest codeword index — m bytes per row (ks ≤ 256). Narrow
+    stage, vectorized per Arrow batch."""
+    import pandas as pd
+    from typing import Iterator
+
+    id_type = dict(df.dtypes)[id_col]
+    books = codebooks.astype(np.float32)
+    m, ks, sub = books.shape
+    if ks > 256:
+        raise ValueError("pq_encode packs codes as uint8: ks must be <= 256")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        norms2 = [(books[j] ** 2).sum(axis=1) for j in range(m)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
+            codes = np.empty((len(vecs), m), np.uint8)
+            for j in range(m):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                d2 = norms2[j][None, :] - 2.0 * (x @ books[j].T)
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "code": [c.tobytes() for c in codes]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, f"id {id_type}, code binary")
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    probes: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank_with: DataFrame | None = None,
+    rerank_shortlist: int = 50,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k: probes stay exact
+    (L2-normalized float), corpus rows are m-byte PQ codes. Per probe, one
+    (m, ks) lookup table LUT[j][c] = <probe_sub_j, codeword_jc>; a
+    candidate's approximate cosine is sum_j LUT[j][code_j] — m gathers, no
+    float vector ever read from the corpus side. Probes broadcast (small
+    by construction); the corpus scan is narrow and embarrassingly
+    parallel. Returns (probe_id, neighbor_id, adc_cosine, rank); with
+    ``rerank_with`` (the corpus DataFrame), the ADC top-``rerank_shortlist``
+    is exactly re-ranked by true cosine and the columns become
+    (probe_id, neighbor_id, cosine, rank) — IVFADC+R semantics."""
+    import pandas as pd
+    from typing import Iterator
+
+    from pyspark.sql import Window
+
+    books = codebooks.astype(np.float32)
+    m, ks, sub = books.shape
+    probe_pdf = probes.select(id_col, vec_col).toPandas()
+    pvecs = np.stack(probe_pdf[vec_col].to_numpy()).astype(np.float32)
+    pvecs /= np.maximum(np.linalg.norm(pvecs, axis=1, keepdims=True), 1e-9)
+    # (P, m, ks): LUT[p, j, c] = <probe_p subvector j, codeword c>
+    luts = np.einsum(
+        "pjs,jcs->pjc", pvecs.reshape(len(pvecs), m, sub), books, optimize=True
+    )
+    pids = probe_pdf[id_col].to_numpy()
+    id_type = dict(corpus_codes.dtypes)["id"]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(b"".join(pdf["code"]), np.uint8).reshape(n, m)
+            # scores (P, n): gather each probe's LUT at the corpus codes
+            scores = np.zeros((len(pids), n), np.float32)
+            for j in range(m):
+                scores += luts[:, j, :][:, codes[:, j]]
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.repeat(pids, n),
+                    "neighbor_id": np.tile(ids, len(pids)),
+                    "adc_cosine": scores.ravel().astype(np.float64),
+                }
+            )
+
+    scored = corpus_codes.mapInPandas(
+        scan, f"probe_id {id_type}, neighbor_id {id_type}, adc_cosine double"
+    ).where(F.col("probe_id") != F.col("neighbor_id"))
+    wnd = Window.partitionBy("probe_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    shortlist_k = k if rerank_with is None else max(k, rerank_shortlist)
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= shortlist_k)
+        .select("probe_id", "neighbor_id", "adc_cosine", "rank")
+    )
+    if rerank_with is None:
+        return shortlist
+
+    # Exact re-rank (the "+R" of IVFADC+R, Jégou et al. §V): the ADC
+    # shortlist is tiny (probes × shortlist rows), so reading the true
+    # float vectors for JUST those rows costs nothing at any scale — one
+    # broadcast-sized join against the corpus — and restores exact cosine
+    # ordering within the shortlist.
+    nbr = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    probe_id_type = dict(rerank_with.dtypes)[id_col]
+    pr = rerank_with.sparkSession.createDataFrame(
+        [(pid, [float(x) for x in v]) for pid, v in zip(pids.tolist(), pvecs)],
+        schema=f"probe_id {probe_id_type}, _pv array<float>",
+    )
+    exact = (
+        shortlist.select("probe_id", "neighbor_id")
+        .join(nbr, "neighbor_id")
+        .join(F.broadcast(pr), "probe_id")
+        .withColumn("cosine", _cosine(F.col("_pv"), F.col("_nv")))
+    )
+    wnd2 = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wnd2))
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )

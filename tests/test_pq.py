@@ -1,0 +1,87 @@
+"""Product quantization ANN: codebook training, m-byte encoding, ADC
+search — recall and distortion contracts vs the exact brute-force path
+(the same exact-twin discipline as the LSH/IVF ANN tests)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_cpp_spark.operators.knn import (
+    brute_force_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, dim=64, m=8, ks=64)
+
+
+def test_pq_codes_are_m_bytes(emb, books):
+    codes = pq_encode(emb, books).toPandas()
+    assert len(codes) == emb.count()
+    assert {len(c) for c in codes["code"]} == {8}  # 8 bytes vs 256-byte float32
+
+
+def test_pq_recall_vs_bruteforce(spark, emb, books):
+    """ADC top-5 must retain most of the exact top-5 — PQ trades a bounded
+    amount of ranking fidelity for a 32x smaller corpus representation."""
+    probes = emb.where(F.col("vec_id") < 8)
+    codes = pq_encode(emb, books)
+    exact = brute_force_topk(emb, probes, "vec_id", "embedding", k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    n_probes = probes.count()
+    # ADC-only: the shortlist ranking is approximate — a loose floor
+    adc_only = pq_topk(codes, probes, books, k=5).select("probe_id", "neighbor_id")
+    adc_recall = adc_only.intersect(exact).count() / (5 * n_probes)
+    assert adc_recall >= 0.25, adc_recall
+    # ADC shortlist + exact re-rank (IVFADC+R): recall must be high
+    rr = pq_topk(
+        codes, probes, books, k=5, rerank_with=emb, rerank_shortlist=50
+    ).select("probe_id", "neighbor_id")
+    rr_recall = rr.intersect(exact).count() / (5 * n_probes)
+    assert rr_recall >= 0.8, rr_recall
+    assert rr_recall >= adc_recall
+
+
+def test_pq_adc_tracks_true_cosine(spark, emb, books):
+    """Per returned neighbor, the ADC score approximates the true cosine:
+    mean absolute error bounded by subspace quantization distortion."""
+    probes = emb.where(F.col("vec_id") < 4)
+    codes = pq_encode(emb, books)
+    approx = pq_topk(codes, probes, books, k=5)
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], np.float32)
+        for r in emb.where(F.col("vec_id") < 2000).collect()
+    }
+
+    def cos(a, b):
+        a = a / max(np.linalg.norm(a), 1e-9)
+        b = b / max(np.linalg.norm(b), 1e-9)
+        return float(a @ b)
+
+    rows = approx.collect()
+    assert rows
+    errs = [
+        abs(r["adc_cosine"] - cos(vecs[int(r["probe_id"])], vecs[int(r["neighbor_id"])]))
+        for r in rows
+        if int(r["neighbor_id"]) in vecs
+    ]
+    assert errs and float(np.mean(errs)) < 0.15, np.mean(errs)
+
+
+def test_pq_validations(emb, books):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, dim=64, m=7)
+    with pytest.raises(ValueError, match="uint8"):
+        pq_encode(emb, np.zeros((4, 300, 16), np.float32))
