@@ -76,6 +76,25 @@ def q_theta_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_sql_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface contract (sqlfuncs.register_sketch_sql — the Hive/Druid
+    integration analog): engine theta agg → reference wire blobs →
+    ``ds_theta_estimate`` read back FROM spark.sql. lg_k=14 keeps every
+    group exact at this sf, so the SQL readout equals COUNT(DISTINCT)."""
+    from datasketches_cpp_spark.functions.thetaserde import with_theta_bytes
+    from datasketches_cpp_spark.sqlfuncs import register_sketch_sql
+
+    register_sketch_sql(spark)
+    orders = _t(spark, sf_dir, "orders")
+    sk = theta_sketch_agg(orders, ["o_orderstatus"], "o_custkey", lg_k=14)
+    with_theta_bytes(sk).createOrReplaceTempView("theta_sql_blobs")
+    return spark.sql(
+        "SELECT o_orderstatus, "
+        "CAST(ds_theta_estimate(sketch_bytes) AS long) AS distinct_custkeys "
+        "FROM theta_sql_blobs"
+    )
+
+
 def _custkey_sketches(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").withColumn("g", F.lit("all"))
     cust = _t(spark, sf_dir, "customer").withColumn("g", F.lit("all"))
@@ -954,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
         "theta_distinct_by_status": q_theta_distinct_by_status,
+        "theta_sql_estimates": q_theta_sql_estimates,
         "theta_union_custkeys": q_theta_union_custkeys,
         "theta_intersection_custkeys": q_theta_intersection_custkeys,
         "theta_anotb_custkeys": q_theta_anotb_custkeys,
@@ -1011,6 +1031,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(DISTINCT l_orderkey) AS distinct_orderkeys FROM lineitem"
         ),
         "theta_distinct_by_status": (
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_custkeys "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+        "theta_sql_estimates": (
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_custkeys "
             "FROM orders GROUP BY o_orderstatus"
         ),

@@ -1,0 +1,230 @@
+"""SQL surface: sketch functions callable from ``spark.sql``.
+
+The reference library's users mostly consume sketches from a SQL engine
+(the Apache DataSketches Hive/Druid/PostgreSQL integrations expose
+``theta_sketch_union``, ``hll_sketch_get_estimate``-style functions over
+binary sketch columns). This module gives the Spark engine that same
+entry point over REFERENCE-WIRE blobs: every function below takes or
+returns the byte layouts the serde modules read/write (theta v1-v4, HLL
+LIST/SET/HLL_4/6/8, CPC family 16, KLL doubles, t-digest), so a table of
+``.sk`` blobs written by any Java/C++ DataSketches deployment can be
+queried from Spark SQL directly, and blobs this engine writes can go the
+other way. Reference API parity: theta_sketch.hpp get_estimate /
+get_lower_bound / get_upper_bound, theta set ops (theta_union.hpp,
+theta_intersection.hpp, theta_a_not_b.hpp), hll.hpp get_estimate,
+cpc_sketch.hpp get_estimate, kll_sketch.hpp get_quantile/get_rank,
+tdigest.hpp get_quantile/get_rank.
+
+Design notes, 100 TB hat on:
+
+* All functions are Arrow-batched ``pandas_udf``s — per-batch Python,
+  never per-row Spark-side.
+* The scalar functions (estimate/bounds/quantile/set-op-of-two-blobs)
+  stream; they add no shuffle and compose with any SQL plan.
+* ``<prefix>theta_union`` is registered as a GROUPED aggregate so SQL
+  users can ``GROUP BY`` over blob columns. Spark's grouped-agg pandas
+  UDFs have NO map-side partial aggregation — every blob ships to its
+  group's reducer. That is the right trade for union-of-sketches (the
+  rows ARE tiny sketches; this is exactly what a sketch-carrying shuffle
+  moves), but building sketches FROM RAW VALUES at scale should use the
+  two-stage Python API (functions.theta.theta_sketch_agg et al.), which
+  does partial-before-exchange — asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from . import kmv
+from .functions import hllserde, thetaserde
+from .functions.cpcserde import deserialize_cpc
+from .functions.kllserde import deserialize_kll
+from .functions.tdigestserde import deserialize_tdigest
+
+_NAN = float("nan")
+
+
+def _theta_sk(b) -> "kmv.ThetaSketch":
+    theta, hashes = thetaserde.deserialize_compact(bytes(b))
+    # serde encodes exact mode as theta == -1; ThetaSketch uses MAX_THETA
+    return kmv.ThetaSketch(1 << 16, kmv.MAX_THETA if theta < 0 else theta, hashes)
+
+
+def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
+    """Register the sketch SQL functions on ``spark``; returns the list of
+    registered names. Idempotent (re-registration replaces)."""
+
+    # -- theta (blob = compact theta sketch, any serial version v1-v4) ----
+    @pandas_udf("double")
+    def theta_estimate(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_NAN if b is None else _theta_sk(b).get_estimate() for b in blobs],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def theta_lb(blobs: pd.Series, num_std: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN if b is None else _theta_sk(b).get_bounds(int(s))[0]
+                for b, s in zip(blobs, num_std)
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def theta_ub(blobs: pd.Series, num_std: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN if b is None else _theta_sk(b).get_bounds(int(s))[1]
+                for b, s in zip(blobs, num_std)
+            ],
+            dtype="float64",
+        )
+
+    def _pairwise(op):
+        def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+            out = []
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    out.append(None)
+                    continue
+                res = op(_theta_sk(x), _theta_sk(y))
+                out.append(
+                    thetaserde.serialize_compact_v3(res.theta, res.hashes)
+                )
+            return pd.Series(out)
+
+        return fn
+
+    theta_union_pair = pandas_udf(
+        _pairwise(lambda a, b: kmv.union([a, b])), "binary"
+    )
+    theta_intersect = pandas_udf(_pairwise(kmv.intersection), "binary")
+    theta_a_not_b = pandas_udf(_pairwise(kmv.a_not_b), "binary")
+
+    @pandas_udf("double")
+    def theta_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN
+                if x is None or y is None
+                else kmv.jaccard(_theta_sk(x), _theta_sk(y))[1]
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    # grouped aggregate: SELECT g, ds_theta_union(blob) FROM t GROUP BY g
+    @pandas_udf("binary")
+    def theta_union_agg(blobs: pd.Series) -> bytes:
+        sks = [_theta_sk(b) for b in blobs if b is not None]
+        if not sks:
+            return thetaserde.serialize_compact_v3(kmv.MAX_THETA, np.empty(0, np.uint64))
+        res = kmv.union(sks)
+        return thetaserde.serialize_compact_v3(res.theta, res.hashes)
+
+    # -- HLL (blob = any reference HLL mode: LIST/SET coupons, HLL_4/6/8) -
+    @pandas_udf("double")
+    def hll_estimate(blobs: pd.Series) -> pd.Series:
+        from .functions.hll import _composite_estimate
+
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(_NAN)
+                continue
+            hip = hllserde.hip_estimate(bytes(b))
+            if hip is not None:
+                out.append(hip)  # stream-written blob: reference returns HIP
+            else:
+                _, regs = hllserde.deserialize_hll(bytes(b))
+                out.append(_composite_estimate(regs))
+        return pd.Series(out, dtype="float64")
+
+    # -- CPC (blob = family-16 compressed sketch) -------------------------
+    @pandas_udf("double")
+    def cpc_estimate(blobs: pd.Series) -> pd.Series:
+        from .functions.cpc import invert_coupons
+
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(_NAN)
+                continue
+            d = deserialize_cpc(bytes(b))
+            if d.get("hip") is not None:
+                out.append(float(d["hip"]))
+            else:
+                out.append(invert_coupons(int(d["num_coupons"]), int(d["lg_k"])))
+        return pd.Series(out, dtype="float64")
+
+    # -- KLL doubles (blob = family-15 v1/v2) ------------------------------
+    @pandas_udf("double")
+    def kll_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN if b is None else deserialize_kll(bytes(b)).get_quantile(float(r))
+                for b, r in zip(blobs, ranks)
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def kll_rank(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN if b is None else deserialize_kll(bytes(b)).get_rank(float(x))
+                for b, x in zip(blobs, items)
+            ],
+            dtype="float64",
+        )
+
+    # -- t-digest (blob = sketch type 20, incl. big-endian compat reads) --
+    @pandas_udf("double")
+    def tdigest_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN
+                if b is None
+                else deserialize_tdigest(bytes(b)).get_quantile(float(r))
+                for b, r in zip(blobs, ranks)
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def tdigest_rank(blobs: pd.Series, values: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN
+                if b is None
+                else deserialize_tdigest(bytes(b)).get_rank(float(v))
+                for b, v in zip(blobs, values)
+            ],
+            dtype="float64",
+        )
+
+    fns = {
+        "theta_estimate": theta_estimate,
+        "theta_lower_bound": theta_lb,
+        "theta_upper_bound": theta_ub,
+        "theta_union_pair": theta_union_pair,
+        "theta_intersection": theta_intersect,
+        "theta_a_not_b": theta_a_not_b,
+        "theta_jaccard": theta_jaccard,
+        "theta_union": theta_union_agg,
+        "hll_estimate": hll_estimate,
+        "cpc_estimate": cpc_estimate,
+        "kll_quantile": kll_quantile,
+        "kll_rank": kll_rank,
+        "tdigest_quantile": tdigest_quantile,
+        "tdigest_rank": tdigest_rank,
+    }
+    names = []
+    for name, fn in fns.items():
+        spark.udf.register(prefix + name, fn)
+        names.append(prefix + name)
+    return names
