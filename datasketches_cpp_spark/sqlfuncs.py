@@ -155,11 +155,45 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
                 out.append(_NAN)
                 continue
             d = deserialize_cpc(bytes(b))
-            if d.get("hip") is not None:
-                out.append(float(d["hip"]))
-            else:
+            if d["has_hip"]:
+                out.append(float(d["hip_est_accum"]))
+            else:  # merged blob: ICON twin (E[C] inversion), like the reference
                 out.append(invert_coupons(int(d["num_coupons"]), int(d["lg_k"])))
         return pd.Series(out, dtype="float64")
+
+    # grouped aggregates: union of HLL / CPC blobs (mixed lg_k folds to
+    # the smallest, the reference union's copy_or_downsample / reduce_k)
+    @pandas_udf("binary")
+    def hll_union_agg(blobs: pd.Series) -> bytes:
+        from .functions.hll import fold_registers
+
+        parsed = [hllserde.deserialize_hll(bytes(b)) for b in blobs if b is not None]
+        if not parsed:
+            return hllserde.serialize_hll8(np.zeros(1 << 12, np.uint8), 12)
+        lg_min = min(lg for lg, _ in parsed)
+        acc = np.zeros(1 << lg_min, np.uint8)
+        for lg, regs in parsed:
+            if lg > lg_min:
+                regs = fold_registers(regs, lg - lg_min)
+            np.maximum(acc, regs, out=acc)
+        return hllserde.serialize_hll8(acc, lg_min)
+
+    @pandas_udf("binary")
+    def cpc_union_agg(blobs: pd.Series) -> bytes:
+        from .functions.cpc import fold_matrix_k
+        from .functions.cpcserde import serialize_cpc
+
+        parsed = [deserialize_cpc(bytes(b)) for b in blobs if b is not None]
+        if not parsed:
+            return serialize_cpc(np.zeros(1 << 11, np.uint64), 11)
+        lg_min = min(d["lg_k"] for d in parsed)
+        acc = np.zeros(1 << lg_min, np.uint64)
+        for d in parsed:
+            m = d["matrix"]
+            if d["lg_k"] > lg_min:
+                m = fold_matrix_k(m, d["lg_k"] - lg_min)
+            np.bitwise_or(acc, m, out=acc)
+        return serialize_cpc(acc, lg_min)  # merged stream: no HIP registers
 
     # -- KLL doubles (blob = family-15 v1/v2) ------------------------------
     @pandas_udf("double")
@@ -217,7 +251,9 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
         "theta_jaccard": theta_jaccard,
         "theta_union": theta_union_agg,
         "hll_estimate": hll_estimate,
+        "hll_union": hll_union_agg,
         "cpc_estimate": cpc_estimate,
+        "cpc_union": cpc_union_agg,
         "kll_quantile": kll_quantile,
         "kll_rank": kll_rank,
         "tdigest_quantile": tdigest_quantile,

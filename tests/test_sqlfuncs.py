@@ -117,6 +117,47 @@ def test_cpc_sql_estimate_from_engine_blob(sql_spark, sf_dir):
     assert abs(est - exact) <= 5 * (0.59 / np.sqrt(1 << 11)) * exact
 
 
+def test_hll_cpc_sql_union_law(sql_spark, sf_dir):
+    """Merge laws through the SQL surface: union of per-half blobs gives
+    the SAME estimate as one blob over the whole stream — register-max
+    (HLL) and matrix-OR (CPC) are exact, not approximate, laws."""
+    import pyspark.sql.functions as F
+
+    from datasketches_cpp_spark.functions.cpc import cpc_sketch_agg
+    from datasketches_cpp_spark.functions.cpcserde import with_cpc_bytes
+    from datasketches_cpp_spark.functions.hll import hll_sketch_agg
+    from datasketches_cpp_spark.functions.hllserde import with_hll_bytes
+
+    li = sql_spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    halves = li.withColumn("h", (F.col("l_orderkey") % 2).cast("int"))
+
+    whole_hll = hll_sketch_agg(li, [], "l_partkey", lg_k=10, keep_registers=True)
+    half_hll = hll_sketch_agg(halves, ["h"], "l_partkey", lg_k=10, keep_registers=True)
+    with_hll_bytes(whole_hll.select("regs"), 10).createOrReplaceTempView("hll_whole")
+    with_hll_bytes(half_hll.select("regs"), 10).createOrReplaceTempView("hll_halves")
+    whole_est = sql_spark.sql(
+        "select ds_hll_estimate(sketch_bytes) e from hll_whole"
+    ).collect()[0]["e"]
+    union_est = sql_spark.sql(
+        "select ds_hll_estimate(ds_hll_union(sketch_bytes)) e from hll_halves"
+    ).collect()[0]["e"]
+    assert union_est == pytest.approx(whole_est)
+
+    whole_cpc = cpc_sketch_agg(li, [], "l_partkey", lg_k=10)
+    half_cpc = cpc_sketch_agg(halves, ["h"], "l_partkey", lg_k=10)
+    with_cpc_bytes(whole_cpc).createOrReplaceTempView("cpc_whole")
+    with_cpc_bytes(half_cpc.select("lg_k", "coupons")).createOrReplaceTempView(
+        "cpc_halves"
+    )
+    whole_est = sql_spark.sql(
+        "select ds_cpc_estimate(sketch_bytes) e from cpc_whole"
+    ).collect()[0]["e"]
+    union_est = sql_spark.sql(
+        "select ds_cpc_estimate(ds_cpc_union(sketch_bytes)) e from cpc_halves"
+    ).collect()[0]["e"]
+    assert union_est == pytest.approx(whole_est)
+
+
 def test_kll_tdigest_sql_quantiles(sql_spark):
     """Small-n KLL blob is exact mode: SQL quantile/rank equal the true
     order statistics; t-digest rank tracks the uniform CDF."""
