@@ -6,14 +6,28 @@ The reference library's users mostly consume sketches from a SQL engine
 binary sketch columns). This module gives the Spark engine that same
 entry point over REFERENCE-WIRE blobs: every function below takes or
 returns the byte layouts the serde modules read/write (theta v1-v4, HLL
-LIST/SET/HLL_4/6/8, CPC family 16, KLL doubles, t-digest), so a table of
-``.sk`` blobs written by any Java/C++ DataSketches deployment can be
-queried from Spark SQL directly, and blobs this engine writes can go the
-other way. Reference API parity: theta_sketch.hpp get_estimate /
+LIST/SET/HLL_4/6/8, CPC family 16, KLL doubles, classic quantiles, REQ,
+t-digest, frequent items, count-min, bloom, tuple AOD, var_opt), so a
+table of ``.sk`` blobs written by any Java/C++ DataSketches deployment
+can be queried from Spark SQL directly, and blobs this engine writes can
+go the other way. Reference API parity: theta_sketch.hpp get_estimate /
 get_lower_bound / get_upper_bound, theta set ops (theta_union.hpp,
-theta_intersection.hpp, theta_a_not_b.hpp), hll.hpp get_estimate,
-cpc_sketch.hpp get_estimate, kll_sketch.hpp get_quantile/get_rank,
-tdigest.hpp get_quantile/get_rank.
+theta_intersection.hpp, theta_a_not_b.hpp), hll.hpp get_estimate /
+get_lower_bound / get_upper_bound, cpc_sketch.hpp get_estimate,
+kll_sketch.hpp / quantiles_sketch.hpp / req_sketch.hpp / tdigest.hpp
+get_quantile + get_rank (and KLL/t-digest GROUP BY merges),
+frequent_items_sketch.hpp get_estimate + get_frequent_items,
+count_min.hpp get_estimate, bloom_filter.hpp query,
+array_of_doubles_sketch get_estimate + column sums, var_opt_sketch.hpp
+get_samples (explode + WHERE + SUM(weight) in SQL is the reference's
+``estimate_subset_sum(predicate)``).
+
+Count-min and bloom point queries carry the hash-placement caveat
+documented in functions/samplingserde.py: bit/bucket PLACEMENT is
+implementation-defined in the reference itself (C++ stdlib RNG row
+seeds), so membership/frequency queries are exact against blobs this
+engine wrote, while foreign blobs round-trip value-faithfully but answer
+under this engine's hash family.
 
 Design notes, 100 TB hat on:
 
@@ -241,6 +255,261 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             dtype="float64",
         )
 
+    # grouped aggregates: merge KLL / t-digest blobs under GROUP BY
+    # (kll_sketch.hpp merge, tdigest.hpp merge — mixed-k folds to the
+    # reference's merge rules, already implemented by the sketch classes)
+    @pandas_udf("binary")
+    def kll_merge_agg(blobs: pd.Series) -> bytes:
+        from .functions.kllserde import serialize_kll
+
+        acc = None
+        for b in blobs:
+            if b is None:
+                continue
+            sk = deserialize_kll(bytes(b))
+            if acc is None:
+                acc = sk
+            else:
+                acc.merge(sk)
+        if acc is None:
+            from .functions.quantiles import KllSketch
+
+            acc = KllSketch(200)
+        return serialize_kll(acc)
+
+    @pandas_udf("binary")
+    def tdigest_merge_agg(blobs: pd.Series) -> bytes:
+        from .functions.tdigestserde import serialize_tdigest
+
+        acc = None
+        for b in blobs:
+            if b is None:
+                continue
+            td = deserialize_tdigest(bytes(b))
+            if acc is None:
+                acc = td
+            else:
+                acc.merge(td)
+        if acc is None:
+            from .functions.tdigest import TDigest
+
+            acc = TDigest(100)
+        return serialize_tdigest(acc)
+
+    # -- HLL bounds (hll.hpp get_lower_bound/get_upper_bound) --------------
+    def _hll_bound(blobs: pd.Series, num_std: pd.Series, lower: bool) -> pd.Series:
+        import math
+
+        from .functions.hll import HLL_NON_HIP_RSE_FACTOR, _composite_estimate
+
+        out = []
+        for b, s in zip(blobs, num_std):
+            if b is None:
+                out.append(_NAN)
+                continue
+            _, regs = hllserde.deserialize_hll(bytes(b))
+            hip = hllserde.hip_estimate(bytes(b))
+            est = hip if hip is not None else _composite_estimate(regs)
+            z = int(s) * HLL_NON_HIP_RSE_FACTOR / math.sqrt(float(len(regs)))
+            out.append(est / (1.0 + z) if lower else est / (1.0 - z))
+        return pd.Series(out, dtype="float64")
+
+    hll_lb = pandas_udf(lambda b, s: _hll_bound(b, s, True), "double")
+    hll_ub = pandas_udf(lambda b, s: _hll_bound(b, s, False), "double")
+
+    # -- REQ (family 17; req_sketch.hpp get_quantile/get_rank) ------------
+    from .functions.reqserde import deserialize_req
+
+    @pandas_udf("double")
+    def req_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN if b is None else deserialize_req(bytes(b)).get_quantile(float(r))
+                for b, r in zip(blobs, ranks)
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def req_rank(blobs: pd.Series, values: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN if b is None else deserialize_req(bytes(b)).get_rank(float(v))
+                for b, v in zip(blobs, values)
+            ],
+            dtype="float64",
+        )
+
+    # -- classic quantiles (family 8; quantiles_sketch.hpp) ---------------
+    from .functions.classicserde import deserialize_classic
+
+    @pandas_udf("double")
+    def classic_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN
+                if b is None
+                else deserialize_classic(bytes(b)).get_quantile(float(r))
+                for b, r in zip(blobs, ranks)
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def classic_rank(blobs: pd.Series, values: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _NAN
+                if b is None
+                else deserialize_classic(bytes(b)).get_rank(float(v))
+                for b, v in zip(blobs, values)
+            ],
+            dtype="float64",
+        )
+
+    # -- frequent items (family 10, string items; frequent_items_sketch.hpp
+    #    get_estimate / get_frequent_items) --------------------------------
+    from .functions.fiserde import deserialize_frequent_items
+
+    @pandas_udf("long")
+    def fi_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for b, item in zip(blobs, items):
+            if b is None:
+                out.append(0)
+                continue
+            key = bytes(b)
+            st = memo.get(key)
+            if st is None:
+                st = memo[key] = deserialize_frequent_items(key, "str")
+            # reference get_estimate: stored over-estimate if tracked, else 0
+            out.append(int(st.counts.get(str(item), 0)))
+        return pd.Series(out, dtype="int64")
+
+    @pandas_udf(
+        "array<struct<item:string,estimate:bigint,lower_bound:bigint,"
+        "upper_bound:bigint>>"
+    )
+    def fi_items(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            st = deserialize_frequent_items(bytes(b), "str")
+            rows = sorted(
+                (
+                    {
+                        "item": str(k),
+                        "estimate": int(v),
+                        "lower_bound": int(v) - st.offset,
+                        "upper_bound": int(v),
+                    }
+                    for k, v in st.counts.items()
+                ),
+                key=lambda r: (-r["estimate"], r["item"]),
+            )
+            out.append(rows)
+        return pd.Series(out)
+
+    # -- count-min point query (family 18, string items; count_min.hpp
+    #    get_estimate = min over rows) -------------------------------------
+    from .functions.countmin import _row_hashes
+    from .functions.samplingserde import (
+        deserialize_bloom,
+        deserialize_countmin,
+        deserialize_varopt,
+    )
+
+    @pandas_udf("long")
+    def cm_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for b, item in zip(blobs, items):
+            if b is None:
+                out.append(0)
+                continue
+            key = bytes(b)
+            d = memo.get(key)
+            if d is None:
+                d = memo[key] = deserialize_countmin(key)
+            idx = _row_hashes(
+                pd.Series([str(item)]), "str", d["num_hashes"], d["num_buckets"], 9001
+            )[0]
+            out.append(int(d["matrix"][np.arange(d["num_hashes"]), idx].min()))
+        return pd.Series(out, dtype="int64")
+
+    # -- bloom membership (family 21, string items; bloom_filter.hpp query)
+    from .functions.bloom import _bit_positions
+
+    @pandas_udf("boolean")
+    def bloom_might_contain_fn(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for b, item in zip(blobs, items):
+            if b is None:
+                out.append(None)
+                continue
+            key = bytes(b)
+            d = memo.get(key)
+            if d is None:
+                d = memo[key] = deserialize_bloom(key)
+                d["unpacked"] = np.unpackbits(d["bits"], bitorder="little")
+            pos = _bit_positions(
+                pd.Series([str(item)]), "str", len(d["unpacked"]),
+                d["num_hashes"], d["seed"],
+            )[0]
+            out.append(bool(d["unpacked"][pos].all()))
+        return pd.Series(out, dtype="object")
+
+    # -- tuple AOD (family 9 type 3; array_of_doubles_sketch get_estimate +
+    #    per-column population sums) ---------------------------------------
+    from .functions.tupleserde import deserialize_aod
+
+    @pandas_udf("double")
+    def aod_key_estimate(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(_NAN)
+                continue
+            theta, keys, _, _ = deserialize_aod(bytes(b))
+            t = kmv.MAX_THETA if theta < 0 else theta
+            out.append(kmv.estimate(t, len(keys)))
+        return pd.Series(out, dtype="float64")
+
+    @pandas_udf("array<double>")
+    def aod_column_sums(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            theta, _, vals, _ = deserialize_aod(bytes(b))
+            frac = 1.0 if theta < 0 else theta / kmv.MAX_THETA
+            out.append([float(x) for x in vals.sum(axis=0) / frac])
+        return pd.Series(out)
+
+    # -- var_opt samples (family 13, int64 items; var_opt_sketch.hpp
+    #    get_samples — explode + WHERE + SUM(weight) in SQL gives the
+    #    reference's estimate_subset_sum(predicate)) -----------------------
+    @pandas_udf("array<struct<item:bigint,weight:double>>")
+    def varopt_items(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            d = deserialize_varopt(bytes(b), "int64")
+            out.append(
+                [
+                    {"item": int(i), "weight": float(w)}
+                    for i, w in zip(d["items"], d["weights"])
+                ]
+            )
+        return pd.Series(out)
+
     fns = {
         "theta_estimate": theta_estimate,
         "theta_lower_bound": theta_lb,
@@ -251,13 +520,28 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
         "theta_jaccard": theta_jaccard,
         "theta_union": theta_union_agg,
         "hll_estimate": hll_estimate,
+        "hll_lower_bound": hll_lb,
+        "hll_upper_bound": hll_ub,
         "hll_union": hll_union_agg,
         "cpc_estimate": cpc_estimate,
         "cpc_union": cpc_union_agg,
         "kll_quantile": kll_quantile,
         "kll_rank": kll_rank,
+        "kll_merge": kll_merge_agg,
         "tdigest_quantile": tdigest_quantile,
         "tdigest_rank": tdigest_rank,
+        "tdigest_merge": tdigest_merge_agg,
+        "req_quantile": req_quantile,
+        "req_rank": req_rank,
+        "classic_quantile": classic_quantile,
+        "classic_rank": classic_rank,
+        "fi_estimate": fi_estimate,
+        "fi_items": fi_items,
+        "cm_estimate": cm_estimate,
+        "bloom_might_contain": bloom_might_contain_fn,
+        "aod_key_estimate": aod_key_estimate,
+        "aod_column_sums": aod_column_sums,
+        "varopt_items": varopt_items,
     }
     names = []
     for name, fn in fns.items():
