@@ -969,6 +969,54 @@ def q_kll_string_rank_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("covered"),
     ).orderBy("o_orderstatus")
 
+def q_quantiles_sql_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface quantile contract (sqlfuncs — the Hive/Druid analog for
+    the quantile families): classic k=128 blobs per l_returnflag, median
+    read back via ``ds_classic_quantile`` and its exact rank re-checked via
+    ``ds_classic_rank``, both bounded by 2× the published ε =
+    1.576/k^0.9726 (quantiles_sketch.hpp rank-error law). Hash-checkable:
+    a violated bound flips a boolean."""
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+        classic_quantiles_agg,
+    )
+    from datasketches_cpp_spark.functions.classicserde import with_classic_bytes
+    from datasketches_cpp_spark.sqlfuncs import register_sketch_sql
+
+    register_sketch_sql(spark)
+    k = 128
+    li = _t(spark, sf_dir, "lineitem")
+    sk = classic_quantiles_agg(li, ["l_returnflag"], "l_extendedprice", k=k)
+    with_classic_bytes(sk, k).createOrReplaceTempView("cq_sql_blobs")
+    est = spark.sql(
+        "SELECT l_returnflag, "
+        "ds_classic_quantile(sketch_bytes, 0.5) AS median_est, "
+        "ds_classic_rank(sketch_bytes, ds_classic_quantile(sketch_bytes, 0.5))"
+        " AS sketch_rank FROM cq_sql_blobs"
+    )
+    tol = 2.0 * ClassicQuantilesSketch.normalized_rank_error(k)
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("median_est")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("exact_rank"),
+            F.first("sketch_rank").alias("sketch_rank"),
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        (F.abs(F.col("exact_rank") - F.lit(0.5)) <= F.lit(tol)).alias("median_covered"),
+        (F.abs(F.col("sketch_rank") - F.col("exact_rank")) <= F.lit(tol)).alias(
+            "rank_consistent"
+        ),
+    ).orderBy("l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
@@ -999,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "kll_rank_coverage": q_kll_rank_coverage,
         "classic_quantiles_coverage": q_classic_quantiles_coverage,
+        "quantiles_sql_coverage": q_quantiles_sql_coverage,
         "ann_recall_coverage": q_ann_recall_coverage,
         "pq_recall_coverage": q_pq_recall_coverage,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
@@ -1239,6 +1288,11 @@ def oracle_sql() -> dict[str, str]:
         "classic_quantiles_coverage": (
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "TRUE AS covered FROM lineitem GROUP BY l_returnflag"
+        ),
+        "quantiles_sql_coverage": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "TRUE AS median_covered, TRUE AS rank_consistent "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "ann_recall_coverage": (
             "SELECT vec_id AS probe_id, TRUE AS recall_floor_met "
