@@ -64,4 +64,27 @@ spark.sql(
     """
 ).show()
 
+# -- quantile families through SQL: classic k=128 blobs per return flag --
+from datasketches_cpp_spark.functions.classic_quantiles import (  # noqa: E402
+    classic_quantiles_agg,
+)
+from datasketches_cpp_spark.functions.classicserde import (  # noqa: E402
+    with_classic_bytes,
+)
+
+li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+cq = classic_quantiles_agg(li, ["l_returnflag"], "l_extendedprice", k=128)
+with_classic_bytes(cq, 128).createOrReplaceTempView("price_sketches")
+
+print("price quantiles per return flag, via ds_classic_quantile:")
+spark.sql(
+    """
+    SELECT l_returnflag,
+           ROUND(ds_classic_quantile(sketch_bytes, 0.5), 2)  AS p50,
+           ROUND(ds_classic_quantile(sketch_bytes, 0.99), 2) AS p99,
+           ROUND(ds_classic_rank(sketch_bytes, 50000.0), 4)  AS rank_50k
+    FROM price_sketches ORDER BY l_returnflag
+    """
+).show()
+
 spark.stop()
