@@ -230,6 +230,37 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             dtype="float64",
         )
 
+    # -- KS test over two KLL blobs (kolmogorov_smirnov.hpp:28-66) ---------
+    @pandas_udf("double")
+    def kll_ks_delta(a: pd.Series, b: pd.Series) -> pd.Series:
+        from .functions.quantiles import ks_delta
+
+        return pd.Series(
+            [
+                _NAN
+                if x is None or y is None
+                else ks_delta(deserialize_kll(bytes(x)), deserialize_kll(bytes(y)))
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("boolean")
+    def kll_ks_test(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
+        from .functions.quantiles import ks_test
+
+        return pd.Series(
+            [
+                None
+                if x is None or y is None
+                else ks_test(
+                    deserialize_kll(bytes(x)), deserialize_kll(bytes(y)), float(pv)
+                )
+                for x, y, pv in zip(a, b, p)
+            ],
+            dtype="object",
+        )
+
     # -- t-digest (blob = sketch type 20, incl. big-endian compat reads) --
     @pandas_udf("double")
     def tdigest_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
@@ -528,6 +559,8 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
         "kll_quantile": kll_quantile,
         "kll_rank": kll_rank,
         "kll_merge": kll_merge_agg,
+        "kll_ks_delta": kll_ks_delta,
+        "kll_ks_test": kll_ks_test,
         "tdigest_quantile": tdigest_quantile,
         "tdigest_rank": tdigest_rank,
         "tdigest_merge": tdigest_merge_agg,

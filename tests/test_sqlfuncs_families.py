@@ -234,3 +234,28 @@ def test_kll_tdigest_sql_group_merge(sql_spark):
     assert row.kll_med == k_local.get_quantile(0.5)
     assert row.kll_r == k_local.get_rank(120.0)
     assert row.td_med == pytest.approx(1000.0, abs=60.0)
+
+
+def test_kll_ks_sql(sql_spark):
+    """kolmogorov_smirnov.hpp through SQL: disjoint epochs reject at
+    p=0.05, identical epochs accept; the delta equals the local twin's."""
+    from datasketches_cpp_spark.functions.quantiles import ks_delta
+
+    a, b = KllSketch(k=200), KllSketch(k=200)
+    a.update_batch(np.arange(0.0, 500.0))
+    b.update_batch(np.arange(5000.0, 5500.0))
+    blob_a, blob_b = bytearray(serialize_kll(a)), bytearray(serialize_kll(b))
+    sql_spark.createDataFrame(
+        [(blob_a, blob_b)], "a binary, b binary"
+    ).createOrReplaceTempView("ks_blobs")
+    row = sql_spark.sql(
+        """
+        select ds_kll_ks_delta(a, b)      as delta,
+               ds_kll_ks_test(a, b, 0.05) as rejects,
+               ds_kll_ks_test(a, a, 0.05) as self_rejects
+        from ks_blobs
+        """
+    ).collect()[0]
+    assert row.delta == ks_delta(a, b)
+    assert row.rejects is True
+    assert row.self_rejects is False
