@@ -969,6 +969,32 @@ def q_kll_string_rank_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("covered"),
     ).orderBy("o_orderstatus")
 
+def q_theta_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """theta_jaccard_similarity parity (theta_jaccard_similarity_base.hpp):
+    jaccard between the custkey sets of F- and P-status orders. Exact-mode
+    sketches (lg_k=14) make estimate AND bounds collapse to the true ratio
+    |F∩P|/|F∪P|, so all three are hash-checked against DuckDB's exact set
+    algebra; similarity_test(0.5) / dissimilarity_test(0.99) become
+    deterministic booleans (J_lb ≥ thr / J_ub ≤ thr per the reference)."""
+    orders = _t(spark, sf_dir, "orders")
+    ska = theta_sketch_agg(
+        orders.where("o_orderstatus = 'F'").withColumn("g", F.lit("all")),
+        ["g"], "o_custkey", lg_k=14,
+    )
+    skb = theta_sketch_agg(
+        orders.where("o_orderstatus = 'P'").withColumn("g", F.lit("all")),
+        ["g"], "o_custkey", lg_k=14,
+    )
+    ops = theta_pair_set_ops(ska, skb, ["g"], k=1 << 14)
+    return ops.select(
+        F.round("jaccard", 9).alias("jaccard_est"),
+        F.round("jaccard_lb", 9).alias("jaccard_lb"),
+        F.round("jaccard_ub", 9).alias("jaccard_ub"),
+        (F.col("jaccard_lb") >= 0.5).alias("similar_at_half"),
+        (F.col("jaccard_ub") <= 0.99).alias("dissimilar_at_99"),
+    )
+
+
 def q_quantiles_sql_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface quantile contract (sqlfuncs — the Hive/Druid analog for
     the quantile families): classic k=128 blobs per l_returnflag, median
@@ -1048,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rank_coverage": q_kll_rank_coverage,
         "classic_quantiles_coverage": q_classic_quantiles_coverage,
         "quantiles_sql_coverage": q_quantiles_sql_coverage,
+        "theta_jaccard_similarity": q_theta_jaccard_similarity,
         "ann_recall_coverage": q_ann_recall_coverage,
         "pq_recall_coverage": q_pq_recall_coverage,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
@@ -1293,6 +1320,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "TRUE AS median_covered, TRUE AS rank_consistent "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "theta_jaccard_similarity": (
+            "WITH fa AS (SELECT DISTINCT o_custkey k FROM orders "
+            "WHERE o_orderstatus = 'F'), "
+            "pb AS (SELECT DISTINCT o_custkey k FROM orders "
+            "WHERE o_orderstatus = 'P'), "
+            "j AS (SELECT "
+            "CAST((SELECT COUNT(*) FROM fa JOIN pb USING (k)) AS DOUBLE) / "
+            "(SELECT COUNT(*) FROM (SELECT k FROM fa UNION SELECT k FROM pb))"
+            " AS jac) "
+            "SELECT ROUND(jac, 9) AS jaccard_est, ROUND(jac, 9) AS jaccard_lb, "
+            "ROUND(jac, 9) AS jaccard_ub, jac >= 0.5 AS similar_at_half, "
+            "jac <= 0.99 AS dissimilar_at_99 FROM j"
         ),
         "ann_recall_coverage": (
             "SELECT vec_id AS probe_id, TRUE AS recall_floor_met "
