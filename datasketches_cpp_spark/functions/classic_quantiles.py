@@ -293,7 +293,8 @@ def classic_quantiles_agg(
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = ClassicQuantilesSketch(k, seed)
-        for _, row in pdf.iterrows():
+        # one Python step per PARTIAL SKETCH (plain dicts, no pandas rows)
+        for row in pdf.to_dict("records"):
             sk.merge(ClassicQuantilesSketch.from_row(k, seed, row))
         r = {c: [pdf[c].iloc[0]] for c in group_cols}
         r.update({kk: [vv] for kk, vv in sk.to_row().items()})
@@ -322,7 +323,8 @@ def with_classic_quantiles(
 
     def read(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        for _, row in pdf.iterrows():
+        # one Python step per SKETCH row (plain dicts, no pandas rows)
+        for row in pdf.to_dict("records"):
             sk = ClassicQuantilesSketch.from_row(k, seed, row)
             r = {c: row[c] for c in other_cols}
             r["cq_n"] = sk.n

@@ -213,7 +213,8 @@ def density_sketch_agg(
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         ds = DensitySketch(k, dim, sigma, seed)
-        for _, row in pdf.iterrows():
+        # one Python step per PARTIAL SKETCH (plain dicts, no pandas rows)
+        for row in pdf.to_dict("records"):
             ds.merge(DensitySketch.from_row(k, dim, sigma, row, seed))
         r = {c: [pdf[c].iloc[0]] for c in group_cols}
         r.update({kk: [vv] for kk, vv in ds.to_row().items()})
@@ -247,7 +248,8 @@ def with_density_estimates(
                 continue
             out = pdf[keep].copy()
             ests = []
-            for _, row in pdf.iterrows():
+            # one Python step per SKETCH row (plain dicts, no pandas rows)
+            for row in pdf.to_dict("records"):
                 ds = DensitySketch.from_row(k, dim, sigma, row)
                 ests.append(ds.get_estimate(q))
             ests = np.asarray(ests)

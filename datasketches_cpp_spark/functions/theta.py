@@ -246,21 +246,34 @@ def theta_pair_set_ops(
     from ..kmv import ThetaSketch, a_not_b, intersection, jaccard, union
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, r in pdf.iterrows():
-            def mk(theta, sig):
-                if sig is None or (isinstance(sig, float) and pd.isna(sig)):
-                    return ThetaSketch(k, MAX_THETA)
-                arr = np.asarray(sig, dtype=np.int64).astype(np.uint64)
-                return ThetaSketch(k, _decode_theta(int(theta)), arr)
+        # Column-zip iteration: one Python step per SKETCH PAIR (each
+        # carrying O(k) numpy work), never per data row — no pandas
+        # row-object construction in the loop.
+        def mk(theta, sig):
+            if sig is None or (isinstance(sig, float) and pd.isna(sig)):
+                return ThetaSketch(k, MAX_THETA)
+            arr = np.asarray(sig, dtype=np.int64).astype(np.uint64)
+            return ThetaSketch(k, _decode_theta(int(theta)), arr)
 
-            sa = mk(r.get("theta_a", -1) if pd.notna(r.get("theta_a", np.nan)) else -1, r.get("sig_a"))
-            sb = mk(r.get("theta_b", -1) if pd.notna(r.get("theta_b", np.nan)) else -1, r.get("sig_b"))
+        keys = [
+            "|".join(map(str, vals))
+            for vals in zip(*(pdf[c].to_numpy() for c in key_cols))
+        ]
+        out = []
+        for key, theta_a, sig_a, theta_b, sig_b in zip(
+            keys,
+            pdf["theta_a"].to_numpy(),
+            pdf["sig_a"].to_numpy(),
+            pdf["theta_b"].to_numpy(),
+            pdf["sig_b"].to_numpy(),
+        ):
+            sa = mk(theta_a if pd.notna(theta_a) else -1, sig_a)
+            sb = mk(theta_b if pd.notna(theta_b) else -1, sig_b)
             u = union([sa, sb], k=k)
             jl, je, ju = jaccard(sa, sb)
             out.append(
                 {
-                    "key": "|".join(str(r[c]) for c in key_cols),
+                    "key": key,
                     "theta": _encode_theta(u.theta),
                     "sig": u.hashes.astype(np.int64),
                     "est_a": sa.get_estimate(),

@@ -137,13 +137,14 @@ def tuple_sketch_agg(
     partials = df.select(group_cols + [key_col, value_col]).mapInPandas(partial, schema)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        theta = MAX_THETA
-        hs, ss = [], []
-        for _, row in pdf.iterrows():
-            t = int(row["theta"])
-            theta = min(theta, MAX_THETA if t < 0 else t)
-            hs.append(np.asarray(row["sig"], np.int64).astype(np.uint64))
-            ss.append(np.asarray(row["summaries"], np.float64))
+        # vectorized partial merge: theta = min over encoded thetas
+        # (-1 ⇔ MAX_THETA, which exceeds every real value), sig/summary
+        # arrays gathered by column — no per-row pandas objects
+        ts = pdf["theta"].to_numpy()
+        enc = ts[ts >= 0]
+        theta = int(enc.min()) if len(enc) else MAX_THETA
+        hs = [np.asarray(sig, np.int64).astype(np.uint64) for sig in pdf["sig"].to_numpy()]
+        ss = [np.asarray(sm, np.float64) for sm in pdf["summaries"].to_numpy()]
         h, s = _fold(np.concatenate(hs), np.concatenate(ss), policy)
         theta, h, s = _cut(h, s, theta, k)
         r = {c: [pdf[c].iloc[0]] for c in group_cols}
@@ -257,17 +258,32 @@ def tuple_pair_set_ops(
     joined = a.join(b, join_cols, "full_outer")
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, r in pdf.iterrows():
-            def mk(theta_enc, sig, summ):
-                if sig is None or (isinstance(sig, float) and pd.isna(sig)):
-                    return MAX_THETA, np.empty(0, np.uint64), np.empty(0, np.float64)
-                t = MAX_THETA if int(theta_enc) < 0 else int(theta_enc)
-                h = np.asarray(sig, np.int64).view(np.uint64)
-                return t, h, np.asarray(summ, np.float64)
+        # one Python step per sketch PAIR (each O(k) numpy work), never
+        # per data row — no pandas row objects in the loop
+        def mk(theta_enc, sig, summ):
+            if sig is None or (isinstance(sig, float) and pd.isna(sig)):
+                return MAX_THETA, np.empty(0, np.uint64), np.empty(0, np.float64)
+            t = MAX_THETA if int(theta_enc) < 0 else int(theta_enc)
+            h = np.asarray(sig, np.int64).view(np.uint64)
+            return t, h, np.asarray(summ, np.float64)
 
-            ta, ha, sa = mk(r.get("theta_a") if pd.notna(r.get("theta_a", np.nan)) else -1, r.get("sig_a"), r.get("sum_col_a"))
-            tb, hb, sb = mk(r.get("theta_b") if pd.notna(r.get("theta_b", np.nan)) else -1, r.get("sig_b"), r.get("sum_col_b"))
+        if key_cols:
+            keys = [
+                "|".join(map(str, vals))
+                for vals in zip(*(pdf[c].to_numpy() for c in key_cols))
+            ]
+        else:
+            keys = [""] * len(pdf)
+        out = []
+        for key, theta_a, sig_a, sum_a, theta_b, sig_b, sum_b in zip(
+            keys,
+            pdf["theta_a"].to_numpy(), pdf["sig_a"].to_numpy(),
+            pdf["sum_col_a"].to_numpy(),
+            pdf["theta_b"].to_numpy(), pdf["sig_b"].to_numpy(),
+            pdf["sum_col_b"].to_numpy(),
+        ):
+            ta, ha, sa = mk(theta_a if pd.notna(theta_a) else -1, sig_a, sum_a)
+            tb, hb, sb = mk(theta_b if pd.notna(theta_b) else -1, sig_b, sum_b)
             theta = min(ta, tb)
             # screen both to < min theta (sigs are sorted ascending)
             ca = int(np.searchsorted(ha, np.uint64(theta)))
@@ -309,7 +325,7 @@ def tuple_pair_set_ops(
                 return float(arr.sum()) / frac
 
             out.append({
-                "key": "|".join(str(r[c]) for c in key_cols),
+                "key": key,
                 "theta": -1 if theta >= MAX_THETA else theta,
                 "est_a": est(len(ha)), "est_b": est(len(hb)),
                 "est_union": est(len(u_h)),
@@ -435,13 +451,12 @@ def array_tuple_sketch_agg(
     )
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        theta = MAX_THETA
-        hs, ss = [], []
-        for _, row in pdf.iterrows():
-            t = int(row["theta"])
-            theta = min(theta, MAX_THETA if t < 0 else t)
-            hs.append(np.asarray(row["sig"], np.int64).astype(np.uint64))
-            ss.append(np.asarray(row["summaries"], np.float64).reshape(-1, d))
+        # vectorized partial merge (see scalar-summary final above)
+        ts = pdf["theta"].to_numpy()
+        enc = ts[ts >= 0]
+        theta = int(enc.min()) if len(enc) else MAX_THETA
+        hs = [np.asarray(sig, np.int64).astype(np.uint64) for sig in pdf["sig"].to_numpy()]
+        ss = [np.asarray(sm, np.float64).reshape(-1, d) for sm in pdf["summaries"].to_numpy()]
         h, s = _fold_nd(np.concatenate(hs), np.concatenate(ss), policy)
         theta, h, s = _cut(h, s, theta, k)
         r = {c: [pdf[c].iloc[0]] for c in group_cols}
@@ -523,17 +538,32 @@ def array_tuple_pair_set_ops(
     )
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, r in pdf.iterrows():
-            def mk(theta_enc, sig, summ):
-                if sig is None or (isinstance(sig, float) and pd.isna(sig)):
-                    return MAX_THETA, np.empty(0, np.uint64), np.empty((0, d), np.float64)
-                t = MAX_THETA if int(theta_enc) < 0 else int(theta_enc)
-                h = np.asarray(sig, np.int64).view(np.uint64)
-                return t, h, np.asarray(summ, np.float64).reshape(-1, d)
+        # one Python step per sketch PAIR (each O(k·d) numpy work), never
+        # per data row — no pandas row objects in the loop
+        def mk(theta_enc, sig, summ):
+            if sig is None or (isinstance(sig, float) and pd.isna(sig)):
+                return MAX_THETA, np.empty(0, np.uint64), np.empty((0, d), np.float64)
+            t = MAX_THETA if int(theta_enc) < 0 else int(theta_enc)
+            h = np.asarray(sig, np.int64).view(np.uint64)
+            return t, h, np.asarray(summ, np.float64).reshape(-1, d)
 
-            ta, ha, sa = mk(r.get("theta_a") if pd.notna(r.get("theta_a", np.nan)) else -1, r.get("sig_a"), r.get("sum_col_a"))
-            tb, hb, sb = mk(r.get("theta_b") if pd.notna(r.get("theta_b", np.nan)) else -1, r.get("sig_b"), r.get("sum_col_b"))
+        if key_cols:
+            keys = [
+                "|".join(map(str, vals))
+                for vals in zip(*(pdf[c].to_numpy() for c in key_cols))
+            ]
+        else:
+            keys = [""] * len(pdf)
+        out = []
+        for key, theta_a, sig_a, sum_a, theta_b, sig_b, sum_b in zip(
+            keys,
+            pdf["theta_a"].to_numpy(), pdf["sig_a"].to_numpy(),
+            pdf["sum_col_a"].to_numpy(),
+            pdf["theta_b"].to_numpy(), pdf["sig_b"].to_numpy(),
+            pdf["sum_col_b"].to_numpy(),
+        ):
+            ta, ha, sa = mk(theta_a if pd.notna(theta_a) else -1, sig_a, sum_a)
+            tb, hb, sb = mk(theta_b if pd.notna(theta_b) else -1, sig_b, sum_b)
             theta = min(ta, tb)
             ca = int(np.searchsorted(ha, np.uint64(theta)))
             cb = int(np.searchsorted(hb, np.uint64(theta)))
@@ -572,7 +602,7 @@ def array_tuple_pair_set_ops(
                 return (arr.sum(axis=0) / frac if len(arr) else np.zeros(d)).tolist()
 
             out.append({
-                "key": "|".join(str(r[c]) for c in key_cols),
+                "key": key,
                 "theta": -1 if theta >= MAX_THETA else theta,
                 "est_a": est(len(ha)), "est_b": est(len(hb)),
                 "est_union": est(len(u_h)),
