@@ -255,10 +255,13 @@ def theta_pair_set_ops(
             arr = np.asarray(sig, dtype=np.int64).astype(np.uint64)
             return ThetaSketch(k, _decode_theta(int(theta)), arr)
 
-        keys = [
-            "|".join(map(str, vals))
-            for vals in zip(*(pdf[c].to_numpy() for c in key_cols))
-        ]
+        if key_cols:
+            keys = [
+                "|".join(map(str, vals))
+                for vals in zip(*(pdf[c].to_numpy() for c in key_cols))
+            ]
+        else:
+            keys = [""] * len(pdf)
         out = []
         for key, theta_a, sig_a, theta_b, sig_b in zip(
             keys,

@@ -778,6 +778,42 @@ def test_array_tuple_exact_mode(spark, sf_dir):
     assert row["value_sums"][2] == pytest.approx(exact[3], rel=1e-9)
 
 
+def test_tuple_pair_set_ops_missing_side(spark):
+    """Keyed full_outer semantics: a key on only one side meets an EMPTY
+    sketch — set-op estimates and summary sums degrade one-sided."""
+    from datasketches_cpp_spark.functions.tuplesketch import (
+        tuple_pair_set_ops,
+        tuple_sketch_agg,
+    )
+
+    a = spark.range(0, 200).select(
+        F.lit("only_a").alias("g"), F.col("id").alias("k"), F.lit(2.0).alias("w")
+    )
+    b = spark.range(0, 500).select(
+        F.lit("only_b").alias("g"),
+        (F.col("id") + 7_000).alias("k"),
+        F.lit(3.0).alias("w"),
+    )
+    ska = tuple_sketch_agg(a, ["g"], "k", "w", policy="sum", lg_k=12)
+    skb = tuple_sketch_agg(b, ["g"], "k", "w", policy="sum", lg_k=12)
+    rows = {
+        r["key"]: r
+        for r in tuple_pair_set_ops(ska, skb, ["g"], k=1 << 12, policy="sum").collect()
+    }
+    assert set(rows) == {"only_a", "only_b"}
+    ra, rb = rows["only_a"], rows["only_b"]
+    assert ra["est_a"] == 200.0 and ra["est_b"] == 0.0
+    assert ra["est_union"] == 200.0 and ra["est_intersection"] == 0.0
+    assert ra["est_a_not_b"] == 200.0
+    assert ra["sum_a"] == pytest.approx(400.0)
+    assert ra["sum_union"] == pytest.approx(400.0)
+    assert ra["sum_intersection"] == 0.0
+    assert rb["est_a"] == 0.0 and rb["est_b"] == 500.0
+    assert rb["est_union"] == 500.0 and rb["est_a_not_b"] == 0.0
+    assert rb["sum_b"] == pytest.approx(1500.0)
+    assert rb["sum_union"] == pytest.approx(1500.0)
+
+
 def test_array_tuple_estimation_and_setops(spark):
     """Estimation mode: distinct-key and per-column-sum estimates within
     the theta error envelope; AOD set ops combine element-wise."""

@@ -117,6 +117,30 @@ def test_pair_set_ops(spark):
     assert row["jaccard"] == pytest.approx(1 / 3)
 
 
+def test_pair_set_ops_missing_side(spark):
+    """full_outer semantics: a key present on only one side meets an
+    EMPTY sketch (theta_sketch.hpp a_not_b/intersection empty-operand
+    rules) — estimates degrade to the one-sided values."""
+    a = spark.range(0, 300).select(F.lit("only_a").alias("key"), F.col("id").alias("v"))
+    b = spark.range(0, 400).select(
+        F.lit("only_b").alias("key"), (F.col("id") + 10_000).alias("v")
+    )
+    ska = theta_sketch_agg(a, ["key"], "v", lg_k=12)
+    skb = theta_sketch_agg(b, ["key"], "v", lg_k=12)
+    rows = {
+        r["key"]: r
+        for r in theta_pair_set_ops(ska, skb, ["key"], k=1 << 12).collect()
+    }
+    assert set(rows) == {"only_a", "only_b"}
+    ra, rb = rows["only_a"], rows["only_b"]
+    assert ra["est_a"] == 300.0 and ra["est_b"] == 0.0
+    assert ra["est_union"] == 300.0 and ra["est_intersection"] == 0.0
+    assert ra["est_a_not_b"] == 300.0 and ra["jaccard"] == 0.0
+    assert rb["est_a"] == 0.0 and rb["est_b"] == 400.0
+    assert rb["est_union"] == 400.0 and rb["est_intersection"] == 0.0
+    assert rb["est_a_not_b"] == 0.0 and rb["jaccard"] == 0.0
+
+
 def test_nulls_and_empties_skipped(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"v": ["a", None, "", "b", "a"]})
