@@ -158,7 +158,7 @@ def frequent_items_agg(
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         st = MGState(max_map_size)
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             st.merge(list(row["items"]), list(row["weights"]), int(row["offset"]), int(row["total"]))
         items, weights = st.rows()
         r = {c: [pdf[c].iloc[0]] * len(items) for c in group_cols}

@@ -287,7 +287,7 @@ def kll_sketch_agg(
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = KllSketch(k, seed)
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             sk.merge(KllSketch.from_row(k, seed, row))
         r = {c: [pdf[c].iloc[0]] for c in group_cols}
         r.update({kk: [vv] for kk, vv in sk.to_row().items()})

@@ -230,6 +230,19 @@ class ReqSketch:
         idx = int(np.searchsorted(cw, target, side="left"))
         return float(items[min(idx, len(items) - 1)])
 
+    def get_cdf(self, splits: np.ndarray) -> np.ndarray:
+        """Normalized CDF at the split points (+1 for the tail) — the
+        reference's get_CDF query shape (req_sketch.hpp get_CDF via
+        quantiles_sorted_view)."""
+        splits = np.asarray(splits, np.float64)
+        items, cw = self._sorted_view()
+        idx = np.searchsorted(items, splits, side="right")
+        cdf = np.where(idx > 0, cw[np.maximum(idx - 1, 0)] / cw[-1], 0.0)
+        return np.append(cdf, 1.0)
+
+    def get_pmf(self, splits: np.ndarray) -> np.ndarray:
+        return np.diff(self.get_cdf(splits), prepend=0.0)
+
     # -- bounds (req_sketch_impl.hpp:300-330) -----------------------------------
     @staticmethod
     def relative_rse_factor() -> float:
@@ -329,7 +342,7 @@ def req_sketch_agg(
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = ReqSketch(k, hra, seed)
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             sk.merge(ReqSketch.from_row(k, hra, row, seed))
         r = {c: [pdf[c].iloc[0]] for c in group_cols}
         r.update({kk: [vv] for kk, vv in sk.to_row().items()})
@@ -361,7 +374,7 @@ def with_req_quantiles(
                 continue
             out = pdf[keep].copy()
             qs: dict[str, list] = {c: [] for c in out_cols}
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 sk = ReqSketch.from_row(k, hra, row)
                 for r, c in zip(ranks, out_cols):
                     qs[c].append(sk.get_quantile(r))

@@ -299,7 +299,7 @@ def tdigest_agg(
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         td = TDigest(delta)
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             td.merge(TDigest.from_row(delta, row))
         r = {c: [pdf[c].iloc[0]] for c in group_cols}
         r.update({kk: [vv] for kk, vv in td.to_row().items()})
@@ -329,7 +329,7 @@ def with_tdigest_quantiles(
                 continue
             out = pdf[keep].copy()
             qs: dict[str, list] = {c: [] for c in out_cols}
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 td = TDigest.from_row(delta, row)
                 for r, c in zip(ranks, out_cols):
                     qs[c].append(td.get_quantile(r))

@@ -76,15 +76,29 @@ class ThetaSketch:
         return len(self.hashes)
 
 
-def empty(k: int = 1 << DEFAULT_LG_K) -> ThetaSketch:
-    return ThetaSketch(k, MAX_THETA)
+def empty(k: int = 1 << DEFAULT_LG_K, p: float = 1.0) -> ThetaSketch:
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"sampling probability p must be in (0, 1], got {p}")
+    return ThetaSketch(k, MAX_THETA if p >= 1.0 else int(p * MAX_THETA))
 
 
-def from_hashes(hashes, k: int = 1 << DEFAULT_LG_K, theta: int = MAX_THETA) -> ThetaSketch:
+def from_hashes(
+    hashes, k: int = 1 << DEFAULT_LG_K, theta: int = MAX_THETA, p: float = 1.0
+) -> ThetaSketch:
     """Build a sketch from a batch of 63-bit hash values: screen < theta,
     dedupe, and if more than k survive do one batch 'rebuild' — theta becomes
     the (k+1)-th smallest (theta_update_sketch_base_impl.hpp:229-251) and the
-    k smaller values are retained."""
+    k smaller values are retained.
+
+    ``p`` is the reference's up-front sampling probability
+    (update_theta_sketch_builder::set_p, theta_update_sketch_base ctor:
+    starting theta = p·MAX_THETA): every hash ≥ p·MAX is screened out before
+    any rebuild, so the estimate retained/(theta/MAX) stays unbiased while
+    the sketch only ever stores a p-fraction of the stream's hash space."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"sampling probability p must be in (0, 1], got {p}")
+    if p < 1.0:
+        theta = min(theta, int(p * MAX_THETA))
     arr = _as_sorted_unique_u64(hashes)
     if theta < MAX_THETA:
         arr = arr[: np.searchsorted(arr, np.uint64(theta))]

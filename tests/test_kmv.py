@@ -280,3 +280,42 @@ def test_cross_estimator_consistency():
     # families agree with each other within combined envelopes
     assert abs(theta_est - hll_est) / exact < 0.1
     assert abs(theta_est - cpc_est) / exact < 0.1
+
+
+def test_sampling_p_unbiased():
+    """update_theta_sketch_builder::set_p semantics: starting theta =
+    p*MAX_THETA (theta_update_sketch_base ctor), estimate stays unbiased
+    and the sketch is in estimation mode from the first update."""
+    n = 20_000
+    h = hash63_int64(np.arange(n, dtype=np.int64), 9001)
+    sk = from_hashes(h, k=1 << 14, p=0.25)
+    assert sk.is_estimation_mode
+    assert sk.theta <= int(0.25 * MAX_THETA)
+    # all retained hashes really are below the sampling threshold
+    assert len(sk.hashes) == 0 or int(sk.hashes.max()) < sk.theta
+    assert abs(sk.get_estimate() - n) / n < 0.05
+    lb, ub = sk.get_bounds(2)
+    assert lb <= n <= ub
+
+
+def test_sampling_p_composes_with_rebuild():
+    """p caps theta BEFORE the k-rebuild; with n >> k the final theta is
+    the (k+1)-th smallest of the p-screened stream (strictly below p*MAX)."""
+    n, k = 50_000, 1 << 10
+    h = hash63_int64(np.arange(n, dtype=np.int64), 9001)
+    sk = from_hashes(h, k=k, p=0.5)
+    assert len(sk.hashes) == k
+    assert sk.theta < int(0.5 * MAX_THETA)
+    assert abs(sk.get_estimate() - n) / n < 0.10
+    # union with an unsampled sketch: min-theta law still holds
+    other = sketch_of_range(n, 2 * n, k=k)
+    u = union([sk, other], k=k)
+    assert u.theta <= sk.theta
+    assert abs(u.get_estimate() - 2 * n) / (2 * n) < 0.15
+
+
+def test_sampling_p_validation():
+    with pytest.raises(ValueError):
+        from_hashes(np.array([], dtype=np.uint64), p=0.0)
+    with pytest.raises(ValueError):
+        empty(p=1.5)

@@ -141,3 +141,33 @@ def test_req_mixed_k_merge():
         assert abs(true_rank - r) < 0.05
     with pytest.raises(ValueError, match="HRA and LRA"):
         a.merge(ReqSketch(12, hra=False))
+
+
+def test_pmf_cdf_uniform():
+    """get_CDF/get_PMF query shape (req_sketch.hpp get_CDF/get_PMF via the
+    sorted view): CDF at quartile splits of uniform data is within the
+    sketch's own rank bounds; PMF sums to 1 and diffs the CDF."""
+    rng = np.random.default_rng(7)
+    vals = rng.permutation(np.arange(100_000, dtype=np.float64))
+    sk = ReqSketch(k=50)
+    sk.update_batch(vals)
+    splits = np.array([24999.5, 49999.5, 74999.5])
+    cdf = sk.get_cdf(splits)
+    assert cdf.shape == (4,)
+    assert cdf[-1] == 1.0
+    assert np.all(np.diff(cdf) >= -1e-12)
+    for s, c in zip(splits, cdf[:-1]):
+        true_rank = (s + 0.5) / 100_000
+        lb, ub = sk.rank_bounds(true_rank, num_std_devs=3)
+        assert lb - 1e-9 <= c <= ub + 1e-9, (s, c, lb, ub)
+    pmf = sk.get_pmf(splits)
+    assert pmf.shape == (4,)
+    assert math.isclose(float(pmf.sum()), 1.0, abs_tol=1e-12)
+    assert np.allclose(np.cumsum(pmf), cdf)
+
+
+def test_pmf_cdf_exact_mode():
+    sk = ReqSketch(k=12)
+    sk.update_batch(np.arange(10, dtype=np.float64))
+    cdf = sk.get_cdf(np.array([-1.0, 4.0, 100.0]))
+    assert np.allclose(cdf, [0.0, 0.5, 1.0, 1.0])
