@@ -208,8 +208,13 @@ class KllSketch:
 # ---------------------------------------------------------------------------
 
 
-def ks_delta(a: KllSketch, b: KllSketch) -> float:
-    """Max |CDF_a - CDF_b| over the union of retained items."""
+def ks_delta(a, b) -> float:
+    """Max |CDF_a - CDF_b| over the union of retained items.
+
+    Generic over any sketch exposing ``sorted_view()`` — KLL and classic
+    quantiles, exactly the two families the reference's
+    kolmogorov_smirnov.hpp operates on (kolmogorov_smirnov_impl.hpp
+    delta(), templated over the sketch's sorted view)."""
     ia, ca = a.sorted_view()
     ib, cb = b.sorted_view()
     if len(ia) == 0 or len(ib) == 0:
@@ -222,16 +227,24 @@ def ks_delta(a: KllSketch, b: KllSketch) -> float:
     return float(np.abs(fa - fb).max())
 
 
-def ks_threshold(a: KllSketch, b: KllSketch, p_value: float) -> float:
+def ks_threshold(a, b, p_value: float) -> float:
     """sqrt(-ln(p/2)/2) * sqrt((na+nb)/(na*nb)) + rank errors (reference
-    adds both sketches' normalized rank errors to the classical statistic)."""
+    adds both sketches' normalized rank errors to the classical statistic,
+    kolmogorov_smirnov_impl.hpp threshold()). Each sketch contributes its
+    OWN family's published rank-error constant, so KLL and classic
+    quantiles sketches can even be tested against each other."""
     na, nb = a.n, b.n
     stat = math.sqrt(-0.5 * math.log(p_value / 2.0)) * math.sqrt((na + nb) / (na * nb))
-    return stat + KllSketch.normalized_rank_error(a.k) + KllSketch.normalized_rank_error(b.k)
+    return (
+        stat
+        + type(a).normalized_rank_error(a.k)
+        + type(b).normalized_rank_error(b.k)
+    )
 
 
-def ks_test(a: KllSketch, b: KllSketch, p_value: float) -> bool:
-    """True ⇔ the two distributions differ at the given p-value."""
+def ks_test(a, b, p_value: float) -> bool:
+    """True ⇔ the two distributions differ at the given p-value (KLL or
+    classic quantiles sketches, like the reference's generic KS)."""
     return ks_delta(a, b) > ks_threshold(a, b, p_value)
 
 

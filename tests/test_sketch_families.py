@@ -857,3 +857,35 @@ def test_array_tuple_estimation_and_setops(spark):
     assert ops["vsum_union"][1] == pytest.approx(18000.0)
     assert ops["vsum_intersection"][0] == pytest.approx(2000.0)
     assert ops["vsum_a_not_b"][0] == pytest.approx(2000.0)
+
+
+def test_ks_generic_classic_quantiles():
+    """The reference KS is generic over KLL and classic quantiles
+    (kolmogorov_smirnov.hpp templated sketch arg): disjoint epochs must
+    reject, identical epochs must accept, and a cross-family (KLL vs
+    classic) test on the same data must accept."""
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+    )
+    from datasketches_cpp_spark.functions.quantiles import (
+        KllSketch,
+        ks_delta,
+        ks_test,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0.0, 1.0, 50_000)
+    y = rng.normal(4.0, 1.0, 50_000)
+
+    ca, cb, cx = (ClassicQuantilesSketch(k=128) for _ in range(3))
+    ca.update_batch(x)
+    cb.update_batch(y)
+    cx.update_batch(x)
+    assert ks_test(ca, cb, 0.01)          # shifted → reject H0
+    assert not ks_test(ca, cx, 0.01)      # same distribution → accept
+    assert ks_delta(ca, ca) == 0.0
+
+    kl = KllSketch(k=200)
+    kl.update_batch(x)
+    assert not ks_test(kl, cx, 0.01)      # cross-family, same data → accept
+    assert ks_test(kl, cb, 0.01)          # cross-family, shifted → reject
