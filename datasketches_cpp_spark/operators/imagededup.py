@@ -71,23 +71,37 @@ def phash_pairs(
     combo-band matches → guaranteed candidate recall at the configured
     radius, with exponentially fewer random bucket collisions per key bit
     than single-slice blocking (which is quadratic in corpus size).
-    Verification is bit_count(xor) ≤ phash_hamming."""
+    Verification is bit_count(xor) ≤ phash_hamming, computed INLINE: the
+    64-bit pHash rides through the band shuffle as struct(id, ph) payload
+    (8 bytes/band row), so the lane is scan → one groupBy shuffle →
+    pair-expand + hamming filter → pair dedup — no join back to the source
+    table at all (the previous plan joined the candidate table against the
+    id→phash projection twice, two extra shuffles of the biggest
+    intermediate)."""
     slices = phash_combo_keys_expr(phash_col, cfg)
-    bands_df = (
-        images.select(F.col(id_col).alias("id"), F.posexplode(slices).alias("band_idx", "band_hash"))
-    )
-    pairs = pairs_from_bands(bands_df, max_pairs_group=max_pairs_group, hot_policy=hot_policy)
-    ph = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
-    verified = (
-        pairs.join(ph.select(F.col("id").alias("a"), F.col("ph").alias("ph_a")), "a")
-        .join(ph.select(F.col("id").alias("b"), F.col("ph").alias("ph_b")), "b")
-        .withColumn(
-            "phash_hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    bands_df = images.select(
+        F.col(id_col).alias("id"),
+        F.col(phash_col).alias("ph"),
+        F.posexplode(slices).alias("band_idx", "band_hash"),
+    ).select("id", "ph", "band_idx", "band_hash")
+
+    def _hamming_verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn(
+                "phash_hamming",
+                F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b"))),
+            )
+            .where(F.col("phash_hamming") <= cfg.phash_hamming)
+            .drop("payload_a", "payload_b")
         )
-        .where(F.col("phash_hamming") <= cfg.phash_hamming)
-        .select("a", "b", "phash_hamming")
+
+    return pairs_from_bands(
+        bands_df,
+        max_pairs_group=max_pairs_group,
+        hot_policy=hot_policy,
+        payload_col="ph",
+        pre_dedup_filter=_hamming_verify,
     )
-    return verified
 
 
 def dedup_images(

@@ -70,6 +70,8 @@ def pairs_from_bands(
     bands_df: DataFrame,
     max_pairs_group: int = 256,
     hot_policy: str = "chain_hub",
+    payload_col: str | None = None,
+    pre_dedup_filter=None,
 ) -> DataFrame:
     """(band_idx, band_hash, id) → deduplicated (a, b) candidate pairs.
     Shared by the MinHash lane and the pHash multi-index lane (and any
@@ -97,10 +99,32 @@ def pairs_from_bands(
     the hot path caps — but a degenerate corpus (billions of IDENTICAL
     payloads) should be pre-collapsed by the exact-dup fingerprint pass
     before LSH (operators/textstats.with_fingerprint), which is also the
-    cheaper plan for that data."""
+    cheaper plan for that data.
+
+    ``payload_col``: optional SMALL per-id column (e.g. the 64-bit pHash)
+    carried THROUGH the band shuffle as struct(id, payload), so the caller
+    can verify pairs without joining back to the source table — output then
+    has (a, b, payload_a, payload_b). Only worth it for scalar payloads:
+    a k-long MinHash signature through a 32-band explode would multiply
+    shuffle volume 32×, while a single long adds 8 bytes/row and deletes
+    two downstream shuffle joins of the (much larger) candidate table.
+    ``pre_dedup_filter``: optional DataFrame→DataFrame verification filter
+    applied BEFORE the pair dropDuplicates, so the dedup shuffle carries
+    only verified pairs."""
+    if payload_col is not None:
+        elem = F.struct(F.col("id"), F.col(payload_col))
+        out_cols = [
+            F.col("p.a.id").alias("a"),
+            F.col("p.b.id").alias("b"),
+            F.col(f"p.a.{payload_col}").alias("payload_a"),
+            F.col(f"p.b.{payload_col}").alias("payload_b"),
+        ]
+    else:
+        elem = F.col("id")
+        out_cols = [F.col("p.a").alias("a"), F.col("p.b").alias("b")]
     grouped = (
         bands_df.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .agg(F.sort_array(F.collect_set(elem)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
 
@@ -129,7 +153,9 @@ def pairs_from_bands(
         lambda b: F.struct(F.element_at(ids, 1).alias("a"), b.alias("b")),
     )
     if hot_policy == "salted_full":
-        return _salted_full_pairs(grouped, all_pairs, max_pairs_group)
+        return _salted_full_pairs(
+            grouped, all_pairs, max_pairs_group, out_cols, pre_dedup_filter
+        )
     if hot_policy != "chain_hub":
         raise ValueError(f"unknown hot_policy {hot_policy!r}")
     pair_arr = F.when(sz <= max_pairs_group, all_pairs).otherwise(
@@ -138,15 +164,14 @@ def pairs_from_bands(
     # ONE expression per group → the (python-stage) upstream is evaluated
     # exactly once; a when/otherwise inside separate union branches would
     # recompute the whole signature scan per branch
-    return (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    pairs = grouped.select(F.explode(pair_arr).alias("p")).select(*out_cols)
+    if pre_dedup_filter is not None:
+        pairs = pre_dedup_filter(pairs)
+    return pairs.dropDuplicates(["a", "b"])
 
 
 def _salted_full_pairs(
-    grouped: DataFrame, all_pairs, chunk: int
+    grouped: DataFrame, all_pairs, chunk: int, out_cols=None, pre_dedup_filter=None
 ) -> DataFrame:
     """Full C(s,2) pair semantics for hot bands with bounded task memory.
 
@@ -162,11 +187,13 @@ def _salted_full_pairs(
     All-JVM (whole-stage codegen): slicing is ``transform(sequence, ...)``;
     expansion is the same nested-transform algebra as the normal path.
     """
+    if out_cols is None:
+        out_cols = [F.col("p.a").alias("a"), F.col("p.b").alias("b")]
     sz = F.size("ids")
     normal = (
         grouped.where(sz <= chunk)
         .select(F.explode(all_pairs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .select(*out_cols)
     )
     n_chunks = F.ceil(sz / F.lit(chunk)).cast("int")
     hot = grouped.where(sz > chunk).select(
@@ -198,13 +225,13 @@ def _salted_full_pairs(
             lambda a: F.transform(ys, lambda b: F.struct(a.alias("a"), b.alias("b"))),
         )
     )
-    hot_pairs = (
-        joined.select(
-            F.explode(F.when(F.col("i") == F.col("j"), tri).otherwise(cross)).alias("p")
-        )
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    )
-    return normal.unionByName(hot_pairs).dropDuplicates(["a", "b"])
+    hot_pairs = joined.select(
+        F.explode(F.when(F.col("i") == F.col("j"), tri).otherwise(cross)).alias("p")
+    ).select(*out_cols)
+    pairs = normal.unionByName(hot_pairs)
+    if pre_dedup_filter is not None:
+        pairs = pre_dedup_filter(pairs)
+    return pairs.dropDuplicates(["a", "b"])
 
 
 def hot_bands(sig_df: DataFrame, threshold: int = 1000) -> DataFrame:
