@@ -388,6 +388,23 @@ def q_tuple_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/knn.semantic_dedup,
+    canonical_min policy over the label buckets): per-vector kept/rep
+    decisions, fully re-derivable in SQL (hash-checked)."""
+    from datasketches_cpp_spark.operators.knn import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", bucket_col="label", threshold=0.4
+    ).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "is_kept",
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_cpp_spark.operators.knn import cosine_near_dup_pairs
 
@@ -1070,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "varopt_subset_sum": q_varopt_subset_sum,
         "tuple_engagement": q_tuple_engagement,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "kll_quantiles": q_kll_quantiles,
         "kll_rank_coverage": q_kll_rank_coverage,
         "classic_quantiles_coverage": q_classic_quantiles_coverage,
@@ -1261,6 +1279,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS big_spenders FROM "
             "(SELECT o_custkey FROM orders GROUP BY o_custkey "
             " HAVING MAX(o_totalprice) >= 300000.0)"
+        ),
+        "semantic_dedup": (
+            "WITH pairs AS ("
+            " SELECT x.vec_id a, y.vec_id b FROM embeddings x JOIN embeddings y"
+            "  ON x.label = y.label AND x.vec_id < y.vec_id"
+            " WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4)"
+            " SELECT e.vec_id AS vec_id, e.label AS bucket,"
+            " COALESCE(MIN(p.a), e.vec_id) AS rep_id,"
+            " (MIN(p.a) IS NULL) AS is_kept"
+            " FROM embeddings e LEFT JOIN pairs p ON p.b = e.vec_id"
+            " GROUP BY e.vec_id, e.label"
         ),
         "embedding_near_dup": (
             "SELECT x.vec_id AS a, y.vec_id AS b "

@@ -176,6 +176,90 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    policy: str = "canonical_min",
+    seed: int = 9001,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) for embedding-bearing training corpora: bucket the
+    embeddings, find near-duplicate pairs ONLY within buckets, collapse
+    each duplicate neighborhood to one kept representative.
+
+    Bucketing: ``bucket_col`` names any precomputed semantic bucket (a
+    class label, a topic id); when None, the classic SemDeDup recipe runs
+    — k-means-lite centroids (ivf_train_centroids, driver-side sample)
+    and every vector joins its nearest centroid's bucket (ivf_assign,
+    nprobe=1). Either way the pairwise stage is a self-join keyed on the
+    bucket: the shuffle is by bucket, each task sees one bucket's slice,
+    and nothing quadratic ever crosses buckets (the property that makes
+    SemDeDup tractable where all-pairs cosine is not — at n vectors and
+    B ~ n/k per bucket, candidate volume drops from C(n,2) to k*C(B,2)).
+
+    Representative policies, both deterministic:
+      * ``canonical_min``: rep(v) = min id among {v} ∪ {within-bucket
+        neighbors u < v with cosine ≥ threshold}. Depth-1,
+        order-independent, and exactly re-derivable in ANSI SQL — the
+        driver oracle hash-checks it.
+      * ``cc``: rep(v) = min id of v's connected component over the
+        within-bucket near-dup edges (operators/cc.py) — the transitive
+        closure, for callers that want ε-chains collapsed too.
+
+    Returns (id, bucket, rep_id, is_kept): one row per input vector,
+    is_kept ⇔ rep_id == id (keep-set = the deduplicated corpus).
+    Cosine is evaluated JVM-side (zip_with/aggregate — no Python in the
+    pairwise hot path)."""
+    if bucket_col is None:
+        dim = len(df.select(vec_col).first()[0])
+        cent = ivf_train_centroids(
+            df, dim, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        )
+        assigned = ivf_assign(df, cent, id_col=id_col, vec_col=vec_col, nprobe=1)
+        base = assigned.select(
+            F.col("id"), F.col("list_id").alias("bucket"), F.col("vec")
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(bucket_col).alias("bucket"),
+            F.col(vec_col).alias("vec"),
+        )
+    l = base.select(F.col("bucket"), F.col("id").alias("a"), F.col("vec").alias("va"))
+    r = base.select(F.col("bucket"), F.col("id").alias("b"), F.col("vec").alias("vb"))
+    pairs = (
+        l.join(r, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .where(_cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("a", "b")
+    )
+    ids = base.select("id", "bucket")
+    if policy == "canonical_min":
+        reps = pairs.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("min_nb"))
+        out = ids.join(reps, "id", "left").select(
+            "id",
+            "bucket",
+            F.coalesce("min_nb", "id").alias("rep_id"),
+            F.col("min_nb").isNull().alias("is_kept"),
+        )
+        return out
+    if policy == "cc":
+        from .cc import assign_clusters
+
+        assigned = assign_clusters(ids.select("id"), pairs)
+        return ids.join(assigned, "id").select(
+            "id",
+            "bucket",
+            F.col("cluster_id").alias("rep_id"),
+            (F.col("cluster_id") == F.col("id")).alias("is_kept"),
+        )
+    raise ValueError(f"unknown policy {policy!r}")
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     dim: int,

@@ -85,3 +85,88 @@ def test_pq_validations(emb, books):
         pq_train(emb, dim=64, m=7)
     with pytest.raises(ValueError, match="uint8"):
         pq_encode(emb, np.zeros((4, 300, 16), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (operators/knn.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_canonical_min_matches_bruteforce(spark, emb):
+    """canonical_min over label buckets == per-vector min smaller-id
+    within-bucket neighbor at cosine >= tau, re-derived here with the exact
+    self-join baseline."""
+    from datasketches_cpp_spark.operators.knn import (
+        cosine_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    tau = 0.4
+    out = {
+        r.id: (r.rep_id, r.is_kept)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", bucket_col="label", threshold=tau
+        ).collect()
+    }
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    pairs = [
+        (r.a, r.b)
+        for r in cosine_near_dup_pairs(emb, "vec_id", "embedding", tau).collect()
+        if lab[r.a] == lab[r.b]
+    ]
+    assert len(out) == len(lab)
+    expect_rep = {v: v for v in lab}
+    for a, b in pairs:
+        expect_rep[b] = min(expect_rep[b], a)
+    for v, (rep, kept) in out.items():
+        assert rep == expect_rep[v], v
+        assert kept == (rep == v)
+
+
+def test_semantic_dedup_cc_collapses_chains(spark, emb):
+    """policy='cc' reps are transitive-closure min ids: every canonical_min
+    dup is also a cc dup, and cc reps are component minima (<= depth-1 reps)."""
+    from datasketches_cpp_spark.operators.knn import semantic_dedup
+
+    cm = {
+        r.id: r.rep_id
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", bucket_col="label", threshold=0.4
+        ).collect()
+    }
+    cc = {
+        r.id: r.rep_id
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", bucket_col="label", threshold=0.4, policy="cc"
+        ).collect()
+    }
+    assert set(cm) == set(cc)
+    for v in cm:
+        assert cc[v] <= cm[v]
+        if cm[v] != v:
+            assert cc[v] != v
+
+
+def test_semantic_dedup_ivf_buckets(spark, emb):
+    """bucket_col=None trains k-means-lite centroids and buckets by nearest
+    centroid (the SemDeDup recipe): every vector gets exactly one row, reps
+    stay within the vector's bucket, and the keep-set only shrinks as the
+    threshold drops."""
+    from datasketches_cpp_spark.operators.knn import semantic_dedup
+
+    n = emb.count()
+    strict = semantic_dedup(emb, threshold=0.9, n_centroids=8).collect()
+    loose = semantic_dedup(emb, threshold=0.3, n_centroids=8).collect()
+    assert len(strict) == n and len(loose) == n
+    bucket_of = {r.id: r.bucket for r in loose}
+    for r in loose:
+        if not r.is_kept:
+            assert bucket_of[r.rep_id] == r.bucket
+    assert sum(r.is_kept for r in loose) <= sum(r.is_kept for r in strict)
+
+
+def test_semantic_dedup_bad_policy(emb):
+    from datasketches_cpp_spark.operators.knn import semantic_dedup
+
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, bucket_col="label", policy="nope").collect()
