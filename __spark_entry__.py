@@ -388,6 +388,17 @@ def q_tuple_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (operators/textstats.
+    winnow_fingerprints, Schleimer et al. 2003): k=8-gram windows of w=4,
+    per-window minimum k-gram, distinct per doc. Pure Catalyst expression
+    algebra; the oracle re-derives the identical set with a SQL window min."""
+    from datasketches_cpp_spark.operators.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/knn.semantic_dedup,
     canonical_min policy over the label buckets): per-vector kept/rep
@@ -1088,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_engagement": q_tuple_engagement,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "kll_quantiles": q_kll_quantiles,
         "kll_rank_coverage": q_kll_rank_coverage,
         "classic_quantiles_coverage": q_classic_quantiles_coverage,
@@ -1279,6 +1291,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS big_spenders FROM "
             "(SELECT o_custkey FROM orders GROUP BY o_custkey "
             " HAVING MAX(o_totalprice) >= 300000.0)"
+        ),
+        "winnow_fingerprints": (
+            "WITH grams AS ("
+            " SELECT doc_id, u.i AS i, substr(text, u.i, 8) AS g,"
+            "  length(text) - 7 AS ng"
+            " FROM documents,"
+            "  LATERAL unnest(generate_series(1, length(text) - 7)) AS u(i)),"
+            " sel AS ("
+            " SELECT doc_id, i, ng,"
+            "  min(g) OVER (PARTITION BY doc_id ORDER BY i"
+            "   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp"
+            " FROM grams)"
+            " SELECT DISTINCT doc_id, fp FROM sel WHERE i <= ng - 3"
         ),
         "semantic_dedup": (
             "WITH pairs AS ("

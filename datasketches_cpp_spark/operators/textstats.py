@@ -117,6 +117,55 @@ def with_fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> 
     return df.withColumn(out, F.xxhash64(norm))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out: str = "fp",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting"): slide a
+    window of ``w`` consecutive ``k``-grams and select each window's
+    minimum — any shared substring of length >= k + w - 1 is GUARANTEED to
+    contribute at least one common fingerprint, and expected density is
+    2/(w+1). The window minimum is taken by k-gram VALUE order (ties
+    collapse to one value row), so the selected fingerprint SET is
+    tie-break-independent and exactly re-derivable in ANSI SQL — the
+    driver oracle hash-checks it.
+
+    Entirely Catalyst expressions (transform/sequence/slice/array_min over
+    substrings — zero Python, zero shuffle until the caller aggregates):
+    one row per (id, distinct selected k-gram). Documents shorter than k
+    emit no rows; documents with fewer than w k-grams emit their single
+    global minimum."""
+    t = F.col(text_col)
+    grams_expr = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: t.substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = F.col("_grams")
+    nw = F.size(g) - (w - 1)
+    selected = (
+        F.when(
+            nw >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nw), lambda j: F.array_min(F.slice(g, j, w))
+            ),
+        )
+        .when(F.size(g) > 0, F.array(F.array_min(g)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return (
+        df.withColumn("_grams", grams_expr)
+        .select(F.col(id_col), F.explode(F.array_distinct(selected)).alias(out))
+    )
+
+
 def exact_ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

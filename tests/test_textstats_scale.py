@@ -61,3 +61,45 @@ def test_salted_full_hot_band_scale(spark):
     ).repartition(8)
     out = pairs_from_bands(bands, max_pairs_group=512, hot_policy="salted_full")
     assert out.count() == s * (s - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (operators/textstats.winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee (Schleimer et al. 2003 §2): two documents
+    sharing a substring of length >= k + w - 1 share at least one selected
+    fingerprint; expected density of selected positions is ~2/(w+1)."""
+    import random
+
+    from datasketches_cpp_spark.operators.textstats import winnow_fingerprints
+
+    rng = random.Random(5)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    shared = "".join(rng.choice(alpha) for _ in range(40))  # >= k + w - 1
+    docs = [
+        (1, "".join(rng.choice(alpha) for _ in range(150)) + shared),
+        (2, shared + "".join(rng.choice(alpha) for _ in range(150))),
+        (3, "".join(rng.choice(alpha) for _ in range(300))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 40-char substring must share a fingerprint"
+    # density: selected distinct fps per doc ~ 2/(w+1) of windows, loose 3x band
+    n_windows = 300 - 8 + 1 - 3
+    assert n_windows * 0.4 * 0.2 < len(by_doc[3]) < n_windows * 0.4 * 3.0
+
+
+def test_winnow_short_docs(spark):
+    from datasketches_cpp_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abcdefgh"), (3, None)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, k=8, w=4).collect()
+    assert [(r.doc_id, r.fp) for r in rows] == [(2, "abcdefgh")]
