@@ -388,6 +388,35 @@ def q_tuple_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best representative selection (operators/dedup.
+    select_representatives): cluster documents by their 2-token normalized
+    prefix (a deterministic SQL-re-derivable stand-in for dup clusters),
+    keep the member with the most tokens (ties -> smallest doc_id)."""
+    from pyspark.sql import Window
+
+    from datasketches_cpp_spark.operators.dedup import select_representatives
+    from datasketches_cpp_spark.operators.textstats import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"), "text")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    pfx = F.array_join(F.slice(F.split(norm, " "), 1, 2), " ")
+    keyed = docs.withColumn("_pfx", pfx)
+    assignments = keyed.select(
+        F.col("doc_id").alias("id"),
+        F.min("doc_id").over(Window.partitionBy("_pfx")).alias("cluster_id"),
+    )
+    scores = keyed.select(F.col("doc_id").alias("id"), "token_count")
+    out = select_representatives(assignments, scores, "id", "token_count")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.col("token_count").cast("long").alias("token_count"),
+        "rep_id",
+        "is_kept",
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (operators/textstats.
     winnow_fingerprints, Schleimer et al. 2003): k=8-gram windows of w=4,
@@ -1100,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "dedup_keep_best": q_dedup_keep_best,
         "kll_quantiles": q_kll_quantiles,
         "kll_rank_coverage": q_kll_rank_coverage,
         "classic_quantiles_coverage": q_classic_quantiles_coverage,
@@ -1291,6 +1321,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS big_spenders FROM "
             "(SELECT o_custkey FROM orders GROUP BY o_custkey "
             " HAVING MAX(o_totalprice) >= 300000.0)"
+        ),
+        "dedup_keep_best": (
+            "WITH n AS (SELECT doc_id,"
+            "  array_to_string(string_split_regex(regexp_replace(lower(trim(text)),"
+            "   '\\s+', ' ', 'g'), ' ')[1:2], ' ') AS pfx,"
+            "  CASE WHEN trim(text) = '' THEN 0"
+            "   ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc"
+            " FROM documents),"
+            " c AS (SELECT doc_id, tc,"
+            "  MIN(doc_id) OVER (PARTITION BY pfx) AS cluster_id FROM n),"
+            " reps AS (SELECT cluster_id,"
+            "  FIRST(doc_id ORDER BY tc DESC, doc_id) AS rep_id"
+            " FROM c GROUP BY cluster_id)"
+            " SELECT c.doc_id, c.cluster_id, c.tc AS token_count,"
+            " reps.rep_id, (c.doc_id = reps.rep_id) AS is_kept"
+            " FROM c JOIN reps USING (cluster_id)"
         ),
         "winnow_fingerprints": (
             "WITH grams AS ("

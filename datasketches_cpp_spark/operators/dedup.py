@@ -82,3 +82,36 @@ def duplicate_rate(assignments: DataFrame) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("dup_fraction"),
     )
+
+
+def select_representatives(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """The keep-best curation step after clustering: per duplicate cluster,
+    keep the HIGHEST-scoring member (ties break to the smallest id), so
+    dedup preserves the best copy — longest text, highest quality score,
+    best resolution — instead of an arbitrary one.
+
+    `assignments` is any (id, cluster_id) table (operators/dedup.dedup,
+    imagededup, semantic_dedup ids renamed); `scores` carries (id_col,
+    score_col). One window shuffle partitioned by cluster_id — cluster
+    sizes are bounded by the dedup semantics upstream (the hot-policy cap
+    keeps degenerate clusters from concentrating a partition), so the
+    window never sees unbounded groups.
+
+    Returns (id, cluster_id, <score_col>, rep_id, is_kept): rep_id is the
+    cluster's kept member, is_kept ⇔ id == rep_id."""
+    from pyspark.sql import Window
+
+    sc = scores.select(F.col(id_col).alias("id"), F.col(score_col))
+    joined = assignments.join(sc, "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc("id")
+    )
+    return (
+        joined.withColumn("rep_id", F.first("id").over(w))
+        .withColumn("is_kept", F.col("id") == F.col("rep_id"))
+    )

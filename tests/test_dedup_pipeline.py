@@ -314,3 +314,25 @@ def test_salted_full_property_random_bands(spark):
             for r in pairs_from_bands(bands, max_pairs_group=cap, hot_policy="salted_full").collect()
         }
         assert got == expect, (trial, cap)
+
+
+def test_select_representatives_keeps_best(spark):
+    """Keep-best curation: highest score wins its cluster, ties break to
+    the smallest id, singletons keep themselves."""
+    from datasketches_cpp_spark.operators.dedup import select_representatives
+
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, 1.0), (5, 2.0), (6, 0.0)],
+        "id long, score double",
+    )
+    out = {r.id: (r.rep_id, r.is_kept) for r in
+           select_representatives(assignments, scores, "id", "score").collect()}
+    assert out == {
+        1: (2, False), 2: (2, True), 3: (2, False),   # tie 2 vs 3 -> min id 2
+        4: (5, False), 5: (5, True),                   # higher score wins
+        6: (6, True),                                  # singleton
+    }
