@@ -10,13 +10,15 @@ a different config MUST fail fast, never silently mix signatures built with
 different seeds/shingles (that would corrupt Jaccard estimates the same way
 mixing seeds corrupts a theta union).
 
-Layout (one root per pipeline run). Contract: the root must be a LOCAL
-filesystem path — manifest/lineage bookkeeping uses os/shutil primitives.
-On a real cluster the same layout maps to an object-store prefix or an
-Iceberg table location, but that requires routing the manifest I/O through
-the Hadoop FileSystem API (a deliberate non-goal in this sandbox; the
-parquet data writes themselves already go through Spark and would work on
-any URI):
+The root may be ANY URI with a registered Hadoop FileSystem (file://,
+hdfs://, s3a://, abfs://, bare local paths...): manifest and lineage
+bookkeeping route through the same ``org.apache.hadoop.fs.FileSystem``
+API Spark uses to commit the parquet snapshots themselves (plans/fsio.py),
+so the commit-point discipline holds wherever the data lands. A scheme
+with no registered FileSystem fails at construction
+(``FsResolutionError``), never mid-pipeline.
+
+Layout (one root per pipeline run):
 
     <root>/<stage>/data/...parquet        the stage output snapshot
     <root>/<stage>/_MANIFEST.json         fingerprint + per-partition lineage
@@ -25,7 +27,10 @@ any URI):
 Manifest contents: config fingerprint, epoch, row count, schema, and a
 per-partition table ``[{file, rows, bytes}]`` — each written task produces
 one file, so file-grain IS partition-grain lineage. Resume validation is
-O(#files) metadata work (names + sizes vs manifest), not a data rescan.
+O(#files) metadata work (FileStatus names + lengths vs manifest), not a
+data rescan; the per-file row counts are parquet *footer* reads through
+positioned FSDataInputStream access (fsio.ParquetFooterFile), also not a
+data scan.
 
 Failure modes (mirrors the reference's deserialize-hardening tests,
 common/test/deserialize_hardening_test.cpp:43-150):
@@ -36,22 +41,33 @@ common/test/deserialize_hardening_test.cpp:43-150):
   - manifest present but data files missing/short → ``CheckpointCorrupt``
     (fail fast; never silently recompute wrong).
 
-The manifest is written via tempfile + ``os.replace`` so it appears
-atomically after the data is fully committed by Spark's own
-_SUCCESS-gated parquet job commit.
+The manifest is written via <path>.tmp + rename — atomic on HDFS-class
+stores, the same publish primitive behind Spark's own job commit — and
+only after the data is fully committed by Spark's _SUCCESS-gated parquet
+job commit.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from .fsio import FsResolutionError, HadoopFS
+
+__all__ = [
+    "StageCheckpointer",
+    "CheckpointConfigMismatch",
+    "CheckpointCorrupt",
+    "FsResolutionError",
+    "checksum",
+    "MANIFEST_NAME",
+    "LINEAGE_LOG",
+]
 
 MANIFEST_NAME = "_MANIFEST.json"
 LINEAGE_LOG = "_LINEAGE.jsonl"
@@ -67,27 +83,6 @@ class CheckpointCorrupt(RuntimeError):
     """Manifest claims data that isn't there (missing/truncated files)."""
 
 
-def _partition_lineage(data_dir: str) -> list[dict]:
-    """File-grain lineage of a committed parquet snapshot: one entry per
-    part-file with its byte size and row count (from parquet footer
-    metadata — no data scan)."""
-    import pyarrow.parquet as pq
-
-    entries = []
-    for fn in sorted(os.listdir(data_dir)):
-        if not fn.endswith(".parquet"):
-            continue
-        full = os.path.join(data_dir, fn)
-        entries.append(
-            {
-                "file": fn,
-                "bytes": os.path.getsize(full),
-                "rows": pq.ParquetFile(full).metadata.num_rows,
-            }
-        )
-    return entries
-
-
 @dataclass
 class StageCheckpointer:
     """Manifest-gated idempotent stage runner (SURVEY.md §2B S9/S10)."""
@@ -99,42 +94,49 @@ class StageCheckpointer:
     metrics: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
-        # HARD contract, not just a docstring: manifest/lineage bookkeeping
-        # uses os/shutil primitives, so a non-local root (s3://, hdfs://,
-        # abfs://, ...) would silently mis-detect completed stages — the
-        # worst possible failure for a resume mechanism. Fail loudly here;
-        # porting = routing manifest I/O through the Hadoop FileSystem API.
-        scheme = self.root.split("://", 1)[0] if "://" in self.root else ""
-        if scheme and scheme != "file":
-            raise ValueError(
-                f"StageCheckpointer requires a local filesystem root, got "
-                f"'{self.root}' (scheme '{scheme}'). Remote roots need the "
-                "manifest I/O ported to the Hadoop FileSystem API — see the "
-                "module docstring."
-            )
-        if self.root.startswith("file://"):
-            self.root = self.root[len("file://"):]
+        # Resolve the FileSystem once, up front: an unregistered scheme is a
+        # configuration error and must fail at construction, not after hours
+        # of pipeline work (FsResolutionError <: ValueError).
+        self._fs = HadoopFS(self.spark, self.root)
 
     # -- paths ---------------------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
+        return HadoopFS.join(self.root, stage)
 
     def _data_dir(self, stage: str) -> str:
-        return os.path.join(self._stage_dir(stage), "data")
+        return HadoopFS.join(self._stage_dir(stage), "data")
 
     def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self._stage_dir(stage), MANIFEST_NAME)
+        return HadoopFS.join(self._stage_dir(stage), MANIFEST_NAME)
+
+    # -- lineage -----------------------------------------------------------
+    def _partition_lineage(self, data_dir: str) -> list[dict]:
+        """File-grain lineage of a committed parquet snapshot: one entry per
+        part-file with its byte size (from FileStatus) and row count (from
+        the parquet footer via positioned reads — no data scan)."""
+        entries = []
+        for name, nbytes in self._fs.list_files(data_dir):
+            if not name.endswith(".parquet"):
+                continue
+            full = HadoopFS.join(data_dir, name)
+            entries.append(
+                {
+                    "file": name,
+                    "bytes": nbytes,
+                    "rows": self._fs.parquet_num_rows(full),
+                }
+            )
+        return entries
 
     # -- manifest ------------------------------------------------------------
     def load_manifest(self, stage: str) -> dict | None:
         """Parse + validate the stage manifest. None ⇔ stage incomplete."""
         path = self._manifest_path(stage)
-        if not os.path.exists(path):
+        if not self._fs.exists(path):
             return None
         try:
-            with open(path) as f:
-                m = json.load(f)
-        except (json.JSONDecodeError, OSError):
+            m = json.loads(self._fs.read_bytes(path).decode())
+        except (json.JSONDecodeError, UnicodeDecodeError, OSError):
             return None  # torn manifest == no manifest (recompute)
         if m.get("version") != MANIFEST_VERSION or "fingerprint" not in m:
             return None
@@ -146,11 +148,10 @@ class StageCheckpointer:
                 "rebuild)"
             )
         # metadata-only integrity check: every manifest partition file must
-        # exist with the recorded size
-        data_dir = self._data_dir(stage)
+        # exist with the recorded size (one listStatus, no data reads)
+        actual = dict(self._fs.list_files(self._data_dir(stage)))
         for part in m["partitions"]:
-            full = os.path.join(data_dir, part["file"])
-            if not os.path.exists(full) or os.path.getsize(full) != part["bytes"]:
+            if actual.get(part["file"]) != part["bytes"]:
                 raise CheckpointCorrupt(
                     f"stage {stage!r}: manifest lists {part['file']} "
                     f"({part['bytes']} bytes) but the snapshot doesn't match; "
@@ -173,8 +174,8 @@ class StageCheckpointer:
         actions, recorded under manifest['observed'] and in the lineage log."""
         t0 = time.time()
         data_dir = self._data_dir(stage)
-        if os.path.exists(data_dir):
-            shutil.rmtree(data_dir)  # partial previous attempt
+        if self._fs.exists(data_dir):
+            self._fs.delete(data_dir, recursive=True)  # partial previous attempt
         obs = None
         if observe:
             from pyspark.sql import Observation
@@ -183,7 +184,7 @@ class StageCheckpointer:
             df = df.observe(obs, *[expr.alias(name) for name, expr in observe.items()])
         df.write.mode("overwrite").parquet(data_dir)
 
-        parts = _partition_lineage(data_dir)
+        parts = self._partition_lineage(data_dir)
         manifest = {
             "version": MANIFEST_VERSION,
             "stage": stage,
@@ -198,10 +199,9 @@ class StageCheckpointer:
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "observed": obs.get if obs is not None else None,
         }
-        tmp = self._manifest_path(stage) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(stage))
+        self._fs.write_bytes_atomic(
+            self._manifest_path(stage), json.dumps(manifest).encode()
+        )
         self._log(stage, "write", manifest)
         return self.spark.read.parquet(data_dir)
 
@@ -239,9 +239,10 @@ class StageCheckpointer:
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self.metrics.append(rec)
-        os.makedirs(self.root, exist_ok=True)
-        with open(os.path.join(self.root, LINEAGE_LOG), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        self._fs.mkdirs(self.root)
+        self._fs.append_line(
+            HadoopFS.join(self.root, LINEAGE_LOG), json.dumps(rec)
+        )
 
 
 def checksum(df: DataFrame, *cols: str) -> str:

@@ -45,7 +45,6 @@ batch hot-band cap.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import pyspark.sql.functions as F
@@ -55,6 +54,7 @@ from ..operators.cc import assign_clusters
 from ..operators.minhash import compute_signatures
 from ..operators.sigkernel import SigConfig
 from ..operators.verify import verify_pairs
+from ..plans.fsio import HadoopFS
 
 
 class IncrementalDeduper:
@@ -82,20 +82,19 @@ class IncrementalDeduper:
         self.max_fanout = max_fanout
         self.enable_lanes = enable_lanes
         self.num_buckets = num_buckets
-        os.makedirs(state_dir, exist_ok=True)
+        # All store bookkeeping (epoch manifests, compaction swaps, done
+        # markers) routes through the Hadoop FileSystem facade, so state_dir
+        # may be any URI with a registered FileSystem — same contract as
+        # plans/checkpoint.py.
+        self._hfs = HadoopFS(spark, state_dir)
+        self._hfs.mkdirs(state_dir)
 
     # -- state paths ---------------------------------------------------------
     def _p(self, name: str) -> str:
-        return os.path.join(self.state_dir, name)
+        return HadoopFS.join(self.state_dir, name)
 
     def _exists(self, name: str) -> bool:
-        p = self._p(name)
-        if not os.path.exists(p):
-            return False
-        for _, _, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return self._hfs.has_file_with_suffix(self._p(name), ".parquet")
 
     def _read(self, name: str) -> DataFrame | None:
         if not self._exists(name):
@@ -115,29 +114,25 @@ class IncrementalDeduper:
 
     def _live_epoch_dirs(self, name: str) -> list[str]:
         root = self._p(name)
-        if not os.path.isdir(root):
+        on_disk = [d for d in self._hfs.list_dirs(root)
+                   if d.startswith("epoch_") or d.startswith("compacted_")]
+        if not on_disk:
             return []
-        on_disk = sorted(d for d in os.listdir(root)
-                         if d.startswith("epoch_") or d.startswith("compacted_"))
-        manifest = os.path.join(root, "_LIVE.json")
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                m = json.load(f)
+        manifest = HadoopFS.join(root, "_LIVE.json")
+        if self._hfs.exists(manifest):
+            m = json.loads(self._hfs.read_bytes(manifest).decode())
             superseded = set(m.get("superseded", []))
             # live = compacted output + anything written after the swap;
             # directories named in `superseded` are folded-in duplicates
             # (possibly orphaned by a crash before their delete) — excluded
-            dirs = [d for d in on_disk if d not in superseded]
-        else:
-            dirs = on_disk
-        return [os.path.join(root, d) for d in dirs
-                if os.path.isdir(os.path.join(root, d))]
+            on_disk = [d for d in on_disk if d not in superseded]
+        return [HadoopFS.join(root, d) for d in on_disk]
 
     def _write_epoch_bucketed(self, name: str, df: DataFrame, epoch_id: int,
                               key_cols: list[str]) -> None:
         (df.withColumn("bucket", self._bucket_expr(*key_cols))
            .write.mode("overwrite").partitionBy("bucket")
-           .parquet(self._p(os.path.join(name, f"epoch_{epoch_id:012d}"))))
+           .parquet(self._p(f"{name}/epoch_{epoch_id:012d}")))
 
     def _read_bucketed(self, name: str, buckets: list[int] | None = None
                        ) -> DataFrame | None:
@@ -170,27 +165,30 @@ class IncrementalDeduper:
         delete the superseded directories (crash between the last two steps
         leaves harmless orphans that the manifest already excludes).
         Returns the number of directories folded."""
-        import shutil
-
         dirs = self._live_epoch_dirs(name)
         if len(dirs) <= 1:
             return 0
         df = self._read_bucketed(name)
         tag = f"compacted_{int(time.time() * 1000):013d}"
-        target = self._p(os.path.join(name, tag))
+        target = self._p(f"{name}/{tag}")
         (df.write.mode("overwrite").partitionBy("bucket").parquet(target))
-        manifest = self._p(os.path.join(name, "_LIVE.json"))
+        manifest = self._p(f"{name}/_LIVE.json")
         prior_superseded: list[str] = []
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                prior_superseded = json.load(f).get("superseded", [])
-        folded = sorted({os.path.basename(d) for d in dirs} | set(prior_superseded))
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"live": [tag], "superseded": folded}, f)
-        os.replace(tmp, manifest)
+        if self._hfs.exists(manifest):
+            prior_superseded = json.loads(
+                self._hfs.read_bytes(manifest).decode()
+            ).get("superseded", [])
+        folded = sorted(
+            {d.rstrip("/").rsplit("/", 1)[-1] for d in dirs} | set(prior_superseded)
+        )
+        self._hfs.write_bytes_atomic(
+            manifest, json.dumps({"live": [tag], "superseded": folded}).encode()
+        )
         for d in dirs:
-            shutil.rmtree(d, ignore_errors=True)
+            try:
+                self._hfs.delete(d, recursive=True)
+            except Exception:
+                pass  # orphan stays excluded via the manifest
         return len(dirs)
 
     # -- epoch-atomic store writes --------------------------------------------
@@ -202,27 +200,22 @@ class IncrementalDeduper:
     # data, and _mark_epoch (atomic rename) is the commit point.
     def _write_epoch(self, name: str, df: DataFrame, epoch_id: int) -> None:
         df.write.mode("overwrite").parquet(
-            self._p(os.path.join(name, f"epoch_{epoch_id:012d}"))
+            self._p(f"{name}/epoch_{epoch_id:012d}")
         )
 
     def _epoch_done(self, epoch_id: int) -> bool:
         p = self._p("epochs.json")
-        if not os.path.exists(p):
+        if not self._hfs.exists(p):
             return False
-        with open(p) as f:
-            return str(epoch_id) in json.load(f)["done"]
+        return str(epoch_id) in json.loads(self._hfs.read_bytes(p).decode())["done"]
 
     def _mark_epoch(self, epoch_id: int, meta: dict) -> None:
         p = self._p("epochs.json")
         state = {"done": {}}
-        if os.path.exists(p):
-            with open(p) as f:
-                state = json.load(f)
+        if self._hfs.exists(p):
+            state = json.loads(self._hfs.read_bytes(p).decode())
         state["done"][str(epoch_id)] = meta
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, p)
+        self._hfs.write_bytes_atomic(p, json.dumps(state).encode())
 
     # -- lane helpers ----------------------------------------------------------
     def _lane_pairs(

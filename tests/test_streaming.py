@@ -202,3 +202,35 @@ def test_compaction_preserves_store_and_prunes_dirs(spark, corpus_pdf, tmp_path)
     assert after > 0
     assignments = dd.assignments()
     assert assignments.count() == 260
+
+
+def test_store_over_scheme_qualified_uri(spark, corpus_pdf, tmp_path):
+    """The streaming state_dir is scheme-agnostic (same Hadoop FileSystem
+    facade as plans/checkpoint.py): a file:// URI exercises epoch-bucketed
+    writes, manifest-gated compaction, done-marker commit, and replay
+    idempotency end to end through the facade."""
+    state = f"file://{tmp_path}/state"
+    dd = IncrementalDeduper(
+        spark, state, CFG, BYTES_CFG, enable_lanes=("caption",), num_buckets=4,
+    )
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[:80]), 0)
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[80:160]), 1)
+    store = "sig_caption_bands"
+    before = checksum(
+        dd._read_bucketed(store), "id", "band_idx", "band_hash", "bucket"
+    )
+    assert dd._epoch_done(0) and dd._epoch_done(1)
+
+    # replaying a done epoch through the URI store is a no-op
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[:80]), 0)
+    assert checksum(
+        dd._read_bucketed(store), "id", "band_idx", "band_hash", "bucket"
+    ) == before
+
+    # compaction commit protocol over the facade
+    assert dd.compact_store(store) == 2
+    assert len(dd._live_epoch_dirs(store)) == 1
+    assert checksum(
+        dd._read_bucketed(store), "id", "band_idx", "band_hash", "bucket"
+    ) == before
+    assert dd.assignments().count() == 160
