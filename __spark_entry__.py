@@ -1100,6 +1100,70 @@ def q_quantiles_sql_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.decontaminate): docs
+    with doc_id % 20 == 0 play the benchmark, the rest the training set;
+    per-train-doc distinct-bigram overlap fraction + keep decision. The
+    benchmark gram set is broadcast; the oracle re-derives the identical
+    counts with an explicit SQL anti-structure."""
+    from datasketches_cpp_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    out = decontaminate(train, bench, "doc_id", "text", w=2,
+                        max_contamination=0.5)
+    return out.select(
+        "doc_id",
+        "total_ngrams",
+        "contaminated_ngrams",
+        F.round("contamination", 6).alias("contamination_r"),
+        "keep",
+    )
+
+
+def q_repetition_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition (operators/curation.
+    with_repetition_stats): per-doc trigram total/distinct and repeat
+    fraction — zero-shuffle array expressions."""
+    from datasketches_cpp_spark.operators.curation import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_repetition_stats(docs, "text", w=3)
+    return out.select(
+        "doc_id",
+        "ngram_total",
+        "ngram_distinct",
+        F.round("repetition_ratio", 6).alias("repetition_r"),
+    )
+
+
+def q_c4_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic filter flags (operators/curation.c4_quality_flags):
+    per-doc rule booleans + the conjunction, all codegen expressions."""
+    from datasketches_cpp_spark.operators.curation import c4_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_quality_flags(docs, "text").select(
+        "doc_id", "f_terminal", "f_min_words", "f_word_len",
+        "f_no_brace", "f_no_lorem", "f_no_js", "c4_keep",
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/curation.
+    pack_training_sequences): documents in doc_id order chunked into
+    512-token training sequences via the two-level distributed prefix sum;
+    the oracle is the equivalent single SQL window cumsum."""
+    from datasketches_cpp_spark.operators.curation import pack_training_sequences
+    from datasketches_cpp_spark.operators.textstats import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"), "text", "tokens")
+    out = pack_training_sequences(docs.select("doc_id", "tokens"),
+                                  "doc_id", "tokens", budget=512)
+    return out.select("doc_id", "tokens", "seq_offset", "seq_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
@@ -1155,6 +1219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_string_rank_coverage": q_kll_string_rank_coverage,
         "density_kde_coverage": q_density_kde_coverage,
         "aod_orderkey_sums": q_aod_orderkey_sums,
+        "decontaminate_train": q_decontaminate_train,
+        "repetition_ratio_stats": q_repetition_ratio_stats,
+        "c4_filter_flags": q_c4_filter_flags,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1496,6 +1564,59 @@ def oracle_sql() -> dict[str, str]:
                 f"TRUE AS covered FROM embeddings"
                 for i, (qx, qy) in enumerate(_KDE_POINTS)
             )
+        ),
+        "decontaminate_train": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts)-1), "
+            "  i -> ts[i] || ' ' || ts[i+1])) AS g FROM toks WHERE len(ts) >= 2), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0), "
+            "train AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0), "
+            "agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS total_ngrams, "
+            "  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_ngrams "
+            "  FROM train t LEFT JOIN bench b ON t.g = b.g GROUP BY 1), "
+            "ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) "
+            "SELECT ids.doc_id, CAST(coalesce(total_ngrams, 0) AS BIGINT) AS total_ngrams, "
+            "CAST(coalesce(contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams, "
+            "round(CASE WHEN coalesce(total_ngrams, 0) > 0 "
+            "  THEN contaminated_ngrams * 1.0 / total_ngrams ELSE 0 END, 6) AS contamination_r, "
+            "(CASE WHEN coalesce(total_ngrams, 0) > 0 "
+            "  THEN contaminated_ngrams * 1.0 / total_ngrams ELSE 0 END) <= 0.5 AS keep "
+            "FROM ids LEFT JOIN agg ON ids.doc_id = agg.doc_id"
+        ),
+        "repetition_ratio_stats": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+            "  list_transform(generate_series(1, len(ts)-2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) "
+            "  ELSE [] END AS grams FROM toks) "
+            "SELECT doc_id, CAST(len(grams) AS BIGINT) AS ngram_total, "
+            "CAST(len(list_distinct(grams)) AS BIGINT) AS ngram_distinct, "
+            "round(CASE WHEN len(grams) > 0 "
+            "  THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) ELSE 0 END, 6) AS repetition_r "
+            "FROM g"
+        ),
+        "c4_filter_flags": (
+            "WITH b AS (SELECT doc_id, trim(text) AS t FROM documents), "
+            "f AS (SELECT doc_id, t, lower(t) AS lo, "
+            "  CASE WHEN t = '' THEN 0 ELSE len(string_split_regex(t, '\\s+')) END AS n_words, "
+            "  length(regexp_replace(t, '\\s+', '', 'g')) AS n_nonspace FROM b), "
+            "r AS (SELECT doc_id, "
+            "  regexp_matches(t, '[.!?\"]$') AS f_terminal, "
+            "  n_words >= 5 AS f_min_words, "
+            "  (CASE WHEN n_words > 0 THEN n_nonspace * 1.0 / n_words ELSE 0 END) <= 10.0 AS f_word_len, "
+            "  NOT (contains(lo, '{') OR contains(lo, '}')) AS f_no_brace, "
+            "  NOT contains(lo, 'lorem ipsum') AS f_no_lorem, "
+            "  NOT contains(lo, 'javascript') AS f_no_js FROM f) "
+            "SELECT doc_id, f_terminal, f_min_words, f_word_len, f_no_brace, f_no_lorem, f_no_js, "
+            "(f_terminal AND f_min_words AND f_word_len AND f_no_brace AND f_no_lorem AND f_no_js) AS c4_keep "
+            "FROM r"
+        ),
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "  len(string_split_regex(trim(text), '\\s+')) END AS tokens FROM documents), "
+            "c AS (SELECT doc_id, tokens, CAST(coalesce(sum(tokens) OVER "
+            "  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_offset FROM t) "
+            "SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, seq_offset, "
+            "CAST(floor(seq_offset / 512) AS BIGINT) AS seq_id FROM c"
         ),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
         # ann_lsh_topk, tdigest_price_tails:

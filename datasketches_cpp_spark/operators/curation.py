@@ -1,0 +1,261 @@
+"""Corpus-curation operators for LLM training-data pipelines: benchmark
+decontamination, intra-document repetition stats, C4-style heuristic
+filters, and token-budget sequence packing.
+
+These extend the text-analysis family (textstats.py) with the remaining
+ops a 100 TB curation run needs before tokenization. Design rules shared
+with the rest of the engine:
+
+* JVM-only hot paths — every per-document computation is built-in
+  ``pyspark.sql.functions`` expressions (whole-stage codegen); the only
+  Python is driver-side planning.
+* The big side never fans out through an explode→shuffle when a broadcast
+  semi-join can answer the question (decontamination: the benchmark side
+  is small by definition — benchmarks are MBs, training corpora are TBs).
+* Global-order operations (sequence packing) use the engine's two-level
+  prefix-sum pattern (functions/sampling.py ebpps lattice): partition-local
+  window + driver-side prefix of per-partition totals — never a
+  single-partition global window.
+
+Reference analog: the reference is a sketch library, not a curation
+pipeline, but the contamination measure below is the same set-overlap
+question its theta/jaccard family answers approximately
+(theta_jaccard_similarity.hpp); here the benchmark side is small enough to
+answer exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _word_ngrams(text_col: str, w: int):
+    """Array of space-joined word w-grams of ``text_col`` (empty array when
+    fewer than w tokens). Pure expression: split → slide → join."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # sequence(0, n-w) is invalid when n < w: guard with an empty array.
+    idx = F.when(n >= w, F.sequence(F.lit(0), n - F.lit(w))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " ")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    max_contamination: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, the fraction
+    of its distinct word ``w``-grams that also occur anywhere in the
+    benchmark corpus, plus a keep/drop decision.
+
+    Returns one row per train document: ``(id, total_ngrams,
+    contaminated_ngrams, contamination, keep)``. ``contamination`` is 0.0
+    for documents shorter than ``w`` tokens (nothing to match on ⇒ keep).
+
+    Scale shape: the benchmark n-gram set is built once, deduplicated, and
+    BROADCAST — the train side explodes to distinct (id, gram) pairs and
+    answers membership with a broadcast hash semi-join, so the only wide
+    exchange is the per-id count re-aggregation of (id, matched) partials
+    (map-side combined). The 100 TB side is never shuffled by gram.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(text_col, w)).alias("g"))
+        .distinct()
+    )
+    train_grams = (
+        train.select(F.col(id_col), F.explode(_word_ngrams(text_col, w)).alias("g"))
+        .distinct()
+    )
+    hit = F.broadcast(bench_grams.withColumn("_hit", F.lit(1)))
+    per_doc = (
+        train_grams.join(hit, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("contaminated_ngrams"),
+        )
+    )
+    # Documents with < w tokens produce no grams and drop out of the
+    # aggregate — restore them as clean (0 grams, keep).
+    all_ids = train.select(id_col).distinct()
+    out = (
+        all_ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("total_ngrams"), F.lit(0)).alias("total_ngrams"),
+            F.coalesce(F.col("contaminated_ngrams"), F.lit(0)).alias(
+                "contaminated_ngrams"
+            ),
+        )
+        .withColumn(
+            "contamination",
+            F.when(F.col("total_ngrams") > 0,
+                   F.col("contaminated_ngrams") / F.col("total_ngrams"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("keep", F.col("contamination") <= F.lit(max_contamination))
+    )
+    return out
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str, w: int = 3
+) -> DataFrame:
+    """Gopher-style intra-document repetition: the fraction of word
+    ``w``-gram *occurrences* that are repeats of an earlier occurrence in
+    the same document (``1 − distinct/total``; 0.0 when the document has
+    fewer than ``w`` tokens).
+
+    Adds ``ngram_total``, ``ngram_distinct``, ``repetition_ratio``. Entirely
+    array expressions on the row — no explode, no shuffle, no UDF: the
+    filter runs at scan speed and composes with predicate pushdown."""
+    grams = _word_ngrams(text_col, w)
+    df = df.withColumn("_grams", grams)
+    out = (
+        df.withColumn("ngram_total", F.size("_grams").cast("long"))
+        .withColumn(
+            "ngram_distinct", F.size(F.array_distinct("_grams")).cast("long")
+        )
+        .withColumn(
+            "repetition_ratio",
+            F.when(
+                F.col("ngram_total") > 0,
+                1.0 - F.col("ngram_distinct") / F.col("ngram_total"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_grams")
+    )
+    return out
+
+
+# C4 (Raffel et al. 2020, §2.2) heuristics, restated at document grain for
+# single-block text. Thresholds are the paper's; the curly-brace and
+# "lorem ipsum" screens are verbatim C4 rules.
+_C4_MIN_WORDS = 5
+_C4_MAX_MEAN_WORD_LEN = 10.0
+
+
+def c4_quality_flags(df: DataFrame, text_col: str) -> DataFrame:
+    """C4-style heuristic filter flags, one boolean per rule plus the
+    conjunction ``c4_keep``:
+
+    * ``f_terminal``  — text ends in terminal punctuation (. ! ? ")
+    * ``f_min_words`` — at least 5 whitespace words
+    * ``f_word_len``  — mean word length ≤ 10 chars (gibberish screen)
+    * ``f_no_brace``  — no curly brace (code screen)
+    * ``f_no_lorem``  — no "lorem ipsum" (boilerplate screen)
+    * ``f_no_js``     — no "javascript" token (cookie-warning screen)
+
+    All `regexp`/`length` expressions — the whole filter is one codegen
+    stage over the scan, pushdown-friendly."""
+    t = F.trim(F.col(text_col))
+    low = F.lower(t)
+    n_words = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    n_nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.when(n_words > 0, n_nonspace / n_words).otherwise(F.lit(0.0))
+    df = (
+        df.withColumn("f_terminal", t.rlike(r'[.!?"]$'))
+        .withColumn("f_min_words", n_words >= _C4_MIN_WORDS)
+        .withColumn("f_word_len", mean_wl <= _C4_MAX_MEAN_WORD_LEN)
+        .withColumn("f_no_brace", ~low.contains("{") & ~low.contains("}"))
+        .withColumn("f_no_lorem", ~low.contains("lorem ipsum"))
+        .withColumn("f_no_js", ~low.contains("javascript"))
+    )
+    keep = (
+        F.col("f_terminal")
+        & F.col("f_min_words")
+        & F.col("f_word_len")
+        & F.col("f_no_brace")
+        & F.col("f_no_lorem")
+        & F.col("f_no_js")
+    )
+    return df.withColumn("c4_keep", keep)
+
+
+def pack_training_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence by
+    document-boundary chunking: documents are taken in ``id_col`` order and
+    ``seq_id = floor(tokens_before / budget)`` — every sequence holds a
+    contiguous run of documents whose cumulative start falls in its budget
+    window (a sequence may overrun by at most its last document, the
+    standard concat-then-chunk packing used before fixed-length training).
+
+    Adds ``seq_id`` and ``seq_offset`` (token offset of the document within
+    the global concatenation). Deterministic and partition-layout-invariant:
+    depends only on the total order of ``id_col``.
+
+    Scale shape: the global running sum uses the engine's two-level prefix
+    pattern — ``repartitionByRange(id)`` → window cumsum *within* each
+    range partition → per-partition totals (one tiny agg, ≤ P doubles) →
+    driver prefix → broadcast offsets. No single-partition global window.
+    """
+    from pyspark.sql import Window
+
+    P = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = (
+        df.repartitionByRange(int(P), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # localCheckpoint would also pin the layout, but the pid column is only
+    # used within this one plan, so recomputation consistency is enough:
+    # repartitionByRange is deterministic given the same sampled boundaries
+    # within a single action — to be safe across retries, derive offsets and
+    # cumsum from the SAME cached frame.
+    ranged = ranged.persist()
+    try:
+        totals = {
+            r["_pid"]: r["s"]
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum(token_count_col).alias("s"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        off_expr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                ),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+        win = (
+            Window.partitionBy("_pid")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before = off_expr + F.coalesce(
+            F.sum(token_count_col).over(win), F.lit(0)
+        )
+        out = (
+            ranged.withColumn("seq_offset", before.cast("long"))
+            .withColumn(
+                "seq_id", F.floor(F.col("seq_offset") / F.lit(budget))
+            )
+            .drop("_pid")
+        )
+        # Materialization boundary: compute while the source is pinned so
+        # executor retries cannot re-sample range boundaries mid-plan.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out

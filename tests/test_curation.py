@@ -1,0 +1,131 @@
+"""Curation operators: decontamination, repetition stats, C4 flags,
+sequence packing. Each checked against a small pure-Python twin, plus the
+engine-wide invariants: partition-layout invariance and no-UDF plans for
+the per-row ops."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_cpp_spark.operators.curation import (
+    c4_quality_flags,
+    decontaminate,
+    pack_training_sequences,
+    with_repetition_stats,
+)
+
+
+def _ngrams(text, w):
+    toks = text.split()
+    return [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the cat sat again"),
+        (1, "completely unique words never repeated anywhere here"),
+        (2, "spark spark spark spark spark spark"),
+        (3, "tiny"),
+        (4, "benchmark question one about the cat sat on mats"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_matches_python(spark, docs):
+    w = 3
+    got = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(docs, "text", w=w).collect()
+    }
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        grams = _ngrams(text, w)
+        assert got[doc_id]["ngram_total"] == len(grams)
+        assert got[doc_id]["ngram_distinct"] == len(set(grams))
+        exp = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        assert got[doc_id]["repetition_ratio"] == pytest.approx(exp)
+
+
+def test_repetition_plan_has_no_python(spark, docs):
+    plan = with_repetition_stats(docs, "text")._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan
+
+
+def test_c4_flags(spark):
+    rows = [
+        (0, "A good sentence with enough words to pass everything."),
+        (1, "no terminal punctuation here at all"),
+        (2, "short one."),
+        (3, "this has a { brace } in it and still ends fine."),
+        (4, "Lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        (5, "Please enable javascript to view this page properly."),
+        (6, "Pneumonoultramicroscopicsilicovolcanoconiosis " * 6 + "."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_quality_flags(df, "text").collect()}
+    assert got[0]["c4_keep"]
+    assert not got[1]["f_terminal"] and not got[1]["c4_keep"]
+    assert not got[2]["f_min_words"]
+    assert not got[3]["f_no_brace"]
+    assert not got[4]["f_no_lorem"]
+    assert not got[5]["f_no_js"]
+    assert not got[6]["f_word_len"]
+
+
+def test_decontaminate_counts(spark, docs):
+    bench = docs.filter("doc_id = 4").select("text")
+    train = docs.filter("doc_id < 4")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, bench, "doc_id", "text", w=2,
+                               max_contamination=0.2).collect()
+    }
+    bench_grams = set(_ngrams("benchmark question one about the cat sat on mats", 2))
+    for doc_id, text in [(0, "the cat sat on the mat and the cat sat again"),
+                         (1, "completely unique words never repeated anywhere here"),
+                         (2, "spark spark spark spark spark spark")]:
+        grams = set(_ngrams(text, 2))
+        assert out[doc_id]["total_ngrams"] == len(grams)
+        assert out[doc_id]["contaminated_ngrams"] == len(grams & bench_grams)
+        exp = len(grams & bench_grams) / len(grams)
+        assert out[doc_id]["contamination"] == pytest.approx(exp)
+        assert out[doc_id]["keep"] == (exp <= 0.2)
+    # sub-w-token doc: no grams, clean, kept
+    assert out[3]["total_ngrams"] == 0
+    assert out[3]["contamination"] == 0.0
+    assert out[3]["keep"]
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    bench = docs.filter("doc_id = 4").select("text")
+    train = docs.filter("doc_id < 4")
+    plan = (
+        decontaminate(train, bench, "doc_id", "text", w=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_matches_serial_rule(spark):
+    rows = [(i, (i * 37 + 11) % 90 + 10) for i in range(200)]  # 10..99 tokens
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    budget = 256
+    out = pack_training_sequences(df, "doc_id", "tokens", budget,
+                                  num_partitions=7)
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in out.collect()}
+    acc = 0
+    for i, tok in rows:
+        assert got[i] == (acc // budget, acc), f"doc {i}"
+        acc += tok
+
+
+def test_pack_sequences_layout_invariant(spark):
+    rows = [(i, (i * 13) % 50 + 5) for i in range(120)]
+    df1 = spark.createDataFrame(rows, "doc_id long, tokens long").repartition(1)
+    df2 = spark.createDataFrame(rows[::-1], "doc_id long, tokens long").repartition(11)
+    a = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+         for r in pack_training_sequences(df1, "doc_id", "tokens", 128).collect()}
+    b = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+         for r in pack_training_sequences(df2, "doc_id", "tokens", 128,
+                                          num_partitions=3).collect()}
+    assert a == b
