@@ -159,6 +159,8 @@ def main() -> None:
         ("classic_quantiles", lambda: entry_mod.q_classic_quantiles_coverage(spark, sf_dir).collect()),
         ("kll_rank", lambda: entry_mod.q_kll_rank_coverage(spark, sf_dir).collect()),
         ("stratified_qa", lambda: entry_mod.q_stratified_sample_qa(spark, sf_dir).collect()),
+        # corpus curation: benchmark decontamination (broadcast semi-join)
+        ("curation_decontam", lambda: entry_mod.q_decontaminate_train(spark, sf_dir).count()),
     ]
 
     sentinels = []

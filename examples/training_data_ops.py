@@ -66,4 +66,42 @@ print(
         F.sum("token_count").alias("total_tokens"),
     ).collect(),
 )
+
+# -- curation: decontaminate -> filter -> pack ------------------------------
+from datasketches_cpp_spark.operators.curation import (  # noqa: E402
+    c4_quality_flags,
+    decontaminate,
+    pack_training_sequences,
+    with_repetition_stats,
+)
+
+bench = docs.where(F.col("doc_id") % 20 == 0)        # stand-in eval set
+train = docs.where(F.col("doc_id") % 20 != 0)
+decon = decontaminate(train, bench, "doc_id", "text", w=3,
+                      max_contamination=0.1)
+flags = c4_quality_flags(with_repetition_stats(train, "text", w=3), "text")
+# the synthetic corpus is unpunctuated word streams, so the
+# terminal-punctuation rule is vacuous here — apply the other five
+keep_rules = (
+    F.col("f_min_words") & F.col("f_word_len") & F.col("f_no_brace")
+    & F.col("f_no_lorem") & F.col("f_no_js")
+)
+survivors = (
+    flags.where(keep_rules & (F.col("repetition_ratio") <= 0.2))
+    .join(decon.where("keep").select("doc_id"), "doc_id")
+)
+print(
+    f"curation: {train.count()} train docs -> {survivors.count()} survive "
+    "(C4 flags + repetition <= 0.2 + benchmark contamination <= 0.1)"
+)
+packed = pack_training_sequences(
+    with_token_count(survivors.select("doc_id", "text"), "text", "tokens")
+    .select("doc_id", "tokens"),
+    "doc_id", "tokens", budget=2048,
+)
+print(
+    "packed into",
+    packed.agg(F.countDistinct("seq_id")).collect()[0][0],
+    "training sequences of ~2048 tokens",
+)
 spark.stop()
