@@ -51,6 +51,8 @@ def decontaminate(
     text_col: str,
     w: int = 3,
     max_contamination: float = 0.1,
+    bench_side: str = "broadcast",
+    bloom_fpp: float = 0.001,
 ) -> DataFrame:
     """Benchmark decontamination: for each training document, the fraction
     of its distinct word ``w``-grams that also occur anywhere in the
@@ -60,11 +62,24 @@ def decontaminate(
     contaminated_ngrams, contamination, keep)``. ``contamination`` is 0.0
     for documents shorter than ``w`` tokens (nothing to match on ⇒ keep).
 
-    Scale shape: the benchmark n-gram set is built once, deduplicated, and
-    BROADCAST — the train side explodes to distinct (id, gram) pairs and
-    answers membership with a broadcast hash semi-join, so the only wide
-    exchange is the per-id count re-aggregation of (id, matched) partials
-    (map-side combined). The 100 TB side is never shuffled by gram.
+    Scale shape, selected by ``bench_side``:
+
+    * ``"broadcast"`` (default) — the benchmark n-gram set is built once,
+      deduplicated, and BROADCAST; the train side explodes to distinct
+      (id, gram) pairs and answers membership with a broadcast hash
+      semi-join, so the only wide exchange is the per-id count
+      re-aggregation of (id, matched) partials (map-side combined). Right
+      whenever the benchmark gram set fits an executor (benchmarks are
+      usually MBs against a TB corpus).
+    * ``"bloom"`` — for benchmark suites too large to broadcast exactly:
+      a bloom filter over the bench grams (functions/bloom.py,
+      ``bloom_fpp`` target) prunes the train grams map-side, and only the
+      surviving ~(true hits + fpp) slice is shuffle-joined against the
+      exact bench set to strike false positives. Results are IDENTICAL to
+      the broadcast path (no false negatives; the exact join removes false
+      positives) — only the shuffled volume changes. The doc-gram totals
+      come from a separate pre-filter aggregation, so the full gram stream
+      is still never shuffled by gram.
     """
     bench_grams = (
         benchmark.select(F.explode(_word_ngrams(text_col, w)).alias("g"))
@@ -74,15 +89,22 @@ def decontaminate(
         train.select(F.col(id_col), F.explode(_word_ngrams(text_col, w)).alias("g"))
         .distinct()
     )
-    hit = F.broadcast(bench_grams.withColumn("_hit", F.lit(1)))
-    per_doc = (
-        train_grams.join(hit, "g", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("total_ngrams"),
-            F.coalesce(F.sum("_hit"), F.lit(0)).alias("contaminated_ngrams"),
+    if bench_side == "bloom":
+        per_doc = _decontaminate_counts_bloom(
+            train_grams, bench_grams, id_col, bloom_fpp
         )
-    )
+    elif bench_side == "broadcast":
+        hit = F.broadcast(bench_grams.withColumn("_hit", F.lit(1)))
+        per_doc = (
+            train_grams.join(hit, "g", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("total_ngrams"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).alias("contaminated_ngrams"),
+            )
+        )
+    else:
+        raise ValueError(f"bench_side must be 'broadcast' or 'bloom', got {bench_side!r}")
     # Documents with < w tokens produce no grams and drop out of the
     # aggregate — restore them as clean (0 grams, keep).
     all_ids = train.select(id_col).distinct()
@@ -104,6 +126,47 @@ def decontaminate(
         .withColumn("keep", F.col("contamination") <= F.lit(max_contamination))
     )
     return out
+
+
+def _decontaminate_counts_bloom(
+    train_grams: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    fpp: float,
+) -> DataFrame:
+    """(id, total_ngrams, contaminated_ngrams) with a bloom-pruned exact
+    join instead of a broadcast of the full bench gram set. Exact counts:
+    the bloom has no false negatives and the inner join strikes its false
+    positives."""
+    from ..functions.bloom import (
+        bloom_filter_agg,
+        might_contain,
+        suggest_num_bits,
+        suggest_num_hashes_from,
+    )
+
+    n = bench_grams.count()
+    m = suggest_num_bits(max(n, 1), fpp)
+    k = suggest_num_hashes_from(max(n, 1), m)
+    filt = bloom_filter_agg(bench_grams, "g", m, k)
+    totals = train_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_ngrams")
+    )
+    candidates = (
+        might_contain(train_grams, filt, "g")
+        .where(F.col("might_contain"))
+        .drop("might_contain")
+    )
+    matched = candidates.join(bench_grams, "g", "inner").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("contaminated_ngrams")
+    )
+    return totals.join(matched, id_col, "left").select(
+        id_col,
+        "total_ngrams",
+        F.coalesce(F.col("contaminated_ngrams"), F.lit(0)).alias(
+            "contaminated_ngrams"
+        ),
+    )
 
 
 def with_repetition_stats(

@@ -96,6 +96,27 @@ def test_decontaminate_counts(spark, docs):
     assert out[3]["keep"]
 
 
+def test_decontaminate_bloom_path_identical(spark, docs):
+    bench = docs.filter("doc_id = 4").select("text")
+    train = docs.filter("doc_id < 4")
+    cols = ["doc_id", "total_ngrams", "contaminated_ngrams", "contamination", "keep"]
+    a = sorted(
+        tuple(r[c] for c in cols)
+        for r in decontaminate(train, bench, "doc_id", "text", w=2).collect()
+    )
+    b = sorted(
+        tuple(r[c] for c in cols)
+        for r in decontaminate(train, bench, "doc_id", "text", w=2,
+                               bench_side="bloom", bloom_fpp=0.01).collect()
+    )
+    assert a == b
+
+
+def test_decontaminate_bad_mode_raises(spark, docs):
+    with pytest.raises(ValueError, match="bench_side"):
+        decontaminate(docs, docs, "doc_id", "text", bench_side="nope")
+
+
 def test_decontaminate_broadcasts_benchmark(spark, docs):
     bench = docs.filter("doc_id = 4").select("text")
     train = docs.filter("doc_id < 4")
