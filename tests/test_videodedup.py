@@ -1,0 +1,117 @@
+"""Video near-dup lane: frame sampling → per-frame pHash → fused band
+lane → video-pair scoring → clusters. Checked against the numpy pHash
+twin, with layout invariance and the decode-seam error."""
+
+import numpy as np
+import pytest
+
+from datasketches_cpp_spark.operators.sigkernel import SigConfig
+from datasketches_cpp_spark.operators.videodedup import (
+    dedup_videos,
+    video_pairs,
+    with_frame_phash,
+)
+from datasketches_cpp_spark.sources.images import phash64
+
+
+def _frame(seed: int, w: int = 16, h: int = 16) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # blocky structure so pHash is stable under small noise
+    base = rng.integers(0, 256, (h // 4, w // 4, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+
+
+def _video(frame_seeds, noise_seed=None, w: int = 16, h: int = 16) -> bytes:
+    frames = [_frame(s, w, h) for s in frame_seeds]
+    if noise_seed is not None:
+        rng = np.random.default_rng(noise_seed)
+        frames = [
+            np.clip(f.astype(np.int16) + rng.integers(-2, 3, f.shape), 0, 255)
+            .astype(np.uint8)
+            for f in frames
+        ]
+    return b"".join(f.tobytes() for f in frames)
+
+
+@pytest.fixture(scope="module")
+def videos(spark):
+    w = h = 16
+    rows = [
+        ("vidA", _video(range(8)), w, h, "rawv"),
+        ("vidB", _video(range(8), noise_seed=99), w, h, "rawv"),  # near-dup of A
+        ("vidC", _video(range(100, 108)), w, h, "rawv"),          # distinct
+        ("vidD", _video(range(200, 204)), w, h, "rawv"),          # distinct, shorter
+    ]
+    return spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def test_frame_phash_matches_numpy_twin(spark, videos):
+    from datasketches_cpp_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(videos, every_k=2, id_col="video_id")
+    got = {
+        (r["video_id"], r["frame_idx"]): r["phash"]
+        for r in with_frame_phash(frames, "video_id").collect()
+    }
+    assert len(got) == 8 // 2 * 3 + 4 // 2  # 4 per 8-frame video, 2 for vidD
+    for (vid, fi), ph in got.items():
+        seed = {"vidA": fi, "vidC": 100 + fi, "vidD": 200 + fi}.get(vid)
+        if seed is None:
+            continue  # vidB is the noisy twin, checked via pairing below
+        exp = phash64(_frame(seed).reshape(1, -1).ravel(), 16, 16)
+        assert ph == np.int64(np.uint64(exp)).item()
+
+
+def test_dedup_videos_clusters_near_dups_only(spark, videos):
+    cfg = SigConfig(phash_hamming=6)
+    res = dedup_videos(videos, cfg, every_k=2, min_matching_frames=2)
+    assign = {r["id"]: r["cluster_id"] for r in res["assignments"].collect()}
+    assert set(assign) == {"vidA", "vidB", "vidC", "vidD"}
+    assert assign["vidA"] == assign["vidB"] == "vidA"
+    assert assign["vidC"] == "vidC"
+    assert assign["vidD"] == "vidD"
+    pairs = res["pairs"].collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["video_a"], pairs[0]["video_b"]) == ("vidA", "vidB")
+    assert pairs[0]["matched_frames"] >= 2
+
+
+def test_video_pairs_min_frames_threshold(spark, videos):
+    from datasketches_cpp_spark.operators.multimodal import sample_frames
+
+    cfg = SigConfig(phash_hamming=6)
+    ph = with_frame_phash(sample_frames(videos, every_k=2), "video_id")
+    # raising the bar above the sampled-frame count kills the A-B pair
+    none = video_pairs(ph, cfg, min_matching_frames=5)
+    assert none.count() == 0
+
+
+def test_dedup_videos_layout_invariant(spark, videos):
+    cfg = SigConfig(phash_hamming=6)
+    a = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_videos(videos.repartition(1), cfg, every_k=2)[
+            "assignments"
+        ].collect()
+    }
+    b = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_videos(videos.repartition(7), cfg, every_k=2)[
+            "assignments"
+        ].collect()
+    }
+    assert a == b
+
+
+def test_container_codec_seam_raises(spark):
+    df = spark.createDataFrame(
+        [("v", b"\x00" * 100, 4, 4, "mp4")],
+        "video_id string, bytes binary, w int, h int, fmt string",
+    )
+    from py4j.protocol import Py4JJavaError
+    from datasketches_cpp_spark.operators.multimodal import sample_frames
+
+    with pytest.raises((Py4JJavaError, Exception), match="NotImplementedError|codec"):
+        sample_frames(df, every_k=1).collect()
