@@ -164,12 +164,28 @@ def main() -> None:
     ]
 
     sentinels = []
-    for _pass in range(2):
+    bench_t0 = time.time()
+    n_passes = 2
+    _pass = 0
+    while _pass < n_passes:
         sentinels.append(cpu_sentinel())
         n_assigned = run("image_dedup", flagship)
         assert n_assigned == n_images, (n_assigned, n_images)
         for name, fn in small_queries:
             run(name, fn)
+        _pass += 1
+        # noise-adaptive third pass: if either timed pass ran under
+        # measurable neighbor contention (sentinel > 2x its ~1.5 s quiet
+        # nominal), one extra pass buys the min() protocol another shot at
+        # a quiet window. Bounded: at most 3 passes, and only while the
+        # bench is still inside a sane wall budget.
+        if (
+            n_passes == 2
+            and _pass == 2
+            and max(sentinels) > 3.0
+            and time.time() - bench_t0 < 900
+        ):
+            n_passes = 3
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_dedup"], 1)
