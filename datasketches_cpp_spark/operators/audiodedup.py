@@ -1,0 +1,173 @@
+"""Audio near-duplicate detection: spectral-landmark fingerprints
+(Shazam-style constellation hashing, Wang 2003) over raw PCM16, scored by
+shared-landmark counts and clustered with the shared connected-components
+operator.
+
+Lane shape, consistent with the image/video lanes:
+
+* Fingerprinting is a narrow ``mapInPandas`` stage — clips are grouped by
+  buffer length inside each Arrow batch and processed as ONE
+  (m, frames, window) ndarray per group (the engine's batch-vectorization
+  idiom): rFFT magnitudes, top-k peak bins per frame, anchor→target
+  landmark pairs packed into int64 hashes. No shuffle, no per-clip numpy
+  calls.
+* Pair generation groups by landmark hash (ONE wide shuffle, map-side
+  combined), drops ubiquitous landmarks above a cap (a hot landmark —
+  like a stopword — carries no identity signal; the cap is deterministic
+  and documented in the result), expands within-group pairs with JVM
+  array algebra, and scores each audio pair by its DISTINCT shared
+  landmark count.
+* The decode seam matches the engine: fmt='pcm16' (raw mono) is real;
+  compressed codecs raise NotImplementedError at the seam
+  (multimodal.audio_features precedent).
+
+Landmark hash layout (int64, reproducible across partitionings):
+``(f1 << 24) | (f2 << 8) | dt`` with f1, f2 < 2^12 (rFFT bins of a ≤ 8192
+window) and dt ≤ fan_dt < 2^8 frames.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .cc import assign_clusters
+
+
+def audio_landmarks(
+    audio: DataFrame,
+    id_col: str = "audio_id",
+    window: int = 1024,
+    peaks_per_frame: int = 3,
+    fan_dt: int = 3,
+) -> DataFrame:
+    """(id, landmark:long) — distinct spectral landmarks per clip.
+
+    Frames are non-overlapping ``window``-sample slices; each frame
+    contributes its ``peaks_per_frame`` strongest rFFT bins (DC excluded),
+    and every peak is paired with every peak of the next ``fan_dt`` frames
+    to form (f1, f2, dt) landmarks. Sub-window clips yield no rows."""
+    schema = f"{id_col} string, landmark long"
+    cols = [id_col, "bytes", "fmt"]
+    k = peaks_per_frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bad = pdf.loc[pdf["fmt"] != "pcm16", "fmt"]
+            if len(bad):
+                raise NotImplementedError(
+                    f"audio decode for fmt={bad.iloc[0]!r} requires a codec "
+                    "not present in this environment; only fmt='pcm16' "
+                    "(raw mono) is supported here"
+                )
+            lens = pdf["bytes"].map(len)
+            for blen, idx in pdf.groupby(lens, sort=False).indices.items():
+                idx = np.asarray(idx)
+                n_frames = (int(blen) // 2) // window
+                if n_frames < 2:
+                    continue
+                ids = pdf[id_col].iloc[idx].to_numpy()
+                pcm = np.frombuffer(
+                    b"".join(pdf["bytes"].iloc[idx].tolist()), dtype="<i2"
+                ).astype(np.float32)
+                frames = pcm.reshape(len(idx), -1)[
+                    :, : n_frames * window
+                ].reshape(len(idx), n_frames, window)
+                mag = np.abs(np.fft.rfft(frames, axis=2))
+                mag[:, :, 0] = 0.0  # DC carries level, not identity
+                # top-k bins per frame, then SORT the k bins so the peak
+                # set is order-canonical (argpartition order is unspecified)
+                peaks = np.sort(
+                    np.argpartition(mag, -k, axis=2)[:, :, -k:], axis=2
+                ).astype(np.int64)
+                hashes = []
+                for d in range(1, min(fan_dt, n_frames - 1) + 1):
+                    f1 = peaks[:, :-d, :, None]          # (m, T-d, k, 1)
+                    f2 = peaks[:, d:, None, :]           # (m, T-d, 1, k)
+                    h = (f1 << 24) | (f2 << 8) | d       # (m, T-d, k, k)
+                    hashes.append(h.reshape(len(idx), -1))
+                allh = np.concatenate(hashes, axis=1)
+                out_ids, out_lms = [], []
+                for j in range(len(idx)):
+                    u = np.unique(allh[j])
+                    out_ids.append(np.repeat(ids[j], len(u)))
+                    out_lms.append(u)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_ids),
+                        "landmark": np.concatenate(out_lms),
+                    }
+                )
+
+    return audio.select(cols).mapInPandas(run, schema)
+
+
+def audio_pairs(
+    landmarks: DataFrame,
+    id_col: str = "audio_id",
+    min_shared: int = 8,
+    max_ids_per_landmark: int = 64,
+) -> DataFrame:
+    """(audio_a, audio_b, shared_landmarks) for clip pairs sharing at
+    least ``min_shared`` distinct landmarks.
+
+    One wide shuffle: groupBy(landmark).collect_set(id) (map-side
+    combined), landmarks held by more than ``max_ids_per_landmark`` clips
+    are dropped (a landmark that ubiquitous is spectrum boilerplate — the
+    same reasoning as the LSH lane's hot-band policies, and deterministic),
+    then within-group pairs expand as sorted JVM array algebra (a < b by
+    construction) and score by count per pair."""
+    grouped = (
+        landmarks.groupBy("landmark")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_ids_per_landmark)
+        )
+    )
+    pairs = grouped.select(
+        F.posexplode("ids").alias("i", "a"), F.col("ids")
+    ).select(
+        "a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b")
+    )
+    return (
+        pairs.groupBy(F.col("a").alias("audio_a"), F.col("b").alias("audio_b"))
+        .agg(F.count(F.lit(1)).alias("shared_landmarks"))
+        .where(F.col("shared_landmarks") >= min_shared)
+    )
+
+
+def dedup_audio(
+    audio: DataFrame,
+    id_col: str = "audio_id",
+    window: int = 1024,
+    peaks_per_frame: int = 3,
+    fan_dt: int = 3,
+    min_shared: int = 8,
+    max_ids_per_landmark: int = 64,
+) -> dict:
+    """Full audio near-dup pipeline: landmarks → shared-count pairs →
+    connected components. Returns {'assignments', 'pairs', 'landmarks'};
+    assignments cover EVERY input clip (singletons keep their own id) and
+    are partition-layout-invariant."""
+    lm = audio_landmarks(
+        audio,
+        id_col=id_col,
+        window=window,
+        peaks_per_frame=peaks_per_frame,
+        fan_dt=fan_dt,
+    )
+    pairs = audio_pairs(
+        lm,
+        id_col=id_col,
+        min_shared=min_shared,
+        max_ids_per_landmark=max_ids_per_landmark,
+    )
+    edges = pairs.select(F.col("audio_a").alias("a"), F.col("audio_b").alias("b"))
+    assignments = assign_clusters(audio.select(F.col(id_col).alias("id")), edges)
+    return {"assignments": assignments, "pairs": pairs, "landmarks": lm}
