@@ -1164,6 +1164,112 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tokens", "seq_offset", "seq_id")
 
 
+# ---------------------------------------------------------------------------
+# Video / audio planted-truth contracts. The driver tables carry no binary
+# columns, so these lanes get deterministic synthesized corpora with PLANTED
+# duplicates; the oracle is the independently-derived expected assignment
+# (known by construction, not by running the pipeline) as SQL literals —
+# a golden-expected-output contract, hash-checked like every other query.
+# ---------------------------------------------------------------------------
+
+_VIDEO_N = 24          # every 4th is a noisy twin of its predecessor
+_AUDIO_N = 18          # every 3rd is a noisy twin of its predecessor
+
+
+def _planted_video_rows():
+    import numpy as np
+
+    w = h = 16
+    frames = 8
+
+    def make(seed: int, noise: bool) -> bytes:
+        g = np.random.default_rng(seed)
+        gn = np.random.default_rng(seed + 10**6)
+        out = []
+        for _ in range(frames):
+            base = g.integers(0, 256, (h // 4, w // 4, 3), dtype=np.uint8)
+            f = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+            if noise:
+                f = np.clip(
+                    f.astype(np.int16) + gn.integers(-2, 3, f.shape), 0, 255
+                ).astype(np.uint8)
+            out.append(f.tobytes())
+        return b"".join(out)
+
+    rows, truth = [], {}
+    for i in range(_VIDEO_N):
+        vid = f"v{i:05d}"
+        if i % 4 == 3:
+            rows.append((vid, make(i - 1, True), w, h, "rawv"))
+            truth[vid] = f"v{i - 1:05d}"
+        else:
+            rows.append((vid, make(i, False), w, h, "rawv"))
+            truth[vid] = vid
+    return rows, truth
+
+
+def _planted_audio_rows():
+    import numpy as np
+
+    window, frames = 1024, 8
+
+    def make(bins, noise_seed=None) -> bytes:
+        t = np.arange(frames * window)
+        x = sum(
+            a * np.sin(2 * np.pi * b * t / window)
+            for b, a in zip(bins, (1.0, 0.8, 0.6))
+        )
+        if noise_seed is not None:
+            x = x + np.random.default_rng(noise_seed).normal(0, 0.002, x.shape)
+        return (np.clip(x, -1, 1) * 20000).astype("<i2").tobytes()
+
+    rows, truth = [], {}
+    for i in range(_AUDIO_N):
+        aid = f"a{i:05d}"
+        if i % 3 == 2:
+            base = 40 + 17 * (i - 1)
+            rows.append((aid, make((base, base + 70, base + 160), noise_seed=i), "pcm16"))
+            truth[aid] = f"a{i - 1:05d}"
+        else:
+            base = 40 + 17 * i
+            rows.append((aid, make((base, base + 70, base + 160)), "pcm16"))
+            truth[aid] = aid
+    return rows, truth
+
+
+def q_video_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup lane (operators/videodedup.dedup_videos) on a
+    deterministic synthesized corpus with planted noisy twins. The oracle
+    is the planted truth itself (known by construction), so a hash match
+    proves the full frame-sample → pHash → band lane → CC chain recovers
+    exactly the planted clustering — no more, no less."""
+    from datasketches_cpp_spark.operators.videodedup import dedup_videos
+
+    rows, _ = _planted_video_rows()
+    videos = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    res = dedup_videos(videos, SigConfig(phash_hamming=6), every_k=2,
+                       min_matching_frames=2)
+    return res["assignments"]
+
+
+def q_audio_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup lane (operators/audiodedup.dedup_audio) on bin-exact
+    sine clips with planted noisy twins; oracle = planted truth literals
+    (same golden-expected-output contract as the video lane)."""
+    from datasketches_cpp_spark.operators.audiodedup import dedup_audio
+
+    rows, _ = _planted_audio_rows()
+    audio = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    return dedup_audio(audio, min_shared=8)["assignments"]
+
+
+def _planted_truth_sql(truth: dict) -> str:
+    vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(truth.items()))
+    return f"SELECT * FROM (VALUES {vals}) AS t(id, cluster_id)"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
@@ -1223,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio_stats": q_repetition_ratio_stats,
         "c4_filter_flags": q_c4_filter_flags,
         "pack_sequences": q_pack_sequences,
+        "video_dedup_planted": q_video_dedup_planted,
+        "audio_dedup_planted": q_audio_dedup_planted,
     }
 
 
@@ -1618,6 +1726,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, seq_offset, "
             "CAST(floor(seq_offset / 512) AS BIGINT) AS seq_id FROM c"
         ),
+        "video_dedup_planted": _planted_truth_sql(_planted_video_rows()[1]),
+        "audio_dedup_planted": _planted_truth_sql(_planted_audio_rows()[1]),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
         # ann_lsh_topk, tdigest_price_tails:
         # intentionally no oracle — LSH banding, sketch internals, and
