@@ -249,6 +249,7 @@ def pack_training_sequences(
     token_count_col: str,
     budget: int,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget training sequence by
     document-boundary chunking: documents are taken in ``id_col`` order and
@@ -318,7 +319,11 @@ def pack_training_sequences(
         )
         # Materialization boundary: compute while the source is pinned so
         # executor retries cannot re-sample range boundaries mid-plan.
-        out = out.localCheckpoint(eager=True)
+        # materialize=False exposes the live plan (tests assert its shape);
+        # the caller then owns the pin-before-action discipline.
+        if materialize:
+            out = out.localCheckpoint(eager=True)
     finally:
-        ranged.unpersist()
+        if materialize:
+            ranged.unpersist()
     return out

@@ -140,6 +140,19 @@ def test_pack_sequences_matches_serial_rule(spark):
         acc += tok
 
 
+def test_pack_sequences_no_global_window(spark):
+    """The scale contract: the running sum must come from the two-level
+    prefix pattern (per-range-partition window + broadcast offsets), never
+    a single-partition global window."""
+    rows = [(i, 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    out = pack_training_sequences(df, "doc_id", "tokens", 64, num_partitions=5,
+                                  materialize=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan  # the per-partition cumsum is really a window
+
+
 def test_pack_sequences_layout_invariant(spark):
     rows = [(i, (i * 13) % 50 + 5) for i in range(120)]
     df1 = spark.createDataFrame(rows, "doc_id long, tokens long").repartition(1)
