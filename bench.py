@@ -164,28 +164,35 @@ def main() -> None:
     ]
 
     sentinels = []
+    flagship_passes = []
     bench_t0 = time.time()
     n_passes = 2
     _pass = 0
     while _pass < n_passes:
         sentinels.append(cpu_sentinel())
+        t_f = time.time()
         n_assigned = run("image_dedup", flagship)
+        flagship_passes.append(round(time.time() - t_f, 3))
         assert n_assigned == n_images, (n_assigned, n_images)
         for name, fn in small_queries:
             run(name, fn)
         _pass += 1
-        # noise-adaptive third pass: if either timed pass ran under
-        # measurable neighbor contention (sentinel > 2x its ~1.5 s quiet
-        # nominal), one extra pass buys the min() protocol another shot at
-        # a quiet window. Bounded: at most 3 passes, and only while the
-        # bench is still inside a sane wall budget.
-        if (
-            n_passes == 2
-            and _pass == 2
-            and max(sentinels) > 3.0
-            and time.time() - bench_t0 < 900
-        ):
-            n_passes = 3
+        # noise-adaptive third pass, two triggers (bounded: max 3 passes,
+        # 15-minute wall budget):
+        #  * sentinel > 2x its ~1.5 s quiet nominal — single-thread
+        #    contention;
+        #  * the two flagship passes disagree by > 1.3x — the host's
+        #    multi-thread bandwidth grant is unstable even when the
+        #    single-thread sentinel reads quiet (observed: identical code
+        #    at 9.4 s and 87 s under sentinel 1.2 vs 1.8).
+        # Either way one extra pass buys the min() protocol another shot.
+        if n_passes == 2 and _pass == 2 and time.time() - bench_t0 < 900:
+            unstable = (
+                len(flagship_passes) == 2
+                and max(flagship_passes) > 1.3 * min(flagship_passes)
+            )
+            if max(sentinels) > 3.0 or unstable:
+                n_passes = 3
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_dedup"], 1)
@@ -203,6 +210,7 @@ def main() -> None:
         # sentinel is ~1.5 s; cpu_sec is container CPU burned by the whole
         # bench including warmup and both passes
         "sentinel_sec": sentinels,
+        "flagship_passes_sec": flagship_passes,
     }
     if cpu_end is not None and _CPU_START is not None:
         out["cpu_sec"] = round(cpu_end - _CPU_START, 1)
