@@ -62,6 +62,7 @@ class ClassicQuantilesSketch:
         values = values[~np.isnan(values)]
         if len(values) == 0:
             return
+        values = values + 0.0  # -0.0 -> +0.0, see quantiles.KllSketch.update_batch
         self.min_item = min(self.min_item, float(values.min()))
         self.max_item = max(self.max_item, float(values.max()))
         self.n += len(values)

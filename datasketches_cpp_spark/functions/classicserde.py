@@ -81,7 +81,8 @@ def serialize_classic(sk: ClassicQuantilesSketch) -> bytes:
     out += struct.pack("<BBBBHH", 2, _SERIAL_VERSION, _FAMILY,
                        (1 << _F_COMPACT) | (1 << _F_SORTED), sk.k, 0)
     out += struct.pack("<Qdd", sk.n, sk.min_item, sk.max_item)
-    out += np.sort(np.asarray(sk.base, np.float64)).astype("<f8").tobytes()
+    # stable: identity on already-sorted buffers -> byte isomorphism over ±0.0
+    out += np.sort(np.asarray(sk.base, np.float64), kind="stable").astype("<f8").tobytes()
     for i in range(levels_needed):
         if bit_pattern & (1 << i):
             lvl = sk.levels[i] if i < len(sk.levels) else None

@@ -86,6 +86,7 @@ class DensitySketch:
         pts = np.asarray(points, np.float64).reshape(-1, self.dim)
         if len(pts) == 0:
             return
+        pts = pts + 0.0  # -0.0 -> +0.0, see quantiles.KllSketch.update_batch
         self.n += len(pts)
         self.levels[0] = np.concatenate([self.levels[0], pts])
         self._maybe_compact()

@@ -90,7 +90,11 @@ def serialize_kll(sk: KllSketch, item_dtype: str = "<f8") -> bytes:
             "<BBBBHBB", _PREAMBLE_SHORT, _SV_FULL, _FAMILY, 1 << _F_EMPTY,
             sk.k, _M, 0,
         )
-    levels = [np.sort(np.asarray(lvl, np.float64)) for lvl in sk.levels]
+    # stable sort: a stable sort of an already-sorted buffer is the identity,
+    # so serialize(deserialize(b)) == b holds even for foreign blobs whose
+    # equal-comparing items (e.g. -0.0 vs +0.0) arrive in an order np.sort's
+    # default quicksort would not preserve.
+    levels = [np.sort(np.asarray(lvl, np.float64), kind="stable") for lvl in sk.levels]
     retained = int(sum(len(lvl) for lvl in levels))
     if sk.n == 1:
         head = struct.pack(

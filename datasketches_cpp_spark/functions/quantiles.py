@@ -78,6 +78,13 @@ class KllSketch:
         items = items[~np.isnan(items)]
         if len(items) == 0:
             return
+        # canonicalize -0.0 -> +0.0 on entry (x + 0.0 is the identity for
+        # every other float): np.sort is not a total order over ±0.0, so a
+        # retained -0.0 would land nondeterministically among equal zeros and
+        # break serialize∘deserialize byte isomorphism. Mirrors the
+        # reference's update-time canonicalization for theta
+        # (theta_update_sketch_base.hpp:235-249).
+        items = items + 0.0
         self.n += len(items)
         self.min_item = min(self.min_item, float(items.min()))
         self.max_item = max(self.max_item, float(items.max()))

@@ -155,6 +155,7 @@ class ReqSketch:
         v = v[~np.isnan(v)]
         if len(v) == 0:
             return
+        v = v + 0.0  # -0.0 -> +0.0, see quantiles.KllSketch.update_batch
         self.n += len(v)
         self.min = min(self.min, float(v.min()))
         self.max = max(self.max, float(v.max()))

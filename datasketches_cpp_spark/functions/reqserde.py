@@ -73,10 +73,11 @@ def serialize_req(sk: ReqSketch, item_dtype: str = "<f8") -> bytes:
         out += struct.pack("<Q", sk.n)
         out += np.array([sk.min, sk.max], dtype=dt).tobytes()
     if raw_items:
-        out += np.sort(sk.compactors[0].buf).astype(dt).tobytes()
+        # stable: identity on already-sorted buffers -> byte isomorphism over ±0.0
+        out += np.sort(sk.compactors[0].buf, kind="stable").astype(dt).tobytes()
         return bytes(out)
     for c in sk.compactors:
-        buf = np.sort(np.asarray(c.buf, np.float64))
+        buf = np.sort(np.asarray(c.buf, np.float64), kind="stable")
         out += struct.pack("<Qf", int(c.state), float(c.section_size_raw))
         out += struct.pack("<BBHI", int(c.lg_weight), int(c.num_sections), 0, len(buf))
         out += buf.astype(dt).tobytes()
