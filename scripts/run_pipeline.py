@@ -10,6 +10,7 @@ parallelism levels (the sandbox stand-in for N vs 4N executors).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -73,6 +74,16 @@ def main() -> None:
         out["phases"] = phases
     print(json.dumps(out))
     if out_path:
+        # never silently clobber committed benchmark evidence: a round-3
+        # side-effect re-run overwrote the cited 500k scaling JSONs with a
+        # 20k probe. Refuse to overwrite an existing file unless the caller
+        # explicitly opts in with RUN_PIPELINE_OVERWRITE=1.
+        if os.path.exists(out_path) and os.environ.get("RUN_PIPELINE_OVERWRITE") != "1":
+            raise SystemExit(
+                f"refusing to overwrite existing {out_path} "
+                "(set RUN_PIPELINE_OVERWRITE=1 or pick a new filename; "
+                "committed evidence files must not be clobbered by re-runs)"
+            )
         with open(out_path, "w") as f:
             json.dump(out, f)
     spark.stop()
