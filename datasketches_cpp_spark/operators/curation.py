@@ -292,7 +292,9 @@ def pack_training_sequences(
         offsets, acc = {}, 0
         for pid in sorted(totals):
             offsets[pid] = acc
-            acc += totals[pid]
+            # Spark's sum over an all-NULL partition is NULL (None) — treat
+            # it as contributing zero tokens rather than raising TypeError
+            acc += totals[pid] or 0
         off_expr = F.coalesce(
             F.element_at(
                 F.create_map(
@@ -320,7 +322,11 @@ def pack_training_sequences(
         # Materialization boundary: compute while the source is pinned so
         # executor retries cannot re-sample range boundaries mid-plan.
         # materialize=False exposes the live plan (tests assert its shape);
-        # the caller then owns the pin-before-action discipline.
+        # the caller then owns the pin-before-action discipline, INCLUDING
+        # the persisted `ranged` frame backing the returned plan — it stays
+        # cached until the caller unpersists it (reachable via
+        # out.sparkSession.catalog.clearCache() or the frame's lineage);
+        # with materialize=True (the default) it is released here.
         if materialize:
             out = out.localCheckpoint(eager=True)
     finally:

@@ -13,9 +13,13 @@ mixing seeds corrupts a theta union).
 The root may be ANY URI with a registered Hadoop FileSystem (file://,
 hdfs://, s3a://, abfs://, bare local paths...): manifest and lineage
 bookkeeping route through the same ``org.apache.hadoop.fs.FileSystem``
-API Spark uses to commit the parquet snapshots themselves (plans/fsio.py),
-so the commit-point discipline holds wherever the data lands. A scheme
-with no registered FileSystem fails at construction
+API Spark uses to commit the parquet snapshots themselves (plans/fsio.py).
+On stores with atomic rename (HDFS, local) the manifest publish is a true
+commit point; on stores without FileContext rename-OVERWRITE (e.g. s3a)
+the overwrite fallback has a narrow crash window in which a RE-commit can
+lose the previous manifest — the stage then reads as incomplete and is
+recomputed, never read corrupt (see fsio.HadoopFS.rename_overwrite). A
+scheme with no registered FileSystem fails at construction
 (``FsResolutionError``), never mid-pipeline.
 
 Layout (one root per pipeline run):
@@ -99,6 +103,17 @@ class StageCheckpointer:
         # of pipeline work (FsResolutionError <: ValueError).
         self._fs = HadoopFS(self.spark, self.root)
 
+    def close(self) -> None:
+        """Release the private Hadoop FileSystem (connections/thread pools
+        on remote stores). The checkpointer is unusable afterwards."""
+        self._fs.close()
+
+    def __enter__(self) -> "StageCheckpointer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- paths ---------------------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
         return HadoopFS.join(self.root, stage)
@@ -136,8 +151,13 @@ class StageCheckpointer:
             return None
         try:
             m = json.loads(self._fs.read_bytes(path).decode())
-        except (json.JSONDecodeError, UnicodeDecodeError, OSError):
-            return None  # torn manifest == no manifest (recompute)
+        except Exception:
+            # torn manifest == no manifest (recompute). Broad catch is
+            # deliberate: fsio reads go through py4j, so a manifest that
+            # vanishes or errors between exists() and read_bytes() surfaces
+            # as Py4JJavaError / Py4JError, not OSError — all of them mean
+            # "this stage has no readable commit marker".
+            return None
         if m.get("version") != MANIFEST_VERSION or "fingerprint" not in m:
             return None
         if m["fingerprint"] != self.fingerprint:

@@ -82,6 +82,24 @@ class HadoopFS:
                 pass  # not every FileSystem supports checksum toggles
         self.root = root_uri
 
+    def close(self) -> None:
+        """Release the private FileSystem instance (thread pools /
+        connections on s3a/abfs). Safe to call twice. newInstance-created
+        filesystems are NOT in Hadoop's cache, so nothing else is
+        affected — but they also are never closed for us, hence this."""
+        fs, self._fs = getattr(self, "_fs", None), None
+        if fs is not None:
+            try:
+                fs.close()
+            except Exception:
+                pass  # double-close / already-shut-down gateway
+
+    def __enter__(self) -> "HadoopFS":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- path helpers --------------------------------------------------------
     def jpath(self, path: str):
         return self._Path(path)
@@ -167,9 +185,17 @@ class HadoopFS:
             out.close()
 
     def rename_overwrite(self, src: str, dst: str) -> None:
-        """Atomic where the store supports it (HDFS/local); FileContext's
-        Options.Rename.OVERWRITE is the atomic primitive, with a
-        delete+rename fallback."""
+        """Atomic where the store supports FileContext rename-OVERWRITE
+        (HDFS, local). On stores WITHOUT it (e.g. s3a) the fallback is
+        delete-then-rename, which has a crash window: if the process dies
+        after the delete and before the rename, a previously committed dst
+        is gone and the stage silently downgrades to recompute (never to
+        corruption — load_manifest treats a missing manifest as
+        incomplete). The fallback tries a plain rename first so the window
+        only exists when dst already exists (i.e. on re-commit), and
+        verifies dst after the rename. Object-store deployments that need
+        a crash-proof commit should point the checkpoint root at a store
+        with atomic rename, or accept the recompute-on-crash semantics."""
         jsrc, jdst = self.jpath(src), self.jpath(dst)
         try:
             fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
@@ -181,10 +207,14 @@ class HadoopFS:
             opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
             fc.rename(jsrc, jdst, opts)
         except Exception:
-            if self._fs.exists(jdst):
-                self._fs.delete(jdst, False)
+            # plain rename first: succeeds when dst is absent, no window
             if not self._fs.rename(jsrc, jdst):
-                raise IOError(f"rename {src} -> {dst} failed")
+                if self._fs.exists(jdst):
+                    self._fs.delete(jdst, False)  # <- crash window starts
+                if not self._fs.rename(jsrc, jdst):
+                    raise IOError(f"rename {src} -> {dst} failed")
+            if not self._fs.exists(jdst):
+                raise IOError(f"rename {src} -> {dst} left no destination")
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
         tmp = path + ".tmp"

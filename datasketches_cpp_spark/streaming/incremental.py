@@ -89,6 +89,17 @@ class IncrementalDeduper:
         self._hfs = HadoopFS(spark, state_dir)
         self._hfs.mkdirs(state_dir)
 
+    def close(self) -> None:
+        """Release the private Hadoop FileSystem (connections/thread pools
+        on remote stores). The deduper is unusable afterwards."""
+        self._hfs.close()
+
+    def __enter__(self) -> "IncrementalDeduper":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- state paths ---------------------------------------------------------
     def _p(self, name: str) -> str:
         return HadoopFS.join(self.state_dir, name)

@@ -153,6 +153,19 @@ def test_pack_sequences_no_global_window(spark):
     assert "Window" in plan  # the per-partition cumsum is really a window
 
 
+def test_pack_sequences_null_tokens_partition(spark):
+    """A range partition whose token column is entirely NULL must pack as
+    zero tokens, not raise TypeError (Spark sum over all-NULL is NULL)."""
+    rows = [(i, None if i < 40 else 10) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    out = pack_training_sequences(df, "doc_id", "tokens", 64, num_partitions=6)
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in out.collect()}
+    acc = 0
+    for i, tok in rows:
+        assert got[i] == (acc // 64, acc), f"doc {i}"
+        acc += tok or 0
+
+
 def test_pack_sequences_layout_invariant(spark):
     rows = [(i, (i * 13) % 50 + 5) for i in range(120)]
     df1 = spark.createDataFrame(rows, "doc_id long, tokens long").repartition(1)
