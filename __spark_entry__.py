@@ -619,6 +619,41 @@ def q_hll_sketch_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_hip_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-built (never-merged) HLL with the reference's HIP accumulator
+    (functions/hll.HllState, HllArray-internal.hpp:545-553
+    hipAndKxQIncrementalUpdate; getEstimate :322-327): one canonical stream
+    per group via hll_stream_agg, so the estimate carries the TIGHTER
+    0.8325546/√K envelope (HllUtil.hpp:85) instead of the composite
+    1.03896/√K. The contract checks exact-count coverage at ±3σ_HIP AND
+    that the reported interval really is the HIP-width one (narrower than
+    the composite interval would be at the same k)."""
+    from datasketches_cpp_spark.functions.hll import (
+        HLL_HIP_RSE_FACTOR,
+        HLL_NON_HIP_RSE_FACTOR,
+        hll_stream_agg,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = hll_stream_agg(li, [], "l_partkey", lg_k=12, num_std_devs=3)
+    exact = li.agg(F.countDistinct("l_partkey").cast("long").alias("exact_distinct"))
+    # HIP interval must be strictly narrower than the composite interval
+    # built from the same estimate (the whole point of HIP)
+    z_hip = 3 * HLL_HIP_RSE_FACTOR / (1 << 12) ** 0.5
+    z_comp = 3 * HLL_NON_HIP_RSE_FACTOR / (1 << 12) ** 0.5
+    return sk.crossJoin(exact).select(
+        "exact_distinct",
+        (
+            (F.col("lower_bound") <= F.col("exact_distinct"))
+            & (F.col("exact_distinct") <= F.col("upper_bound"))
+        ).alias("covered"),
+        (
+            (F.col("upper_bound") - F.col("lower_bound"))
+            < F.col("estimate") * (1.0 / (1.0 - z_comp) - 1.0 / (1.0 + z_comp))
+        ).alias("tighter_than_composite"),
+    )
+
+
 def q_hll_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct suppliers as a hash-checkable coverage contract (same
     pattern as cpc_distinct_coverage): emit the exact count plus whether
@@ -1309,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_coverage": q_pq_recall_coverage,
         "hll_distinct_suppliers": q_hll_distinct_suppliers,
         "hll_sketch_coverage": q_hll_sketch_coverage,
+        "hll_hip_coverage": q_hll_hip_coverage,
         "stratified_sample_qa": q_stratified_sample_qa,
         "cpc_distinct_coverage": q_cpc_distinct_coverage,
         "req_tail_rank_coverage": q_req_tail_rank_coverage,
@@ -1579,6 +1615,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_coverage": (
             "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, "
             "TRUE AS covered FROM lineitem"
+        ),
+        "hll_hip_coverage": (
+            "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, "
+            "TRUE AS covered, TRUE AS tighter_than_composite FROM lineitem"
         ),
         "stratified_sample_qa": (
             "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows, "

@@ -133,6 +133,106 @@ def invert_coupons(coupons: int, lg_k: int) -> float:
     return 0.5 * (lo + hi)
 
 
+# -- HIP estimator (streaming, never-merged) ---------------------------------
+
+# Reference confidence machinery (cpc_confidence.hpp): analytic constants
+# sqrt(ln 2 / 2) (HIP) and ln 2 (ICON) for lg_k > 14, empirically measured
+# side constants (x10000) for 4 <= lg_k <= 14, kappa in {1,2,3}. The side
+# tables are the reference's published measurement constants
+# (cpc_confidence.hpp:36-96, Apache-2.0) — accuracy-defining numbers with
+# no derivation to re-do, carried verbatim with this citation.
+HIP_ERROR_CONSTANT = 0.588705011257737332  # sqrt(ln2 / 2)
+ICON_ERROR_CONSTANT = 0.693147180559945286  # ln 2
+_HIP_LOW_SIDE = [  # indexed [lg_k - 4][kappa - 1]; used for the UPPER bound
+    (5871, 5247, 4826), (5877, 5403, 5070), (5873, 5533, 5304),
+    (5878, 5632, 5464), (5874, 5690, 5564), (5880, 5745, 5619),
+    (5875, 5784, 5701), (5866, 5789, 5742), (5869, 5827, 5784),
+    (5876, 5860, 5827), (5881, 5853, 5842),
+]
+_HIP_HIGH_SIDE = [  # used for the LOWER bound (est / (1 + kappa*rel))
+    (5855, 6688, 7391), (5886, 6444, 6923), (5885, 6254, 6594),
+    (5889, 6134, 6326), (5900, 6072, 6203), (5875, 6005, 6089),
+    (5871, 5980, 6040), (5889, 5941, 6015), (5871, 5926, 5973),
+    (5866, 5901, 5915), (5880, 5914, 5953),
+]
+
+
+def _hip_rel(lg_k: int, kappa: int, side) -> float:
+    x = HIP_ERROR_CONSTANT
+    if 4 <= lg_k <= 14:
+        x = side[lg_k - 4][kappa - 1] / 10000.0
+    return x / float(np.sqrt(1 << lg_k))
+
+
+class CpcState:
+    """Streaming CPC coupon matrix with the reference's HIP accumulator.
+
+    Mirrors cpc_sketch's scalars and update law (cpc_sketch_impl.hpp:266-271
+    update_hip: on each NOVEL coupon, hip += k/kxp BEFORE kxp -= 2^-(col+1);
+    get_estimate :75-78 — HIP unless was_merged, then ICON). Confidence
+    bounds follow cpc_confidence.hpp get_hip_confidence_lb/ub: kappa ∈
+    {1,2,3}, empirical side constants for lg_k ≤ 14, sqrt(ln2/2)/√K above,
+    lower bound floored at the coupon count."""
+
+    __slots__ = ("lg_k", "mat", "kxp", "hip", "merged", "num_coupons")
+
+    def __init__(self, lg_k: int = 11):
+        self.lg_k = lg_k
+        self.mat = np.zeros(1 << lg_k, np.uint64)
+        self.kxp = float(1 << lg_k)
+        self.hip = 0.0
+        self.merged = False
+        self.num_coupons = 0
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        """Sequential HIP update over 63-bit hashes in stream order. The
+        vectorized pre-filter keeps only coupons absent from the matrix at
+        batch start (bits only turn on), so the Python loop touches
+        O(K log(n/K)) novel candidates, not n rows."""
+        k = 1 << self.lg_k
+        rows, cols = _coupons(np.asarray(hashes, np.uint64), self.lg_k)
+        bits = np.uint64(1) << cols.astype(np.uint64)
+        mat = self.mat
+        for i in np.flatnonzero((mat[rows] & bits) == 0):
+            r, b = rows[i], bits[i]
+            if mat[r] & b:  # an earlier event in this batch set it
+                continue
+            if not self.merged:
+                self.hip += k / self.kxp
+                self.kxp -= 2.0 ** -(int(cols[i]) + 1)
+            mat[r] |= b
+            self.num_coupons += 1
+
+    def merge_matrix(self, other: np.ndarray) -> None:
+        """Bitwise-OR union; HIP is forfeited (reference was_merged rule)."""
+        other = np.asarray(other, np.uint64)
+        if other.shape != self.mat.shape:
+            raise ValueError("merge requires equal lg_k (fold first)")
+        self.mat |= other
+        self.num_coupons = _coupon_count(self.mat)
+        self.merged = True
+
+    def get_estimate(self) -> float:
+        if not self.merged:
+            return self.hip
+        return invert_coupons(_coupon_count(self.mat), self.lg_k)
+
+    def get_bounds(self, kappa: int = 2) -> tuple[float, float]:
+        if not 1 <= kappa <= 3:
+            raise ValueError("kappa must be 1..3 (reference contract)")
+        est = self.get_estimate()
+        if self.num_coupons == 0:
+            return 0.0, 0.0
+        if self.merged:
+            rel = CPC_RSE_FACTOR / float(np.sqrt(1 << self.lg_k))
+            return max(est / (1 + kappa * rel), float(self.num_coupons)), float(
+                np.ceil(est / (1 - kappa * rel))
+            )
+        lo = est / (1.0 + kappa * _hip_rel(self.lg_k, kappa, _HIP_HIGH_SIDE))
+        hi = est / (1.0 - kappa * _hip_rel(self.lg_k, kappa, _HIP_LOW_SIDE))
+        return max(lo, float(self.num_coupons)), float(np.ceil(hi))
+
+
 def _sketch_row(key, group_cols, lg_k: int, mat: np.ndarray) -> dict:
     r = {c: key[i] for i, c in enumerate(group_cols)}
     r["lg_k"] = lg_k
@@ -254,3 +354,59 @@ def with_estimate(
     return df.withColumn(
         "lower_bound", (F.col(out_col) / (1.0 + z)).cast("double")
     ).withColumn("upper_bound", (F.col(out_col) / (1.0 - z)).cast("double"))
+
+
+def cpc_stream_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    lg_k: int = 11,
+    seed: int = DEFAULT_SEED,
+    kappa: int = 2,
+) -> DataFrame:
+    """groupBy(group_cols).cpc over a SINGLE canonical stream per group —
+    the reference's never-merged HIP case (get_estimate dispatches to the
+    HIP accumulator, cpc_sketch_impl.hpp:75-78), with the tighter
+    ~0.59/√K envelope (cpc_confidence.hpp get_hip_confidence_lb/ub).
+
+    Same determinism discipline as hll_stream_agg: HIP depends on stream
+    order, so items are processed in the order of an independent 63-bit
+    hash (seed xor'd), making the result partition-layout-invariant.
+
+    Scale shape: ONE shuffle of raw (group, item) rows — the fidelity
+    lane. At 100 TB use cpc_sketch_agg (sketch-carrying shuffle, merged →
+    ICON estimate, exactly the reference's post-union rule).
+    """
+    import pyspark.sql.types as T
+
+    item_dtype = dict(df.dtypes)[item_col]
+    group_fields = [f for f in df.schema.fields if f.name in group_cols]
+    out_schema = T.StructType(
+        list(group_fields)
+        + [
+            T.StructField("estimate", T.DoubleType(), False),
+            T.StructField("lower_bound", T.DoubleType(), False),
+            T.StructField("upper_bound", T.DoubleType(), False),
+        ]
+    )
+    order_seed = seed ^ 0x9E3779B97F4A7C15
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[item_col].notna()]
+        hashes = _hash_items(pdf[item_col], item_dtype, seed)
+        order_h = _hash_items(pdf[item_col], item_dtype, order_seed)
+        st = CpcState(lg_k)
+        st.update_hashes(hashes[np.argsort(order_h, kind="stable")])
+        lb, ub = st.get_bounds(kappa)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["estimate"] = [st.get_estimate()]
+        row["lower_bound"] = [lb]
+        row["upper_bound"] = [ub]
+        return pd.DataFrame(
+            row, columns=group_cols + ["estimate", "lower_bound", "upper_bound"]
+        )
+
+    sel = df.select(group_cols + [item_col])
+    if group_cols:
+        return sel.groupBy(*group_cols).applyInPandas(final, out_schema)
+    return sel.groupBy().applyInPandas(final, out_schema)

@@ -48,6 +48,7 @@ from pyspark.sql.types import (
 from ..hashing import DEFAULT_SEED, hash63_int64, hash63_str_many
 
 HLL_NON_HIP_RSE_FACTOR = 1.03896  # sqrt(3·ln2 − 1), HllUtil.hpp:86
+HLL_HIP_RSE_FACTOR = 0.8325546  # sqrt(ln 2), HllUtil.hpp:85
 
 
 def rse(lg_k: int) -> float:
@@ -152,6 +153,147 @@ def _composite_estimate(regs: np.ndarray) -> float:
     if zeros > 0 and raw <= 2.5 * k:
         return k * math.log(k / zeros)
     return raw
+
+
+class HllState:
+    """Streaming HLL-8 state with the reference's HIP accumulator.
+
+    Mirrors HllArray's scalars and update law (HllArray-internal.hpp:
+    hipAndKxQIncrementalUpdate, :545-553 — hip BEFORE kxq, kxq split at
+    register value 32; getEstimate :322-327 — HIP unless out-of-order).
+    A stream-built (never-merged) state reports the HIP estimate with
+    RSE 0.8325546/√K (HllUtil.hpp:85); any merge sets the out-of-order
+    flag and the estimate falls back to the composite path with the
+    1.03896/√K envelope, exactly the reference's union rule.
+    """
+
+    __slots__ = ("lg_k", "regs", "kxq0", "kxq1", "hip", "ooo")
+
+    def __init__(self, lg_k: int = 12):
+        self.lg_k = lg_k
+        self.regs = np.zeros(1 << lg_k, np.uint8)
+        self.kxq0 = float(1 << lg_k)
+        self.kxq1 = 0.0
+        self.hip = 0.0
+        self.ooo = False
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        """Sequential HIP update over 63-bit item hashes in stream order.
+
+        Vectorized pre-filter: registers only grow, so any hash whose rho
+        does not exceed its register AT BATCH START can never change state
+        and is dropped wholesale — the Python loop touches only potential
+        raisers, which number O(K·log(n/K)) over the whole stream, not n.
+        """
+        k = 1 << self.lg_k
+        h = np.asarray(hashes, np.uint64)
+        slots = (h & np.uint64(k - 1)).astype(np.int64)
+        rhos = _rho(h, self.lg_k)
+        regs = self.regs
+        for i in np.flatnonzero(rhos > regs[slots]):
+            s = slots[i]
+            new, old = int(rhos[i]), int(regs[s])
+            if new <= old:  # an earlier event in this batch already raised it
+                continue
+            # hip BEFORE kxq (reference order) — the increment is 1/p where
+            # p = (kxq0+kxq1)/k is the current probability a fresh distinct
+            # item changes some register
+            if not self.ooo:
+                self.hip += k / (self.kxq0 + self.kxq1)
+            if old < 32:
+                self.kxq0 -= 2.0 ** -old
+            else:
+                self.kxq1 -= 2.0 ** -old
+            if new < 32:
+                self.kxq0 += 2.0 ** -new
+            else:
+                self.kxq1 += 2.0 ** -new
+            regs[s] = new
+
+    def merge_registers(self, other_regs: np.ndarray) -> None:
+        """Register-max union; HIP is forfeited (reference out-of-order
+        rule) and kxq is rebuilt from the merged registers so the raw
+        (kxq-based) estimator stays consistent."""
+        other_regs = np.asarray(other_regs, np.uint8)
+        if other_regs.shape != self.regs.shape:
+            raise ValueError("merge requires equal lg_k (fold first)")
+        self.regs = np.maximum(self.regs, other_regs)
+        contrib = np.exp2(-self.regs.astype(np.float64))
+        self.kxq0 = float(contrib[self.regs < 32].sum())
+        self.kxq1 = float(contrib[self.regs >= 32].sum())
+        self.ooo = True
+
+    def get_estimate(self) -> float:
+        return self.hip if not self.ooo else _composite_estimate(self.regs)
+
+    def get_bounds(self, num_std_devs: int = 2) -> tuple[float, float]:
+        """est/(1±n·rse) with the HIP factor for never-merged streams, the
+        non-HIP factor after a merge; lower bound floored at the count of
+        non-zero registers (reference getLowerBound numNonZeros floor)."""
+        factor = HLL_NON_HIP_RSE_FACTOR if self.ooo else HLL_HIP_RSE_FACTOR
+        z = num_std_devs * factor / math.sqrt(float(self.regs.shape[0]))
+        est = self.get_estimate()
+        nonzeros = float(np.count_nonzero(self.regs))
+        return max(est / (1.0 + z), nonzeros), est / (1.0 - z)
+
+
+def hll_stream_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    lg_k: int = 12,
+    seed: int = DEFAULT_SEED,
+    num_std_devs: int = 2,
+) -> DataFrame:
+    """groupBy(group_cols).hll over a SINGLE canonical stream per group —
+    the reference's never-merged HIP case (HllSketchTest.cpp streaming
+    sections): each group's rows are shuffled to one task and updated
+    sequentially, so the HIP accumulator is valid and the estimate gets
+    the tighter 0.8325546/√K envelope.
+
+    Determinism: HIP depends on stream order, so the stream is fixed to a
+    canonical order — items sorted by an INDEPENDENT 63-bit hash (seed
+    xor'd), decorrelated from the slot/rho bits the sketch consumes. Any
+    fixed order of the multiset is a valid stream; pinning one makes the
+    result partition-layout-invariant like every other engine operator.
+
+    Scale shape: ONE shuffle of (group, item) raw rows — heavier than
+    hll_sketch_agg's sketch-carrying shuffle. This is the fidelity lane
+    for moderate per-group cardinality; at 100 TB use hll_sketch_agg
+    (merged → composite estimate, exactly like the reference post-union).
+    """
+    from .theta import _hash_series
+
+    item_dtype = dict(df.dtypes)[item_col]
+    group_fields = [f for f in df.schema.fields if f.name in group_cols]
+    out_schema = StructType(
+        list(group_fields)
+        + [
+            StructField("estimate", DoubleType(), False),
+            StructField("lower_bound", DoubleType(), False),
+            StructField("upper_bound", DoubleType(), False),
+        ]
+    )
+    order_seed = seed ^ 0x9E3779B97F4A7C15
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes, _mask = _hash_series(pdf[item_col], item_dtype, seed)
+        order_h, _ = _hash_series(pdf[item_col], item_dtype, order_seed)
+        st = HllState(lg_k)
+        st.update_hashes(hashes[np.argsort(order_h, kind="stable")])
+        lb, ub = st.get_bounds(num_std_devs)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["estimate"] = [st.get_estimate()]
+        row["lower_bound"] = [lb]
+        row["upper_bound"] = [ub]
+        return pd.DataFrame(
+            row, columns=group_cols + ["estimate", "lower_bound", "upper_bound"]
+        )
+
+    sel = df.select(group_cols + [item_col])
+    if group_cols:
+        return sel.groupBy(*group_cols).applyInPandas(final, out_schema)
+    return sel.groupBy().applyInPandas(final, out_schema)
 
 
 def _hll_schema(group_fields) -> StructType:
