@@ -326,6 +326,25 @@ def cosine_near_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+def _bounded_vec_sample(
+    df: DataFrame, vec_col: str, sample_size: int, seed: int
+) -> np.ndarray:
+    """ONE-pass bounded deterministic draw of ``sample_size`` vectors.
+
+    orderBy(xxhash64)+limit compiles to TakeOrderedAndProject: each task
+    keeps its top-``sample_size`` rows by hash order and only those merge
+    on the driver — a single scan, no count() pre-pass, no full sort, and
+    hash order makes the draw uniform and layout-invariant. (Replaces the
+    round-3 count()-then-sample()-then-limit() triple pass.)"""
+    pdf = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .limit(sample_size)
+        .toPandas()
+    )
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+
+
 def ivf_train_centroids(
     df: DataFrame,
     dim: int,
@@ -337,15 +356,9 @@ def ivf_train_centroids(
 ) -> np.ndarray:
     """k-means-lite coarse quantizer: Lloyd iterations on a driver-side
     sample (the standard IVF recipe — training is O(sample), never a full
-    scan). Returns (n_centroids, dim) float32, L2-normalized."""
-    frac = min(1.0, sample_size / max(df.count(), 1))
-    sample = np.stack(
-        df.sample(fraction=frac, seed=seed)
-        .limit(sample_size)
-        .select(vec_col)
-        .toPandas()[vec_col]
-        .to_numpy()
-    ).astype(np.float32)
+    scan; the draw itself is one bounded pass, _bounded_vec_sample).
+    Returns (n_centroids, dim) float32, L2-normalized."""
+    sample = _bounded_vec_sample(df, vec_col, sample_size, seed)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
@@ -462,14 +475,7 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    frac = min(1.0, sample_size / max(df.count(), 1))
-    sample = np.stack(
-        df.sample(fraction=frac, seed=seed)
-        .limit(sample_size)
-        .select(vec_col)
-        .toPandas()[vec_col]
-        .to_numpy()
-    ).astype(np.float32)
+    sample = _bounded_vec_sample(df, vec_col, sample_size, seed)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
     rng = np.random.default_rng(seed)
     books = np.empty((m, min(ks, len(sample)), sub), np.float32)
@@ -534,6 +540,7 @@ def pq_topk(
     k: int = 5,
     rerank_with: DataFrame | None = None,
     rerank_shortlist: int = 50,
+    max_probes: int = 8192,
 ) -> DataFrame:
     """Asymmetric distance computation (ADC) top-k: probes stay exact
     (L2-normalized float), corpus rows are m-byte PQ codes. Per probe, one
@@ -552,7 +559,18 @@ def pq_topk(
 
     books = codebooks.astype(np.float32)
     m, ks, sub = books.shape
-    probe_pdf = probes.select(id_col, vec_col).toPandas()
+    # The probes-broadcast-small contract is ENFORCED, not assumed: the
+    # collect is limit-bounded (cc.py incremental-limit discipline), so a
+    # caller handing a corpus-sized probe set gets a clear error, never a
+    # driver OOM.
+    probe_pdf = probes.select(id_col, vec_col).limit(max_probes + 1).toPandas()
+    if len(probe_pdf) > max_probes:
+        raise ValueError(
+            f"pq_topk probe side exceeds max_probes={max_probes}; the ADC "
+            "LUTs are built driver-side under a probes-broadcast-small "
+            "contract — split the probe set into batches or raise "
+            "max_probes deliberately"
+        )
     pvecs = np.stack(probe_pdf[vec_col].to_numpy()).astype(np.float32)
     pvecs /= np.maximum(np.linalg.norm(pvecs, axis=1, keepdims=True), 1e-9)
     # (P, m, ks): LUT[p, j, c] = <probe_p subvector j, codeword c>

@@ -87,6 +87,36 @@ def test_pq_validations(emb, books):
         pq_encode(emb, np.zeros((4, 300, 16), np.float32))
 
 
+def test_pq_topk_bounds_probe_side(emb, books):
+    """The probes-broadcast-small contract is enforced: an oversized probe
+    set raises instead of materializing on the driver (round-3 review
+    item — the collect is limit-bounded)."""
+    codes = pq_encode(emb, books)
+    with pytest.raises(ValueError, match="max_probes"):
+        pq_topk(codes, emb, books, k=3, max_probes=5)
+
+
+def test_train_sample_is_one_bounded_scan(emb):
+    """Training draws its sample in ONE pass: orderBy(hash)+limit compiles
+    to TakeOrderedAndProject (per-task top-k, no count() pre-pass, no
+    global sort exchange)."""
+    from datasketches_cpp_spark.operators.knn import _bounded_vec_sample
+
+    plan = (
+        emb.select("embedding")
+        .orderBy(F.xxhash64(F.col("embedding"), F.lit(9001)))
+        .limit(100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # determinism: same draw regardless of layout
+    a = _bounded_vec_sample(emb, "embedding", 50, seed=9001)
+    b = _bounded_vec_sample(emb.repartition(17), "embedding", 50, seed=9001)
+    assert np.array_equal(a, b)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (operators/knn.semantic_dedup)
 # ---------------------------------------------------------------------------
