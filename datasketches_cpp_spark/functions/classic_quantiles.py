@@ -209,6 +209,16 @@ class ClassicQuantilesSketch:
     def is_estimation_mode(self) -> bool:
         return any(a is not None for a in self.levels)
 
+    def num_retained(self) -> int:
+        return int(
+            len(self.base) + sum(len(a) for a in self.levels if a is not None)
+        )
+
+    def ks_epsilon(self) -> float:
+        """Additive rank-error term for the KS threshold (reference
+        kolmogorov_smirnov_impl.hpp: get_normalized_rank_error(false))."""
+        return self.normalized_rank_error(self.k, pmf=False)
+
     @staticmethod
     def normalized_rank_error(k: int, pmf: bool = False) -> float:
         """quantiles_sketch_impl.hpp:725-729 published constants."""

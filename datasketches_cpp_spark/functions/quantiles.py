@@ -178,6 +178,15 @@ class KllSketch:
     def is_estimation_mode(self) -> bool:
         return len(self.levels) > 1
 
+    def num_retained(self) -> int:
+        return int(sum(len(b) for b in self.levels))
+
+    def ks_epsilon(self) -> float:
+        """This sketch's additive rank-error term for the KS threshold
+        (kolmogorov_smirnov_impl.hpp threshold(): eps_i =
+        get_normalized_rank_error(false))."""
+        return self.get_normalized_rank_error(False)
+
     @staticmethod
     def normalized_rank_error(k: int, pmf: bool = False) -> float:
         """Published KLL error constants (kll_helper_impl.hpp)."""
@@ -218,10 +227,12 @@ class KllSketch:
 def ks_delta(a, b) -> float:
     """Max |CDF_a - CDF_b| over the union of retained items.
 
-    Generic over any sketch exposing ``sorted_view()`` — KLL and classic
-    quantiles, exactly the two families the reference's
-    kolmogorov_smirnov.hpp operates on (kolmogorov_smirnov_impl.hpp
-    delta(), templated over the sketch's sorted view)."""
+    Generic over any sketch exposing ``sorted_view()`` — KLL, classic
+    quantiles, REQ, and t-digest. The reference's template
+    (kolmogorov_smirnov_impl.hpp delta(), over the sketch's sorted view)
+    is instantiated by its tests only for KLL and classic; the engine
+    keeps the same protocol and extends it to the other two quantile
+    families (each with its own documented ks_epsilon envelope)."""
     ia, ca = a.sorted_view()
     ib, cb = b.sorted_view()
     if len(ia) == 0 or len(ib) == 0:
@@ -235,23 +246,22 @@ def ks_delta(a, b) -> float:
 
 
 def ks_threshold(a, b, p_value: float) -> float:
-    """sqrt(-ln(p/2)/2) * sqrt((na+nb)/(na*nb)) + rank errors (reference
-    adds both sketches' normalized rank errors to the classical statistic,
-    kolmogorov_smirnov_impl.hpp threshold()). Each sketch contributes its
-    OWN family's published rank-error constant, so KLL and classic
-    quantiles sketches can even be tested against each other."""
-    na, nb = a.n, b.n
-    stat = math.sqrt(-0.5 * math.log(p_value / 2.0)) * math.sqrt((na + nb) / (na * nb))
-    return (
-        stat
-        + type(a).normalized_rank_error(a.k)
-        + type(b).normalized_rank_error(b.k)
-    )
+    """sqrt(-ln(p/2)/2) * sqrt((r1+r2)/(r1*r2)) + rank errors — the
+    reference's exact recipe (kolmogorov_smirnov_impl.hpp threshold():
+    r_i = get_num_retained(), eps_i = the sketch's normalized rank
+    error). Each sketch contributes its OWN family's envelope via
+    ``ks_epsilon()``, so any two of KLL / classic / REQ / t-digest can be
+    tested against each other."""
+    ra, rb = a.num_retained(), b.num_retained()
+    stat = math.sqrt(-0.5 * math.log(p_value / 2.0)) * math.sqrt((ra + rb) / (ra * rb))
+    return stat + a.ks_epsilon() + b.ks_epsilon()
 
 
 def ks_test(a, b, p_value: float) -> bool:
-    """True ⇔ the two distributions differ at the given p-value (KLL or
-    classic quantiles sketches, like the reference's generic KS)."""
+    """True ⇔ the two distributions differ at the given p-value. Accepts
+    any mix of KLL / classic / REQ / t-digest sketches (the reference's
+    generic KS template shape; REQ/t-digest are engine extensions with
+    their own ks_epsilon envelopes)."""
     return ks_delta(a, b) > ks_threshold(a, b, p_value)
 
 

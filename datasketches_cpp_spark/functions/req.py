@@ -203,6 +203,23 @@ class ReqSketch:
                 break
 
     # -- queries --------------------------------------------------------------
+    def sorted_view(self) -> tuple[np.ndarray, np.ndarray]:
+        """Public (sorted items, cumulative weights) — the protocol surface
+        the generic KS test consumes (quantiles.ks_delta), same shape as
+        KllSketch/ClassicQuantilesSketch.sorted_view."""
+        return self._sorted_view()
+
+    def ks_epsilon(self) -> float:
+        """Additive rank-error term for the generic KS threshold. REQ's
+        rank error is rank-dependent, but rank_bounds takes the tighter of
+        the relative and FIXED terms, so the deviation is globally bounded
+        by FIXED_RSE_FACTOR/k at 1σ (req_sketch_impl.hpp:300-330) — the
+        single constant the KS statistic needs. ENGINE EXTENSION: the
+        reference instantiates its KS template only over KLL and classic
+        quantiles; REQ rides the same template here with its own
+        envelope."""
+        return FIXED_RSE_FACTOR / self.k
+
     def _sorted_view(self) -> tuple[np.ndarray, np.ndarray]:
         items = np.concatenate([c.buf for c in self.compactors])
         weights = np.concatenate(

@@ -121,6 +121,26 @@ class TDigest:
         )
 
     # -- queries --------------------------------------------------------------
+    def sorted_view(self) -> tuple[np.ndarray, np.ndarray]:
+        """(centroid means ascending, cumulative weights) — the point-mass
+        view the generic KS test consumes (quantiles.ks_delta); same
+        protocol shape as the KLL/classic/REQ sorted views."""
+        order = np.argsort(self.means, kind="stable")
+        return self.means[order], np.cumsum(self.weights[order])
+
+    def num_retained(self) -> int:
+        return int(len(self.means))
+
+    def ks_epsilon(self) -> float:
+        """Additive rank-error term for the generic KS threshold. t-digest
+        publishes no distribution-free rank-error constant; the k2 scale
+        function bounds each centroid's normalized weight by ~1/delta at
+        the distribution center, so 1/delta is the conservative additive
+        term. ENGINE EXTENSION (the reference instantiates KS only over
+        KLL/classic); tail-heavy comparisons are tighter than this bound,
+        never looser."""
+        return 1.0 / self.delta
+
     def get_quantile(self, rank: float) -> float:
         """The published t-digest quantile rule (tdigest_impl.hpp
         get_quantile): unit-weight tail stretches to exact min/max, snapping

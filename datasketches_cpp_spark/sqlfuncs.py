@@ -261,6 +261,38 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             dtype="object",
         )
 
+    # -- KLL PMF/CDF (kll_sketch.hpp:316-393 get_PMF/get_CDF; the surface
+    #    the reference's Hive/Druid integrations expose as GET_PMF/GET_CDF).
+    #    splits must be monotonically increasing; returns len(splits)+1
+    #    masses/ranks exactly like the reference query shape. -------------
+    @pandas_udf("array<double>")
+    def kll_pmf(blobs: pd.Series, splits: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if b is None or s is None
+                else deserialize_kll(bytes(b))
+                .get_pmf(np.asarray(s, np.float64))
+                .tolist()
+                for b, s in zip(blobs, splits)
+            ],
+            dtype="object",
+        )
+
+    @pandas_udf("array<double>")
+    def kll_cdf(blobs: pd.Series, splits: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if b is None or s is None
+                else deserialize_kll(bytes(b))
+                .get_cdf(np.asarray(s, np.float64))
+                .tolist()
+                for b, s in zip(blobs, splits)
+            ],
+            dtype="object",
+        )
+
     # -- t-digest (blob = sketch type 20, incl. big-endian compat reads) --
     @pandas_udf("double")
     def tdigest_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
@@ -396,6 +428,34 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
                 for b, v in zip(blobs, values)
             ],
             dtype="float64",
+        )
+
+    @pandas_udf("array<double>")
+    def classic_pmf(blobs: pd.Series, splits: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if b is None or s is None
+                else deserialize_classic(bytes(b))
+                .get_pmf(np.asarray(s, np.float64))
+                .tolist()
+                for b, s in zip(blobs, splits)
+            ],
+            dtype="object",
+        )
+
+    @pandas_udf("array<double>")
+    def classic_cdf(blobs: pd.Series, splits: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if b is None or s is None
+                else deserialize_classic(bytes(b))
+                .get_cdf(np.asarray(s, np.float64))
+                .tolist()
+                for b, s in zip(blobs, splits)
+            ],
+            dtype="object",
         )
 
     # -- frequent items (family 10, string items; frequent_items_sketch.hpp
@@ -558,6 +618,8 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
         "cpc_union": cpc_union_agg,
         "kll_quantile": kll_quantile,
         "kll_rank": kll_rank,
+        "kll_pmf": kll_pmf,
+        "kll_cdf": kll_cdf,
         "kll_merge": kll_merge_agg,
         "kll_ks_delta": kll_ks_delta,
         "kll_ks_test": kll_ks_test,
@@ -568,6 +630,8 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
         "req_rank": req_rank,
         "classic_quantile": classic_quantile,
         "classic_rank": classic_rank,
+        "classic_pmf": classic_pmf,
+        "classic_cdf": classic_cdf,
         "fi_estimate": fi_estimate,
         "fi_items": fi_items,
         "cm_estimate": cm_estimate,

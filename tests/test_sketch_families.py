@@ -889,3 +889,40 @@ def test_ks_generic_classic_quantiles():
     kl.update_batch(x)
     assert not ks_test(kl, cx, 0.01)      # cross-family, same data → accept
     assert ks_test(kl, cb, 0.01)          # cross-family, shifted → reject
+
+
+def test_ks_generic_over_all_four_quantile_families():
+    """The KS template spans KLL, classic, REQ, AND t-digest (reference
+    protocol shape — sorted_view/num_retained/rank-error; REQ and t-digest
+    are engine extensions with their own ks_epsilon envelopes): every
+    same-distribution pair accepts, every shifted pair rejects, in any
+    cross-family combination."""
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+    )
+    from datasketches_cpp_spark.functions.quantiles import KllSketch, ks_test
+    from datasketches_cpp_spark.functions.req import ReqSketch
+    from datasketches_cpp_spark.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0.0, 1.0, 50_000)
+    x2 = rng.normal(0.0, 1.0, 50_000)
+    y = rng.normal(4.0, 1.0, 50_000)
+
+    def build(data):
+        sketches = [
+            KllSketch(k=200),
+            ClassicQuantilesSketch(k=128),
+            ReqSketch(k=12),
+            TDigest(delta=200),
+        ]
+        for s in sketches:
+            s.update_batch(data)
+        return sketches
+
+    same_a, same_b, shifted = build(x), build(x2), build(y)
+    for i, a in enumerate(same_a):
+        for j, b in enumerate(same_b):
+            assert not ks_test(a, b, 0.01), (i, j, "same distribution rejected")
+        for j, b in enumerate(shifted):
+            assert ks_test(a, b, 0.01), (i, j, "4-sigma shift accepted")

@@ -259,3 +259,41 @@ def test_kll_ks_sql(sql_spark):
     assert row.delta == ks_delta(a, b)
     assert row.rejects is True
     assert row.self_rejects is False
+
+
+def test_kll_classic_pmf_cdf_sql(sql_spark):
+    """GET_PMF/GET_CDF surface (kll_sketch.hpp:316-393; the reference's
+    Hive/Druid UDF shape): len(splits)+1 results, PMF sums to 1, values
+    equal the local kernel twin's."""
+    from datasketches_cpp_spark.functions.classic_quantiles import (
+        ClassicQuantilesSketch,
+    )
+    from datasketches_cpp_spark.functions.classicserde import serialize_classic
+
+    data = np.arange(0.0, 1000.0)
+    kl = KllSketch(k=200)
+    kl.update_batch(data)
+    cq = ClassicQuantilesSketch(k=128)
+    cq.update_batch(data)
+    splits = [100.0, 500.0, 900.0]
+    sql_spark.createDataFrame(
+        [(bytearray(serialize_kll(kl)), bytearray(serialize_classic(cq)))],
+        "kb binary, cb binary",
+    ).createOrReplaceTempView("pmf_blobs")
+    row = sql_spark.sql(
+        """
+        select ds_kll_pmf(kb, array(100.0D, 500.0D, 900.0D))     as kpmf,
+               ds_kll_cdf(kb, array(100.0D, 500.0D, 900.0D))     as kcdf,
+               ds_classic_pmf(cb, array(100.0D, 500.0D, 900.0D)) as cpmf,
+               ds_classic_cdf(cb, array(100.0D, 500.0D, 900.0D)) as ccdf
+        from pmf_blobs
+        """
+    ).collect()[0]
+    assert row.kpmf == kl.get_pmf(np.array(splits)).tolist()
+    assert row.kcdf == kl.get_cdf(np.array(splits)).tolist()
+    assert row.cpmf == cq.get_pmf(np.array(splits)).tolist()
+    assert row.ccdf == cq.get_cdf(np.array(splits)).tolist()
+    for pmf, cdf in ((row.kpmf, row.kcdf), (row.cpmf, row.ccdf)):
+        assert len(pmf) == len(splits) + 1 and len(cdf) == len(splits) + 1
+        assert abs(sum(pmf) - 1.0) < 1e-12
+        assert cdf[-1] == 1.0
