@@ -17,7 +17,8 @@ Lane shape, consistent with the image/video lanes:
   and documented in the result), expands within-group pairs with JVM
   array algebra, and scores each audio pair by its DISTINCT shared
   landmark count.
-* The decode seam matches the engine: fmt='pcm16' (raw mono) is real;
+* The decode seam matches the engine: fmt='pcm16' (raw mono) and
+  fmt='wav' (RIFF PCM16 container, operators/audiocodec.py) are real;
   compressed codecs raise NotImplementedError at the seam
   (multimodal.audio_features precedent).
 
@@ -56,16 +57,19 @@ def audio_landmarks(
     k = peaks_per_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audiocodec import to_pcm16
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            bad = pdf.loc[pdf["fmt"] != "pcm16", "fmt"]
-            if len(bad):
-                raise NotImplementedError(
-                    f"audio decode for fmt={bad.iloc[0]!r} requires a codec "
-                    "not present in this environment; only fmt='pcm16' "
-                    "(raw mono) is supported here"
-                )
+            # normalize containers to raw mono PCM16 (wav parses, pcm16
+            # passes through, compressed codecs raise at the seam)
+            pdf = pdf.assign(
+                bytes=[
+                    to_pcm16(bytes(b), f)
+                    for b, f in zip(pdf["bytes"], pdf["fmt"])
+                ]
+            )
             lens = pdf["bytes"].map(len)
             for blen, idx in pdf.groupby(lens, sort=False).indices.items():
                 idx = np.asarray(idx)
@@ -93,15 +97,16 @@ def audio_landmarks(
                     h = (f1 << 24) | (f2 << 8) | d       # (m, T-d, k, k)
                     hashes.append(h.reshape(len(idx), -1))
                 allh = np.concatenate(hashes, axis=1)
-                out_ids, out_lms = [], []
-                for j in range(len(idx)):
-                    u = np.unique(allh[j])
-                    out_ids.append(np.repeat(ids[j], len(u)))
-                    out_lms.append(u)
+                # per-clip distinct landmarks without a Python loop: sort
+                # each row (vectorized), then keep first-of-run per row —
+                # same sets np.unique produced per clip, one pass
+                sh = np.sort(allh, axis=1)
+                keep = np.ones(sh.shape, dtype=bool)
+                keep[:, 1:] = sh[:, 1:] != sh[:, :-1]
                 yield pd.DataFrame(
                     {
-                        id_col: np.concatenate(out_ids),
-                        "landmark": np.concatenate(out_lms),
+                        id_col: np.repeat(ids, keep.sum(axis=1)),
+                        "landmark": sh[keep],
                     }
                 )
 

@@ -232,23 +232,25 @@ def audio_features(
     id_col: str = "audio_id",
 ) -> DataFrame:
     """(audio_id, n_windows, rms array<float>, zero_crossings array<int>)
-    over raw PCM16 mono ('pcm16'); compressed codecs raise at the seam.
+    over raw PCM16 mono ('pcm16') or RIFF WAV PCM16 ('wav',
+    operators/audiocodec.py); compressed codecs raise at the seam.
     Clips are grouped by buffer length so each uniform group reshapes into
     one (m, n_windows, window) array — no per-clip numpy calls."""
     schema = f"{id_col} string, n_windows int, rms array<float>, zero_crossings array<int>"
     cols = [id_col, "bytes", "fmt"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audiocodec import to_pcm16
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            bad = pdf.loc[pdf["fmt"] != "pcm16", "fmt"]
-            if len(bad):
-                raise NotImplementedError(
-                    f"audio decode for fmt={bad.iloc[0]!r} requires a codec "
-                    "not present in this environment; only fmt='pcm16' "
-                    "is supported here"
-                )
+            pdf = pdf.assign(
+                bytes=[
+                    to_pcm16(bytes(b), f)
+                    for b, f in zip(pdf["bytes"], pdf["fmt"])
+                ]
+            )
             lens = pdf["bytes"].map(len)
             for blen, idx in pdf.groupby(lens, sort=False).indices.items():
                 idx = np.asarray(idx)
