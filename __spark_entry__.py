@@ -1300,6 +1300,49 @@ def q_audio_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_audio(audio, min_shared=8)["assignments"]
 
 
+_SEM_N = 48
+
+
+def _planted_semantic_rows():
+    """Deterministic embedding corpus with planted near-twins: cluster
+    seeds are independent random unit vectors in R^64 (pairwise cosine
+    ~N(0, 1/64) — nowhere near the 0.9 threshold), every third vector is
+    its predecessor's twin (cosine ≈ 0.999 by construction)."""
+    import numpy as np
+
+    rng = np.random.default_rng(424242)
+    rows, truth = [], {}
+    for i in range(_SEM_N):
+        vid = f"e{i:05d}"
+        if i % 3 == 2:
+            base = np.asarray(rows[-1][1], np.float64)
+            v = base + 0.02 * rng.normal(size=64)
+            truth[vid] = f"e{i - 1:05d}"
+        else:
+            v = rng.normal(size=64)
+            truth[vid] = vid
+        v = v / np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+    return rows, truth
+
+
+def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup lane (operators/knn.semantic_dedup, SemDeDup recipe)
+    on a deterministic planted-twin embedding corpus; oracle = the planted
+    truth literals, so a hash match proves the bucket → within-bucket
+    cosine → collapse chain recovers exactly the planted clustering —
+    the same ground-truth recall gate the video/audio lanes carry."""
+    from datasketches_cpp_spark.operators.knn import semantic_dedup
+
+    rows, _ = _planted_semantic_rows()
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.9,
+        n_centroids=8, policy="cc",
+    )
+    return out.select("id", F.col("rep_id").alias("cluster_id"))
+
+
 def _planted_truth_sql(truth: dict) -> str:
     vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(truth.items()))
     return f"SELECT * FROM (VALUES {vals}) AS t(id, cluster_id)"
@@ -1367,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "video_dedup_planted": q_video_dedup_planted,
         "audio_dedup_planted": q_audio_dedup_planted,
+        "semantic_dedup_planted": q_semantic_dedup_planted,
     }
 
 
@@ -1768,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "video_dedup_planted": _planted_truth_sql(_planted_video_rows()[1]),
         "audio_dedup_planted": _planted_truth_sql(_planted_audio_rows()[1]),
+        "semantic_dedup_planted": _planted_truth_sql(_planted_semantic_rows()[1]),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
         # ann_lsh_topk, tdigest_price_tails:
         # intentionally no oracle — LSH banding, sketch internals, and
