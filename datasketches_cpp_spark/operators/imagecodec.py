@@ -337,18 +337,29 @@ def decode_dct(buf: bytes) -> tuple[np.ndarray, int, int]:
 # dispatch
 # ---------------------------------------------------------------------------
 
-# 'jpg' is an alias for the DCT transform codec: FIXTURES.md F1 names the
-# lossy format slot "jpg", and this codec fills that slot's CONTRACT
-# (lossy, decoded-pixel PSNR ≥ 40 dB) — but the byte stream is the DCT1
-# container above, NOT ITU T.81 JPEG interchange. Real .jpg bytes fail
-# the magic check with a clear error rather than decoding garbage; a real
-# libjpeg decoder slots into this same registry seam if one appears.
-_ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp,
-             "dct": encode_dct, "jpg": encode_dct}
-_DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp,
-             "dct": decode_dct, "jpg": decode_dct}
+# 'jpg'/'jpeg' are REAL baseline ITU T.81 interchange streams as of
+# round 4 (operators/jpegcodec.py: pure numpy/stdlib encoder + decoder —
+# SOF0/SOF1, 4:4:4/4:2:0/4:2:2, restart intervals, grayscale; progressive
+# and arithmetic coding remain documented seams). The former 'jpg' alias
+# to the DCT1 transform codec is gone; 'dct' still names DCT1.
+from .jpegcodec import decode_jpeg, encode_jpeg  # noqa: E402  (needs _DCT_D above)
 
-LOSSY_FORMATS = ("dct", "jpg")
+
+def _encode_jpeg_gate(pixels, w, h):
+    # registry default quality 99: the F1 lossy-format contract is decoded
+    # PSNR >= 40 dB on the synthetic corpus; measured floors there are
+    # 40.0 dB at q=97 and 48.9 dB at q=99 — q=99 keeps real margin.
+    # Callers wanting smaller files use jpegcodec.encode_jpeg directly.
+    return encode_jpeg(pixels, w, h, quality=99)
+
+
+_ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp,
+             "dct": encode_dct, "jpg": _encode_jpeg_gate,
+             "jpeg": _encode_jpeg_gate}
+_DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp,
+             "dct": decode_dct, "jpg": decode_jpeg, "jpeg": decode_jpeg}
+
+LOSSY_FORMATS = ("dct", "jpg", "jpeg")
 SUPPORTED_FORMATS = ("raw",) + tuple(sorted(_ENCODERS))
 # Formats whose decode(encode(x)) == x exactly — the only ones eligible
 # for the 'mixed' corpus rotation (its contract is decode-identity with

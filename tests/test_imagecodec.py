@@ -151,7 +151,7 @@ def test_ppm_header_comments():
 def test_error_paths():
     px = _px(8, 8)
     with pytest.raises(ImageCodecError, match="unsupported format"):
-        encode(px, 8, 8, "jpeg")
+        encode(px, 8, 8, "webp")  # 'jpeg' became REAL in round 4
     with pytest.raises(ImageCodecError, match="not a PNG"):
         decode_png(b"\x00" * 20)
     with pytest.raises(ImageCodecError, match="metadata"):
@@ -199,11 +199,11 @@ def test_dct_quality_knob():
 def test_dct_deterministic_and_errors():
     px = _px(16, 16)
     assert encode(px, 16, 16, "dct") == encode(px, 16, 16, "dct")
-    # 'jpg' is the F1 alias for the same transform codec (same bytes);
-    # real T.81 JPEG bytes must fail fast, not decode garbage
-    assert encode(px, 16, 16, "jpg") == encode(px, 16, 16, "dct")
-    with pytest.raises(ImageCodecError, match="not a DCT1"):
-        decode(b"\xff\xd8\xff\xe0" + b"\x00" * 32, 16, 16, "jpg")
+    # 'jpg' is REAL baseline T.81 as of round 4 (jpegcodec.py): its bytes
+    # start with SOI and round-trip through the real decoder
+    jpg = encode(px, 16, 16, "jpg")
+    assert jpg[:2] == b"\xff\xd8" and jpg != encode(px, 16, 16, "dct")
+    assert decode(jpg, 16, 16, "jpg").shape == (16 * 16 * 3,)
     with pytest.raises(ImageCodecError, match="not a DCT1"):
         decode_dct(b"JUNKJUNKJUNKJUNK")
     with pytest.raises(ImageCodecError, match="metadata"):
