@@ -1343,6 +1343,89 @@ def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("rep_id").alias("cluster_id"))
 
 
+def _planted_line_docs() -> list[tuple[str, str]]:
+    """Deterministic multi-line corpus with planted boilerplate: two long
+    lines occur in most documents (hot at doc_freq > 2), one long line in
+    exactly two documents (NOT hot), a short '---' separator everywhere
+    (exempt from the rule by min_line_chars), plus unique body lines."""
+    header = "COOKIE BANNER PLEASE ACCEPT ALL TERMS"
+    footer = "COPYRIGHT FOOTER ALL RIGHTS RESERVED"
+    twice = "THIS LINE APPEARS IN EXACTLY TWO DOCS"
+    rows = []
+    for i in range(24):
+        lines = []
+        if i % 2 == 0:
+            lines.append(header)
+        lines.append(f"unique body line alpha for document {i}")
+        lines.append("---")
+        if i in (3, 7):
+            lines.append(twice)
+        lines.append(f"unique body line beta for document {i}")
+        if i % 3 == 0:
+            lines.append(footer)
+        rows.append((f"d{i:03d}", "\n".join(lines)))
+    return rows
+
+
+def _docs_values_sql(rows) -> str:
+    vals = ", ".join(
+        "('{}', '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, t in rows
+    )
+    return f"(VALUES {vals}) AS docs(doc_id, text)"
+
+
+def q_line_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global line-level boilerplate dedup (operators/curation.
+    line_dedup_stats — the RefinedWeb/MassiveText rule: trim-normalized
+    lines >= 8 chars occurring in > 2 distinct docs are boilerplate).
+    The oracle is an INDEPENDENT DuckDB re-derivation over the same
+    literal corpus (string_split + unnest + distinct-doc frequency), not
+    a planted-truth echo."""
+    from datasketches_cpp_spark.operators.curation import line_dedup_stats
+
+    docs = spark.createDataFrame(_planted_line_docs(), "doc_id string, text string")
+    out = line_dedup_stats(
+        docs, "doc_id", "text", min_line_chars=8, max_doc_freq=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dup_lines").cast("long").alias("n_dup_lines"),
+    )
+
+
+def _planted_pii_docs() -> list[tuple[str, str]]:
+    rows = []
+    for i in range(16):
+        parts = [f"document {i} body text with no secrets"]
+        if i % 2 == 0:
+            parts.append(f"contact user{i}@example.com or admin{i}@test.org today")
+        if i % 3 == 0:
+            parts.append(f"server at 10.0.{i}.255 and backup at 192.168.1.{i}")
+        if i % 5 == 0:
+            parts.append(f"call +1555000{i:04d} now")
+        rows.append((f"p{i:03d}", " ".join(parts)))
+    return rows
+
+
+def q_pii_redaction_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts (operators/curation.pii_stats — email, dotted
+    IPv4, E.164 phone; patterns chosen to mean the same thing in Java
+    regex and RE2). Oracle: independent DuckDB regexp_extract_all counts
+    over the same literal corpus."""
+    from datasketches_cpp_spark.operators.curation import pii_stats
+
+    docs = spark.createDataFrame(_planted_pii_docs(), "doc_id string, text string")
+    out = pii_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone_e164").cast("long").alias("n_phone_e164"),
+    )
+
+
 def _planted_truth_sql(truth: dict) -> str:
     vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(truth.items()))
     return f"SELECT * FROM (VALUES {vals}) AS t(id, cluster_id)"
@@ -1411,6 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dedup_planted": q_video_dedup_planted,
         "audio_dedup_planted": q_audio_dedup_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
+        "line_dedup_planted": q_line_dedup_planted,
+        "pii_redaction_planted": q_pii_redaction_planted,
     }
 
 
@@ -1813,6 +1898,29 @@ def oracle_sql() -> dict[str, str]:
         "video_dedup_planted": _planted_truth_sql(_planted_video_rows()[1]),
         "audio_dedup_planted": _planted_truth_sql(_planted_audio_rows()[1]),
         "semantic_dedup_planted": _planted_truth_sql(_planted_semantic_rows()[1]),
+        "line_dedup_planted": (
+            "WITH lines AS ("
+            "  SELECT doc_id, trim(l) AS key, l FROM "
+            + _docs_values_sql(_planted_line_docs())
+            + ", unnest(string_split(text, chr(10))) AS t(l)"
+            "), hot AS ("
+            "  SELECT key FROM lines WHERE length(key) >= 8"
+            "  GROUP BY key HAVING COUNT(DISTINCT doc_id) > 2"
+            ") SELECT li.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CASE WHEN h.key IS NOT NULL AND length(li.key) >= 8 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines "
+            "FROM lines li LEFT JOIN hot h ON li.key = h.key "
+            "GROUP BY li.doc_id"
+        ),
+        "pii_redaction_planted": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(length(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "CAST(length(regexp_extract_all(text, '\\+\\d{7,15}')) AS BIGINT) "
+            "AS n_phone_e164 FROM " + _docs_values_sql(_planted_pii_docs())
+        ),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
         # ann_lsh_topk, tdigest_price_tails:
         # intentionally no oracle — LSH banding, sketch internals, and

@@ -333,3 +333,106 @@ def pack_training_sequences(
         if materialize:
             ranged.unpersist()
     return out
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_line_chars: int = 8,
+    max_doc_freq: int = 2,
+    rebuild_text: bool = False,
+) -> DataFrame:
+    """Global line-level deduplication (the RefinedWeb / MassiveText
+    boilerplate rule): a trim-normalized line of at least
+    ``min_line_chars`` characters that occurs in more than
+    ``max_doc_freq`` DISTINCT documents is corpus boilerplate (headers,
+    footers, cookie banners, nav chrome).
+
+    Returns one row per document: (id, n_lines, n_dup_lines[, dedup_text
+    with the boilerplate lines removed, original order preserved]).
+
+    Scale shape: posexplode(split) → one groupBy(line) with map-side
+    combined distinct-doc counting → the hot-line set (orders of
+    magnitude smaller than the corpus — only lines with doc_freq >
+    threshold survive) joins back to the line table → one groupBy(id).
+    Two key shuffles and one id shuffle, all aggregations partial-agg
+    before exchange; no driver materialization. Short lines are exempt
+    from the rule (they would otherwise all collide: '}', '---', ...),
+    matching the published recipes.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).withColumn("_key", F.trim(F.col("_line")))
+    eligible = F.length(F.col("_key")) >= min_line_chars
+    hot = (
+        lines.where(eligible)
+        .groupBy("_key")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("_key", F.lit(True).alias("_hot"))
+    )
+    joined = lines.join(hot, "_key", "left").withColumn(
+        "_dup", F.coalesce(F.col("_hot"), F.lit(False)) & eligible
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_dup").cast("long")).alias("n_dup_lines"),
+    ]
+    if rebuild_text:
+        aggs.append(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_dup"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("dedup_text")
+        )
+    return (
+        joined.groupBy(F.col("_id").alias(id_col))
+        .agg(*aggs)
+    )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB) so the oracle can re-derive counts independently: no
+# backrefs, no lookaround, explicit classes only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone_e164": r"\+\d{7,15}",
+}
+
+
+def pii_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    redact: bool = False,
+    replacement: str = "<PII>",
+) -> DataFrame:
+    """Per-document PII detection counts (emails, dotted-quad IPv4,
+    E.164-style phone numbers) and optional redaction — the standard
+    pre-training scrub pass. Zero shuffles: every column is a built-in
+    regexp expression in one whole-stage-codegen projection; redaction
+    chains regexp_replace in a deterministic pattern order."""
+    cols = [F.col(id_col)] + [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    if redact:
+        red = F.col(text_col)
+        for pat in PII_PATTERNS.values():
+            red = F.regexp_replace(red, pat, replacement)
+        cols.append(red.alias("redacted_text"))
+    return df.select(*cols)

@@ -176,3 +176,72 @@ def test_pack_sequences_layout_invariant(spark):
          for r in pack_training_sequences(df2, "doc_id", "tokens", 128,
                                           num_partitions=3).collect()}
     assert a == b
+
+
+def test_line_dedup_rebuild_and_exemptions(spark):
+    from datasketches_cpp_spark.operators.curation import line_dedup_stats
+
+    hot = "SHARED BOILERPLATE LINE LONG ENOUGH"
+    rows = [
+        ("a", f"{hot}\nunique to a\n---"),
+        ("b", f"{hot}\nunique to b\n---"),
+        ("c", f"{hot}\nunique to c\n---"),
+        ("d", f"{hot}\nunique to d\n---"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_stats(
+            df, "doc_id", "text", min_line_chars=8, max_doc_freq=2,
+            rebuild_text=True,
+        ).collect()
+    }
+    for d in "abcd":
+        assert out[d]["n_lines"] == 3
+        assert out[d]["n_dup_lines"] == 1  # the hot line; '---' exempt (short)
+        assert out[d]["dedup_text"] == f"unique to {d}\n---"
+    # doc_freq == max_doc_freq is NOT hot
+    two = [("x", "SHARED BY EXACTLY TWO DOCUMENTS\nbody x"),
+           ("y", "SHARED BY EXACTLY TWO DOCUMENTS\nbody y")]
+    df2 = spark.createDataFrame(two, "doc_id string, text string")
+    got = {r["doc_id"]: r["n_dup_lines"]
+           for r in line_dedup_stats(df2, "doc_id", "text").collect()}
+    assert got == {"x": 0, "y": 0}
+
+
+def test_line_dedup_layout_invariant(spark):
+    from datasketches_cpp_spark.operators.curation import line_dedup_stats
+
+    rows = [(f"d{i}", "HOT COMMON LINE EVERYWHERE\n" + f"body {i}")
+            for i in range(10)]
+    a = {r["doc_id"]: (r["n_lines"], r["n_dup_lines"]) for r in line_dedup_stats(
+        spark.createDataFrame(rows, "doc_id string, text string").repartition(1),
+        "doc_id", "text").collect()}
+    b = {r["doc_id"]: (r["n_lines"], r["n_dup_lines"]) for r in line_dedup_stats(
+        spark.createDataFrame(rows[::-1], "doc_id string, text string").repartition(7),
+        "doc_id", "text").collect()}
+    assert a == b and all(v == (2, 1) for v in a.values())
+
+
+def test_pii_stats_counts_redaction_and_plan(spark):
+    from datasketches_cpp_spark.operators.curation import pii_stats
+
+    rows = [
+        ("p1", "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, call +15550001111"),
+        ("p2", "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           pii_stats(df, "doc_id", "text", redact=True).collect()}
+    assert (out["p1"]["n_email"], out["p1"]["n_ipv4"], out["p1"]["n_phone_e164"]) == (2, 1, 1)
+    assert (out["p2"]["n_email"], out["p2"]["n_ipv4"], out["p2"]["n_phone_e164"]) == (0, 0, 0)
+    red = out["p1"]["redacted_text"]
+    assert "a@b.com" not in red and "10.0.0.1" not in red and "+1555" not in red
+    assert red.count("<PII>") == 4
+    assert out["p2"]["redacted_text"] == rows[1][1]
+    # zero-shuffle contract: one codegen projection, no exchange
+    plan = (
+        pii_stats(df, "doc_id", "text")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan
