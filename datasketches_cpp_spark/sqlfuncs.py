@@ -361,9 +361,7 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
 
     # -- HLL bounds (hll.hpp get_lower_bound/get_upper_bound) --------------
     def _hll_bound(blobs: pd.Series, num_std: pd.Series, lower: bool) -> pd.Series:
-        import math
-
-        from .functions.hll import HLL_NON_HIP_RSE_FACTOR, _composite_estimate
+        from .functions.hll import _composite_estimate, get_rel_err
 
         out = []
         for b, s in zip(blobs, num_std):
@@ -373,8 +371,11 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             _, regs = hllserde.deserialize_hll(bytes(b))
             hip = hllserde.hip_estimate(bytes(b))
             est = hip if hip is not None else _composite_estimate(regs)
-            z = int(s) * HLL_NON_HIP_RSE_FACTOR / math.sqrt(float(len(regs)))
-            out.append(est / (1.0 + z) if lower else est / (1.0 - z))
+            lg_k = int(len(regs)).bit_length() - 1
+            # a stored HIP accumulator marks a never-merged stream (the
+            # writer leaves hip only when the OOO flag is clear)
+            rel = get_rel_err(not lower, hip is None, lg_k, int(s))
+            out.append(est / (1.0 + rel))
         return pd.Series(out, dtype="float64")
 
     hll_lb = pandas_udf(lambda b, s: _hll_bound(b, s, True), "double")

@@ -143,3 +143,40 @@ def test_hll_stream_agg_layout_invariant_and_covered(spark):
         exact.setdefault(g, set()).add(item)
     for g, (est, lb, ub) in a.items():
         assert lb <= len(exact[g]) <= ub
+
+
+def test_rel_err_table_dispatch_matches_reference_constants():
+    """getRelErr parity: lg_k <= 12 reads the reference's empirical
+    RelativeErrorTables (spot-checked against the published values);
+    lg_k > 12 uses the analytic factors with the UB sign flip."""
+    from datasketches_cpp_spark.functions.hll import get_rel_err
+
+    # HIP LB lg_k=12 sd=3 / NON_HIP UB lg_k=4 sd=1 (table corners)
+    assert get_rel_err(False, False, 12, 3) == 0.039387631
+    assert get_rel_err(True, True, 4, 1) == -0.256980172
+    assert get_rel_err(False, True, 10, 2) == 0.067009668
+    # analytic regime
+    k = 1 << 14
+    assert get_rel_err(False, True, 14, 2) == pytest.approx(
+        2 * HLL_NON_HIP_RSE_FACTOR / math.sqrt(k)
+    )
+    assert get_rel_err(True, False, 14, 1) == pytest.approx(
+        -HLL_HIP_RSE_FACTOR / math.sqrt(k)
+    )
+    with pytest.raises(ValueError, match="num_std_devs"):
+        get_rel_err(False, False, 12, 4)
+
+
+def test_table_bounds_still_cover_and_tighten():
+    """Table-driven bounds (lg_k <= 12) keep coverage on real streams and
+    the HIP table interval is tighter than the non-HIP one."""
+    from datasketches_cpp_spark.functions.hll import get_rel_err
+
+    n = 40_000
+    st = HllState(lg_k=10)
+    st.update_hashes(_hashes(n, seed=77))
+    lb, ub = st.get_bounds(3)
+    assert lb <= n <= ub
+    hip_w = get_rel_err(False, False, 10, 3) - get_rel_err(True, False, 10, 3)
+    ooo_w = get_rel_err(False, True, 10, 3) - get_rel_err(True, True, 10, 3)
+    assert hip_w < ooo_w
