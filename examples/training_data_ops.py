@@ -104,4 +104,33 @@ print(
     packed.agg(F.countDistinct("seq_id")).collect()[0][0],
     "training sequences of ~2048 tokens",
 )
+
+# -- round 4: line-level boilerplate dedup + PII scrub -----------------------
+from datasketches_cpp_spark.operators.curation import line_dedup_stats, pii_stats
+
+multi = train.select(
+    "doc_id",
+    F.concat_ws(
+        "\n",
+        F.lit("SHARED SITE HEADER NAVIGATION BAR"),  # planted boilerplate
+        F.col("text"),
+        F.lit("COPYRIGHT FOOTER ALL RIGHTS RESERVED"),
+    ).alias("text"),
+)
+ld = line_dedup_stats(multi, "doc_id", "text", max_doc_freq=2, rebuild_text=True)
+print(
+    "line dedup: avg boilerplate lines/doc =",
+    round(ld.agg(F.avg("n_dup_lines")).collect()[0][0], 2),
+)
+pii = pii_stats(
+    train.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" reach me at ops@example.com"))
+    ),
+    "doc_id", "text", redact=True,
+)
+print(
+    "pii scrub: docs with email =",
+    pii.where(F.col("n_email") > 0).count(),
+    "(all redacted to <PII>)",
+)
 spark.stop()
