@@ -1,0 +1,156 @@
+"""Uncompressed-AVI (RIFF 'AVI ') container parsing for the video lane —
+pure stdlib/numpy, the video twin of audiocodec.py's WAV support: where a
+header walk suffices, the container is real; compressed codecs stay
+honest NotImplementedError seams.
+
+Scope: RIFF AVI files whose single video stream is uncompressed DIB
+(BITMAPINFOHEADER biCompression == 0 / 'DIB '), 24-bit. Frames live in
+the LIST 'movi' chunk as '00db' (device-independent bitmap) payloads:
+BGR byte order, rows bottom-up, row stride padded to 4 bytes — the
+classic Windows DIB conventions (public AVI/RIFF + BITMAPINFOHEADER
+documentation). decode_avi converts to the engine's rawv layout
+(concatenated top-down unpadded RGB frames) so the whole frame-sampling
+pHash lane runs unchanged. Audio streams and index chunks are skipped.
+
+encode_avi is the fixture twin (and a way to export lane inputs as
+playable files): minimal hdrl (avih + one vids strl with a
+BITMAPINFOHEADER strf) + movi with one '00db' per frame.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class AviError(ValueError):
+    """Malformed or unsupported RIFF/AVI payload (fail-fast seam)."""
+
+
+def _walk_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size); RIFF chunks are word-aligned."""
+    while pos + 8 <= end:
+        cc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise AviError(f"truncated chunk {cc!r}: needs {size} bytes")
+        yield cc, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi(buf: bytes) -> tuple[bytes, int, int, int]:
+    """AVI bytes → (rawv frame bytes, w, h, n_frames).
+
+    rawv = concatenated top-down unpadded RGB frames, the video lane's
+    native layout (multimodal.sample_frames)."""
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise AviError("not a RIFF/AVI stream")
+    w = h = None
+    bitcount = None
+    frames: list[bytes] = []
+
+    def walk_list(pos: int, end: int) -> None:
+        nonlocal w, h, bitcount
+        for cc, body, size in _walk_chunks(buf, pos, end):
+            if cc == b"LIST":
+                kind = buf[body : body + 4]
+                if kind in (b"hdrl", b"strl", b"movi"):
+                    walk_list(body + 4, body + size)
+            elif cc == b"strf" and w is None:
+                if size < 40:
+                    raise AviError("strf BITMAPINFOHEADER too short")
+                (_bisize, biw, bih, _planes, bcnt, comp) = struct.unpack_from(
+                    "<IiiHHI", buf, body
+                )
+                if comp not in (0,):  # BI_RGB only
+                    raise AviError(
+                        f"AVI video compression 0x{comp:08X} unsupported; only "
+                        "uncompressed DIB (BI_RGB) is parsed here — compressed "
+                        "codecs are a documented seam"
+                    )
+                if bcnt != 24:
+                    raise AviError(f"only 24-bit DIB frames supported, got {bcnt}")
+                w, h, bitcount = int(biw), int(abs(bih)), bcnt
+                # negative biHeight means top-down; remember the sign
+                self_topdown[0] = bih < 0
+            elif cc in (b"00db", b"00dc"):
+                frames.append(buf[body : body + size])
+
+    self_topdown = [False]
+    walk_list(12, len(buf))
+    if w is None:
+        raise AviError("AVI has no uncompressed video stream header")
+    if not frames:
+        raise AviError("AVI has no frame data in movi")
+    stride = (w * 3 + 3) & ~3
+    expect = stride * h
+    out = np.empty((len(frames), h, w, 3), np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) != expect:
+            raise AviError(
+                f"frame {i}: {len(fb)} bytes, expected {expect} "
+                f"(stride {stride} x {h})"
+            )
+        rows = np.frombuffer(fb, np.uint8).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)
+        if not self_topdown[0]:
+            img = img[::-1]  # DIB rows are bottom-up
+        out[i] = img[:, :, ::-1]  # BGR -> RGB
+    return out.tobytes(), w, h, len(frames)
+
+
+def encode_avi(rawv: bytes, w: int, h: int, n_frames: int, fps: int = 10) -> bytes:
+    """rawv frame bytes → minimal uncompressed 24-bit AVI (fixture twin)."""
+    frames = np.frombuffer(rawv, np.uint8)
+    if len(frames) != n_frames * h * w * 3:
+        raise AviError("rawv size does not match n_frames*h*w*3")
+    frames = frames.reshape(n_frames, h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    dib_frames = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up + RGB->BGR
+        rows = bgr.reshape(h, w * 3)
+        if pad:
+            rows = np.concatenate([rows, np.zeros((h, pad), np.uint8)], axis=1)
+        dib_frames.append(rows.tobytes())
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        out = cc + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    frame_sz = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_sz * fps, 0, 0x10, n_frames, 0, 1,
+        frame_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, n_frames, frame_sz, 0, 0, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", fb) for fb in dib_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def to_rawv(buf: bytes, fmt: str) -> tuple[bytes, int | None, int | None]:
+    """Normalize a video payload to rawv bytes. 'rawv' passes through
+    (dims unknown, caller supplies them); 'avi' parses the container and
+    returns its own dims; anything else raises at the documented seam."""
+    if fmt == "rawv":
+        return buf, None, None
+    if fmt == "avi":
+        raw, w, h, _n = decode_avi(buf)
+        return raw, w, h
+    raise NotImplementedError(
+        f"video decode for fmt={fmt!r} requires a codec not present in this "
+        "environment; supported here: 'rawv' (concatenated raw RGB frames), "
+        "'avi' (uncompressed 24-bit DIB)"
+    )

@@ -179,31 +179,35 @@ def sample_frames(
 ) -> DataFrame:
     """(video_id, frame_idx, bytes, w, h, fmt) — every k-th frame.
     fmt='rawv' means concatenated raw RGB frames (n_frames × h × w × 3);
-    container formats (mp4 etc.) raise NotImplementedError at the decode
-    seam, exactly like image codecs. Frame extraction is one buffer slice
-    per emitted frame (inherently per-output-row: each frame is its own
+    fmt='avi' parses uncompressed 24-bit DIB AVI containers
+    (operators/avicodec.py) into the same layout; compressed container
+    codecs (mp4 etc.) raise NotImplementedError at the decode seam,
+    exactly like image codecs. Frame extraction is one buffer slice per
+    emitted frame (inherently per-output-row: each frame is its own
     binary payload)."""
     schema = f"{id_col} string, frame_idx int, bytes binary, w int, h int, fmt string"
     cols = [id_col, "bytes", "w", "h", "fmt"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avicodec import to_rawv
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            bad = pdf.loc[pdf["fmt"] != "rawv", "fmt"]
-            if len(bad):
-                raise NotImplementedError(
-                    f"video decode for fmt={bad.iloc[0]!r} requires a codec "
-                    "not present in this environment; only fmt='rawv' "
-                    "(concatenated raw frames) is supported here"
-                )
             ids_out, fidx_out, bytes_out, w_out, h_out = [], [], [], [], []
-            for rid, buf, w, h in zip(
+            for rid, buf, w, h, fmt in zip(
                 pdf[id_col].to_numpy(),
                 pdf["bytes"].to_numpy(),
                 pdf["w"].to_numpy(),
                 pdf["h"].to_numpy(),
+                pdf["fmt"].to_numpy(),
             ):
+                buf, aw, ah = to_rawv(bytes(buf), fmt)
+                if aw is not None and (aw, ah) != (int(w), int(h)):
+                    raise ValueError(
+                        f"metadata says {w}x{h} but the {fmt} container is "
+                        f"{aw}x{ah}"
+                    )
                 frame_sz = int(w) * int(h) * 3
                 n_frames = len(buf) // frame_sz
                 for fi in range(0, n_frames, every_k):

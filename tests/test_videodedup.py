@@ -115,3 +115,46 @@ def test_container_codec_seam_raises(spark):
 
     with pytest.raises((Py4JJavaError, Exception), match="NotImplementedError|codec"):
         sample_frames(df, every_k=1).collect()
+
+
+def test_avi_container_matches_rawv_lane(spark):
+    """Uncompressed-AVI containers (operators/avicodec.py) flow through
+    sample_frames identically to the same frames shipped as rawv: the
+    round-4 closure of part of the av-container seam."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.avicodec import (
+        AviError,
+        decode_avi,
+        encode_avi,
+    )
+    from datasketches_cpp_spark.operators.multimodal import sample_frames
+
+    rng = np.random.default_rng(5)
+    w, h, n = 18, 12, 6  # w*3 not divisible by 4 -> exercises DIB stride pad
+    rawv = rng.integers(0, 256, n * h * w * 3, dtype=np.uint8).tobytes()
+    avi = encode_avi(rawv, w, h, n)
+    back, dw, dh, dn = decode_avi(avi)
+    assert (dw, dh, dn) == (w, h, n) and back == rawv  # lossless round-trip
+    rows = [
+        ("v_avi", bytearray(avi), w, h, "avi"),
+        ("v_raw", bytearray(rawv), w, h, "rawv"),
+    ]
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {}
+    for r in sample_frames(df, every_k=2).collect():
+        got.setdefault(r["video_id"], []).append((r["frame_idx"], bytes(r["bytes"])))
+    assert sorted(got["v_avi"]) == sorted(got["v_raw"])
+    assert len(got["v_raw"]) == 3
+    # fail-fast seams
+    with pytest.raises(AviError, match="RIFF"):
+        decode_avi(b"junk")
+    with pytest.raises(Exception, match="mp4|codec"):
+        sample_frames(
+            spark.createDataFrame(
+                [("x", b"\x00" * 64, 2, 2, "mp4")],
+                "video_id string, bytes binary, w int, h int, fmt string",
+            )
+        ).collect()
