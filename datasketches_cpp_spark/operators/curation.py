@@ -343,6 +343,7 @@ def line_dedup_stats(
     min_line_chars: int = 8,
     max_doc_freq: int = 2,
     rebuild_text: bool = False,
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Global line-level deduplication (the RefinedWeb / MassiveText
     boilerplate rule): a trim-normalized line of at least
@@ -354,13 +355,17 @@ def line_dedup_stats(
     with the boilerplate lines removed, original order preserved]).
 
     Scale shape: posexplode(split) → one groupBy(line) with map-side
-    combined distinct-doc counting → the hot-line set (orders of
-    magnitude smaller than the corpus — only lines with doc_freq >
-    threshold survive) joins back to the line table → one groupBy(id).
-    Two key shuffles and one id shuffle, all aggregations partial-agg
-    before exchange; no driver materialization. Short lines are exempt
-    from the rule (they would otherwise all collide: '}', '---', ...),
-    matching the published recipes.
+    combined distinct-doc counting → the hot-line set joins back to the
+    line table → one groupBy(id). The hot set is small BY CONSTRUCTION
+    (only lines repeated across > max_doc_freq documents survive — it is
+    bounded by the corpus's boilerplate vocabulary, not its size), so it
+    is BROADCAST by default and the corpus-sized line table never
+    shuffles for the join (``broadcast_hot=False`` falls back to a
+    sort-merge join for pathological corpora where boilerplate itself is
+    huge). All aggregations partial-agg before exchange; no driver
+    materialization. Short lines are exempt from the rule (they would
+    otherwise all collide: '}', '---', ...), matching the published
+    recipes.
     """
     lines = df.select(
         F.col(id_col).alias("_id"),
@@ -374,9 +379,9 @@ def line_dedup_stats(
         .where(F.col("_df") > max_doc_freq)
         .select("_key", F.lit(True).alias("_hot"))
     )
-    joined = lines.join(hot, "_key", "left").withColumn(
-        "_dup", F.coalesce(F.col("_hot"), F.lit(False)) & eligible
-    )
+    joined = lines.join(
+        F.broadcast(hot) if broadcast_hot else hot, "_key", "left"
+    ).withColumn("_dup", F.coalesce(F.col("_hot"), F.lit(False)) & eligible)
     aggs = [
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("_dup").cast("long")).alias("n_dup_lines"),

@@ -245,3 +245,22 @@ def test_pii_stats_counts_redaction_and_plan(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_line_dedup_broadcasts_hot_set(spark):
+    """Scale contract: the corpus-sized line table must NOT shuffle for
+    the hot-line join — the hot set broadcasts by default."""
+    from datasketches_cpp_spark.operators.curation import line_dedup_stats
+
+    rows = [(f"d{i}", "HOT LINE SHARED EVERYWHERE\nbody") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    plan = (
+        line_dedup_stats(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # opt-out path stays available and agrees
+    a = sorted(map(tuple, line_dedup_stats(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, line_dedup_stats(
+        df, "doc_id", "text", broadcast_hot=False).collect()))
+    assert a == b
