@@ -342,7 +342,14 @@ def decode_dct(buf: bytes) -> tuple[np.ndarray, int, int]:
 # SOF0/SOF1, 4:4:4/4:2:0/4:2:2, restart intervals, grayscale; progressive
 # and arithmetic coding remain documented seams). The former 'jpg' alias
 # to the DCT1 transform codec is gone; 'dct' still names DCT1.
-from .jpegcodec import decode_jpeg, encode_jpeg  # noqa: E402  (needs _DCT_D above)
+# jpegcodec imports this module's DCT machinery at its top, so the
+# reverse edge must be lazy — import-order-independent either way round.
+
+
+def _decode_jpeg(buf):
+    from .jpegcodec import decode_jpeg
+
+    return decode_jpeg(buf)
 
 
 def _encode_jpeg_gate(pixels, w, h):
@@ -350,6 +357,8 @@ def _encode_jpeg_gate(pixels, w, h):
     # PSNR >= 40 dB on the synthetic corpus; measured floors there are
     # 40.0 dB at q=97 and 48.9 dB at q=99 — q=99 keeps real margin.
     # Callers wanting smaller files use jpegcodec.encode_jpeg directly.
+    from .jpegcodec import encode_jpeg
+
     return encode_jpeg(pixels, w, h, quality=99)
 
 
@@ -357,7 +366,7 @@ _ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp,
              "dct": encode_dct, "jpg": _encode_jpeg_gate,
              "jpeg": _encode_jpeg_gate}
 _DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp,
-             "dct": decode_dct, "jpg": decode_jpeg, "jpeg": decode_jpeg}
+             "dct": decode_dct, "jpg": _decode_jpeg, "jpeg": _decode_jpeg}
 
 LOSSY_FORMATS = ("dct", "jpg", "jpeg")
 SUPPORTED_FORMATS = ("raw",) + tuple(sorted(_ENCODERS))

@@ -482,6 +482,69 @@ def _dht_segment(tc: int, th: int, bits, vals) -> bytes:
     )
 
 
+def with_default_huffman(buf: bytes) -> bytes:
+    """Splice the T.81 Annex K typical Huffman tables into a DHT-less frame.
+
+    MJPEG-in-AVI conventionally omits DHT from every frame (OpenDML /
+    historical 'MJPG' convention: decoders supply the Annex K tables).
+    Walks the marker segments between SOI and SOS; if any DHT is present
+    the stream is returned unchanged, else all four standard tables are
+    inserted immediately after SOI. The scan never enters entropy data,
+    so a 0xFFC4 byte pair inside the compressed payload can't fool it."""
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        raise ImageCodecError("not a JPEG stream (missing SOI)")
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ImageCodecError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xC4:
+            return buf
+        if marker in (0xDA, 0xD9):  # SOS / EOI: header walk is over
+            break
+        (seg_len,) = struct.unpack_from(">H", buf, pos + 2)
+        pos += 2 + seg_len
+    dht = (
+        _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+        + _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        + _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    )
+    return buf[:2] + dht + buf[2:]
+
+
+def strip_huffman(buf: bytes) -> bytes:
+    """Remove every DHT segment from a frame's header — the inverse
+    convention of with_default_huffman, used by the MJPEG-in-AVI encoder
+    so written files follow the historical 'MJPG frames carry no DHT'
+    form. Only valid when the frame uses exactly the Annex K tables
+    (encode_jpeg always does)."""
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        raise ImageCodecError("not a JPEG stream (missing SOI)")
+    out = bytearray(buf[:2])
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ImageCodecError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xDA, 0xD9):  # SOS: copy the rest verbatim
+            out += buf[pos:]
+            return bytes(out)
+        (seg_len,) = struct.unpack_from(">H", buf, pos + 2)
+        if marker != 0xC4:
+            out += buf[pos : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    return bytes(out)
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     w: int,

@@ -158,3 +158,60 @@ def test_avi_container_matches_rawv_lane(spark):
                 "video_id string, bytes binary, w int, h int, fmt string",
             )
         ).collect()
+
+
+def test_mjpeg_avi_container(spark):
+    """MJPEG-in-AVI ('MJPG' fourcc, DHT-less baseline JPEG per '00dc'
+    chunk): decodes within the repo's 40 dB PSNR gate and flows through
+    sample_frames with per-frame pHash within a small hamming radius of
+    the rawv twin — the compressed half of the AVI seam, closed by
+    reusing operators/jpegcodec.py."""
+    from datasketches_cpp_spark.operators.avicodec import (
+        AviError,
+        decode_avi,
+        encode_avi,
+    )
+    from datasketches_cpp_spark.operators.jpegcodec import with_default_huffman
+    from datasketches_cpp_spark.operators.multimodal import sample_frames
+
+    w = h = 16
+    rawv = _video(range(6), w=w, h=h)
+    avi = encode_avi(rawv, w, h, 6, codec="mjpg")
+    back, dw, dh, dn = decode_avi(avi)
+    assert (dw, dh, dn) == (w, h, 6)
+    a = np.frombuffer(rawv, np.uint8).astype(np.float64)
+    b = np.frombuffer(back, np.uint8).astype(np.float64)
+    psnr = 10 * np.log10(255.0**2 / ((a - b) ** 2).mean())
+    assert psnr >= 40.0, psnr
+
+    # written frames follow the DHT-less MJPG convention
+    import struct
+
+    i = avi.find(b"00dc")
+    sz = struct.unpack_from("<I", avi, i + 4)[0]
+    frame = avi[i + 8 : i + 8 + sz]
+    assert with_default_huffman(frame) != frame
+
+    # end-to-end: sampled-frame pHashes track the rawv lane's
+    rows = [
+        ("v_mjpg", bytearray(avi), w, h, "avi"),
+        ("v_raw", bytearray(rawv), w, h, "rawv"),
+    ]
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {}
+    for r in sample_frames(df, every_k=2).collect():
+        got.setdefault(r["video_id"], {})[r["frame_idx"]] = bytes(r["bytes"])
+    assert sorted(got["v_mjpg"]) == sorted(got["v_raw"]) == [0, 2, 4]
+    for fi in got["v_raw"]:
+        pa = phash64(np.frombuffer(got["v_raw"][fi], np.uint8), w, h)
+        pb = phash64(np.frombuffer(got["v_mjpg"][fi], np.uint8), w, h)
+        assert bin(pa ^ pb).count("1") <= 6
+
+    # header/frame dimension mismatch fails fast
+    bad = bytearray(avi)
+    strf = bad.find(b"strf")
+    struct.pack_into("<i", bad, strf + 8 + 4, w + 8)  # biWidth lies
+    with pytest.raises(AviError, match="stream header"):
+        decode_avi(bytes(bad))
