@@ -65,10 +65,10 @@ def test_wav_failfast_seams():
     good = encode_wav(pcm)
     with pytest.raises(WavError, match="truncated"):
         decode_wav(good[:-10])
-    # float format (code 3) is a documented seam
+    # MP3-in-WAV (code 0x55) is a documented seam
     bad = bytearray(good)
-    struct.pack_into("<H", bad, 20, 3)
-    with pytest.raises(WavError, match="format code=3"):
+    struct.pack_into("<H", bad, 20, 0x55)
+    with pytest.raises(WavError, match="format code=85"):
         decode_wav(bytes(bad))
     with pytest.raises(NotImplementedError, match="mp3"):
         to_pcm16(b"\x00" * 64, "mp3")
@@ -94,3 +94,71 @@ def test_wav_lane_matches_pcm16_lane(spark):
     feats = {r["audio_id"]: (r["n_windows"], r["rms"]) for r in
              audio_features(df, window=1024).collect()}
     assert feats["raw"] == feats["wav"]
+
+
+def _snr(a, b):
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    e = ((a - b) ** 2).mean()
+    return float("inf") if e == 0 else 10 * np.log10((a**2).mean() / e)
+
+
+@pytest.mark.parametrize(
+    "codec,floor",
+    [
+        ("pcm16", None), ("pcm24", None), ("pcm32", None),
+        ("float32", None), ("float64", None),
+        ("pcm8", 35.0), ("alaw", 33.0), ("mulaw", 33.0), ("ima_adpcm", 25.0),
+    ],
+)
+def test_wav_codec_roundtrips(codec, floor):
+    """Every decode_wav codec: lossless paths are byte-exact, lossy paths
+    (8-bit PCM, G.711, IMA ADPCM) clear their published quality bands."""
+    t = np.arange(16000)
+    x = np.sin(2 * np.pi * 440 * t / 16000) + 0.3 * np.sin(
+        2 * np.pi * 1330 * t / 16000
+    )
+    pcm = (np.clip(x / 1.3, -1, 1) * 28000).astype(np.int16)
+    back, rate = decode_wav(encode_wav(pcm, 16000, codec=codec))
+    assert rate == 16000 and len(back) == len(pcm)
+    if floor is None:
+        assert np.array_equal(back, pcm)
+    else:
+        assert _snr(pcm, back) >= floor
+
+
+def test_wav_stereo_ima_downmix():
+    """Stereo IMA ADPCM: 4-byte-word channel interleave decodes and
+    downmixes to the same mono as a stereo pcm16 of the same samples
+    (within ADPCM quantization error)."""
+    pcm = _sine_pcm(6000)
+    st = np.stack([pcm, pcm // 2], axis=1)
+    exact, _ = decode_wav(encode_wav(st, 16000, codec="pcm16"))
+    lossy, _ = decode_wav(encode_wav(st, 16000, codec="ima_adpcm"))
+    assert len(lossy) == len(exact) == 6000
+    # the fixture's 4.7 kHz component pushes per-sample slope near the max
+    # ADPCM step, so ~22 dB is codec-typical here; a wrong channel
+    # de-interleave lands near 0 dB
+    assert _snr(exact, lossy) >= 15.0
+
+
+def test_compressed_wav_lane_clusters(spark):
+    """A mu-law-encoded twin clusters with its pcm16 original through the
+    full audio dedup lane — G.711 noise stays below the landmark
+    matching threshold."""
+    from datasketches_cpp_spark.operators.audiodedup import dedup_audio
+
+    pcm = _sine_pcm(16 * 1024)
+    other = (_sine_pcm(16 * 1024) * 0).astype("<i2")
+    rng = np.random.default_rng(3)
+    other = (rng.standard_normal(16 * 1024) * 8000).astype("<i2")
+    rows = [
+        ("orig", pcm.tobytes(), "pcm16"),
+        ("twin", bytearray(encode_wav(pcm, codec="mulaw")), "wav"),
+        ("noise", other.tobytes(), "pcm16"),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    out = dedup_audio(df)
+    got = {r["id"]: r["cluster_id"] for r in out["assignments"].collect()}
+    assert got["orig"] == got["twin"]
+    assert got["noise"] != got["orig"]
