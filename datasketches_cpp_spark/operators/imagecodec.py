@@ -337,11 +337,12 @@ def decode_dct(buf: bytes) -> tuple[np.ndarray, int, int]:
 # dispatch
 # ---------------------------------------------------------------------------
 
-# 'jpg'/'jpeg' are REAL baseline ITU T.81 interchange streams as of
-# round 4 (operators/jpegcodec.py: pure numpy/stdlib encoder + decoder —
-# SOF0/SOF1, 4:4:4/4:2:0/4:2:2, restart intervals, grayscale; progressive
-# and arithmetic coding remain documented seams). The former 'jpg' alias
-# to the DCT1 transform codec is gone; 'dct' still names DCT1.
+# 'jpg'/'jpeg' are REAL ITU T.81 interchange streams as of round 4
+# (operators/jpegcodec.py: pure numpy/stdlib encoder + decoder — SOF0/
+# SOF1 sequential and SOF2 progressive, 4:4:4/4:2:0/4:2:2, restart
+# intervals, grayscale; arithmetic coding and lossless remain documented
+# seams). The former 'jpg' alias to the DCT1 transform codec is gone;
+# 'dct' still names DCT1.
 # jpegcodec imports this module's DCT machinery at its top, so the
 # reverse edge must be lazy — import-order-independent either way round.
 

@@ -2,20 +2,29 @@
 same discipline as the PNG decoder in imagecodec.py: the container ships
 no image libraries, and baseline sequential JPEG needs none.
 
-Decoder scope (everything a baseline interchange stream can carry):
-  * SOF0 baseline sequential, 8-bit, 1 component (grayscale) or 3
+Decoder scope:
+  * SOF0/SOF1 baseline sequential, 8-bit, 1 component (grayscale) or 3
     components (JFIF YCbCr), sampling factors 1-2 in each axis (4:4:4,
     4:2:2, 4:2:0, 4:1:1 ...);
+  * SOF2 progressive: multi-scan spectral selection + successive
+    approximation per T.81 G.2 — interleaved/single-component DC first
+    and refinement scans, single-component AC band scans with EOB runs
+    and correction bits, DHT/DQT/DRI redefinition between scans; a
+    stream cut after any scan still decodes (coarse -> exact);
   * multiple DQT/DHT segments, 8- and 16-bit quant tables;
   * restart intervals (DRI + RSTn, byte-aligned, DC predictors reset);
   * APPn/COM segments skipped; EOI optional trailing garbage tolerated.
-  Progressive (SOF2), arithmetic coding, 12-bit precision and lossless
-  modes raise ImageCodecError — honest seams, named in the message.
+  Arithmetic coding, 12-bit precision, lossless and hierarchical modes
+  raise ImageCodecError — honest seams, named in the message.
 
-Encoder scope: baseline sequential JFIF, quality-scaled Annex K quant
-tables (the libjpeg 5000/q | 200-2q scaling), standard Annex K Huffman
-tables, 4:4:4 (default) or 4:2:0 chroma subsampling, optional restart
-interval. decode(encode(x, q=90)) lands well above the repo's 40 dB
+Encoder scope: baseline sequential JFIF (encode_jpeg), quality-scaled
+Annex K quant tables (the libjpeg 5000/q | 200-2q scaling), standard
+Annex K Huffman tables, 4:4:4 (default) or 4:2:0 chroma subsampling,
+optional restart interval; and progressive JFIF
+(encode_jpeg_progressive) with a DC + per-component AC first/refinement
+scan script over a fixed custom AC table carrying the EOBn codes —
+identical quantization, so the fully-decoded pixels match encode_jpeg's
+exactly. decode(encode(x, q=90)) lands well above the repo's 40 dB
 PSNR gate (asserted in tests/test_jpegcodec.py).
 
 Entropy decode is a per-symbol Python loop over a numpy bit array — the
@@ -202,6 +211,8 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int]:
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     sof = None
+    progressive = False
+    prog = None  # lazily-initialized _ProgState once SOF2 + first SOS seen
     restart_interval = 0
     n = len(buf)
     while pos + 4 <= n:
@@ -212,7 +223,7 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int]:
         if marker == 0xFF:  # fill byte — resynchronize one byte forward
             pos -= 1
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI: done (progressive) or no scan seen
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -240,7 +251,7 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int]:
                 vals = list(body[p + 17 : p + 17 + cnt])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
                 p += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 (both Huffman seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 seq, SOF2 progressive
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ImageCodecError(f"JPEG precision {prec} unsupported (8-bit only)")
@@ -249,12 +260,13 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int]:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             sof = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise ImageCodecError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported; "
-                f"SOF marker 0x{marker:02X} (progressive/arithmetic/lossless) "
-                "is a documented codec seam"
+                "only Huffman sequential (SOF0/SOF1) and progressive (SOF2) "
+                f"JPEG are supported; SOF marker 0x{marker:02X} "
+                "(arithmetic/lossless/hierarchical) is a documented codec seam"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -267,18 +279,35 @@ def decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int]:
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
             data_start = pos + seglen
-            return _decode_scan(
-                buf, data_start, sof, scan, qts, dc_tabs, ac_tabs,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    buf, data_start, sof, scan, qts, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahl = body[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgState(sof)
+            pos = _decode_progressive_scan(
+                buf, data_start, prog, scan, ss, se, ahl >> 4, ahl & 0xF,
+                dc_tabs, ac_tabs, restart_interval,
             )
+            continue
         # other segments (APPn, COM): skip
         pos += seglen
+    if prog is not None:
+        return _reconstruct(
+            sof, prog.blocks, qts, prog.mcus_x, prog.mcus_y, prog.hmax,
+            prog.vmax,
+        )
     raise ImageCodecError("JPEG stream ended without a scan (no SOS)")
 
 
-def _destuff(buf: bytes, start: int) -> tuple[bytes, list[int]]:
+def _destuff(buf: bytes, start: int) -> tuple[bytes, list[int], int]:
     """Entropy bytes from `start`: drop 0x00 stuffing after 0xFF, record
-    RST positions as bit offsets, stop at any other marker."""
+    RST positions as bit offsets, stop at any other marker. Returns the
+    source position where decoding stopped so a multi-scan (progressive)
+    caller can resume its marker walk there."""
     out = bytearray()
     rst_bit_offsets = []
     pos, n = start, len(buf)
@@ -297,7 +326,7 @@ def _destuff(buf: bytes, start: int) -> tuple[bytes, list[int]]:
             pos += 2
         else:  # EOI or next segment
             break
-    return bytes(out), rst_bit_offsets
+    return bytes(out), rst_bit_offsets, pos
 
 
 def _decode_scan(buf, start, sof, scan, qts, dc_tabs, ac_tabs, restart_interval):
@@ -310,7 +339,7 @@ def _decode_scan(buf, start, sof, scan, qts, dc_tabs, ac_tabs, restart_interval)
         raise ImageCodecError(f"JPEG sampling {hmax}x{vmax} unsupported (1-2 only)")
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    data, rst_offsets = _destuff(buf, start)
+    data, rst_offsets, _end = _destuff(buf, start)
     reader = _BitReader(data)
 
     per_comp_blocks = []
@@ -368,7 +397,14 @@ def _decode_scan(buf, start, sof, scan, qts, dc_tabs, ac_tabs, restart_interval)
                             k += 1
             mcu_index += 1
 
-    # dequant + unzigzag + IDCT, vectorized per component
+    return _reconstruct(sof, per_comp_blocks, qts, mcus_x, mcus_y, hmax, vmax)
+
+
+def _reconstruct(sof, per_comp_blocks, qts, mcus_x, mcus_y, hmax, vmax):
+    """Zigzag coefficient blocks → RGB: dequant + unzigzag + IDCT +
+    upsample + color transform, vectorized per component (shared by the
+    sequential and progressive paths)."""
+    width, height, comps = sof
     planes = []
     for ci, c in enumerate(comps):
         if c["tq"] not in qts:
@@ -399,6 +435,218 @@ def _decode_scan(buf, start, sof, scan, qts, dc_tabs, ac_tabs, restart_interval)
         b = y + 1.772 * (cb - 128.0)
         rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
     return rgb.reshape(-1), int(width), int(height)
+
+
+# -- progressive decoding (T.81 G.2) ------------------------------------------
+
+
+class _ProgState:
+    """Per-component coefficient accumulators across progressive scans.
+
+    Blocks are MCU-grid-padded (like the sequential path) and hold
+    zigzag-order int32 coefficients; successive scans refine them in
+    place, then _reconstruct runs once at EOI."""
+
+    __slots__ = ("comps", "hmax", "vmax", "mcus_x", "mcus_y", "blocks",
+                 "ndims")
+
+    def __init__(self, sof):
+        width, height, comps = sof
+        self.comps = comps
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        if not (1 <= self.hmax <= 2 and 1 <= self.vmax <= 2):
+            raise ImageCodecError(
+                f"JPEG sampling {self.hmax}x{self.vmax} unsupported (1-2 only)"
+            )
+        self.mcus_x = -(-width // (8 * self.hmax))
+        self.mcus_y = -(-height // (8 * self.vmax))
+        self.blocks = []
+        self.ndims = []  # (blocks_w, blocks_h) of each comp's OWN raster
+        for c in comps:
+            bw = self.mcus_x * c["h"]
+            bh = self.mcus_y * c["v"]
+            self.blocks.append(np.zeros((bh * bw, 64), np.int32))
+            cw = -(-width * c["h"] // self.hmax)
+            ch = -(-height * c["v"] // self.vmax)
+            self.ndims.append((-(-cw // 8), -(-ch // 8)))
+
+
+def _decode_progressive_scan(
+    buf, start, prog, scan, ss, se, ah, al, dc_tabs, ac_tabs,
+    restart_interval,
+):
+    """One progressive scan: DC first/refine (interleaved or single-
+    component) or AC first/refine (single-component, with EOB runs and
+    correction bits per G.2). Mutates prog.blocks; returns the source
+    position after the scan's entropy data."""
+    data, rst_offsets, end_pos = _destuff(buf, start)
+    reader = _BitReader(data)
+    rst_iter = iter(rst_offsets)
+    comps = prog.comps
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+
+    if ss == 0:
+        if se != 0:
+            raise ImageCodecError("JPEG DC scan with Se != 0")
+        first = ah == 0
+        sel = []
+        for cs, td, _ta in scan:
+            if cs not in by_id:
+                raise ImageCodecError("JPEG scan names an unknown component")
+            if first and td not in dc_tabs:
+                raise ImageCodecError("JPEG scan references a missing Huffman table")
+            sel.append((by_id[cs], dc_tabs.get(td)))
+        preds = [0] * len(sel)
+
+        def dc_block(pos_in_sel, blk):
+            if first:
+                tab = sel[pos_in_sel][1]
+                size = reader.decode(tab)
+                preds[pos_in_sel] += _extend(reader.read_bits(size), size)
+                blk[0] = preds[pos_in_sel] << al
+            else:
+                blk[0] |= reader.read_bit() << al
+
+        if len(scan) > 1:
+            # interleaved MCU order over the selected components
+            if len(scan) != len(comps):
+                raise ImageCodecError(
+                    "JPEG interleaved DC scan must name every component"
+                )
+            unit = 0
+            for my in range(prog.mcus_y):
+                for mx in range(prog.mcus_x):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        nxt = next(rst_iter, None)
+                        if nxt is None:
+                            raise ImageCodecError("JPEG: missing expected RST marker")
+                        reader.pos = nxt
+                        preds = [0] * len(sel)
+                    for si, (ci, _tab) in enumerate(sel):
+                        c = comps[ci]
+                        bw = prog.mcus_x * c["h"]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    si,
+                                    prog.blocks[ci][
+                                        (my * c["v"] + by) * bw
+                                        + (mx * c["h"] + bx)
+                                    ],
+                                )
+                    unit += 1
+        else:
+            ci = sel[0][0]
+            bw_n, bh_n = prog.ndims[ci]
+            padded_bw = prog.mcus_x * comps[ci]["h"]
+            unit = 0
+            for row in range(bh_n):
+                for col in range(bw_n):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        nxt = next(rst_iter, None)
+                        if nxt is None:
+                            raise ImageCodecError("JPEG: missing expected RST marker")
+                        reader.pos = nxt
+                        preds = [0] * len(sel)
+                    dc_block(0, prog.blocks[ci][row * padded_bw + col])
+                    unit += 1
+        return end_pos
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ImageCodecError("JPEG AC scan must have exactly one component")
+    cs, _td, ta = scan[0]
+    if cs not in by_id:
+        raise ImageCodecError("JPEG scan names an unknown component")
+    if ta not in ac_tabs:
+        raise ImageCodecError("JPEG scan references a missing Huffman table")
+    act = ac_tabs[ta]
+    ci = by_id[cs]
+    bw_n, bh_n = prog.ndims[ci]
+    padded_bw = prog.mcus_x * comps[ci]["h"]
+    blocks = prog.blocks[ci]
+    eobrun = 0
+    first = ah == 0
+    p1 = 1 << al
+    m1 = -p1
+    unit = 0
+    for row in range(bh_n):
+        for col in range(bw_n):
+            if restart_interval and unit and unit % restart_interval == 0:
+                nxt = next(rst_iter, None)
+                if nxt is None:
+                    raise ImageCodecError("JPEG: missing expected RST marker")
+                reader.pos = nxt
+                eobrun = 0
+            unit += 1
+            blk = blocks[row * padded_bw + col]
+            if first:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ImageCodecError("JPEG AC run overflows band")
+                    blk[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+            else:
+                # refinement (G.2, the successive-approximation correction
+                # pass): newly-nonzero coefficients arrive as ±1<<Al; every
+                # already-nonzero coefficient crossed consumes one
+                # correction bit
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coeffs
+                            s_val = 0
+                        else:
+                            if s != 1:
+                                raise ImageCodecError(
+                                    "JPEG AC refinement size != 1"
+                                )
+                            s_val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            coef = int(blk[k])
+                            if coef != 0:
+                                if reader.read_bit() and (coef & p1) == 0:
+                                    blk[k] = coef + (p1 if coef >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    if s_val:
+                                        blk[k] = s_val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun:
+                    while k <= se:
+                        coef = int(blk[k])
+                        if coef != 0 and reader.read_bit() and (coef & p1) == 0:
+                            blk[k] = coef + (p1 if coef >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return end_pos
 
 
 # -- encoder -------------------------------------------------------------------
@@ -545,20 +793,9 @@ def strip_huffman(buf: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    w: int,
-    h: int,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(h*w*3,) or (h, w, 3) uint8 RGB → baseline JFIF bytes.
-
-    ``subsample`` selects 4:2:0 chroma (halved in both axes); default is
-    4:4:4. ``restart_interval`` (in MCUs) emits DRI + RSTn markers —
-    mainly so the decoder's restart path has a real producer to test
-    against."""
+def _prepare_quantized(pixels, w, h, quality, subsample):
+    """RGB → quantized zigzag coefficient blocks per component (shared by
+    the sequential and progressive encoders)."""
     px = np.asarray(pixels, np.uint8).reshape(h, w, 3).astype(np.float64)
     r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -603,9 +840,29 @@ def encode_jpeg(
             :, _ZIGZAG
         ]
 
-    y_zz = quantize(y_p, qy)
-    cb_zz = quantize(cb_p, qc)
-    cr_zz = quantize(cr_p, qc)
+    return (
+        quantize(y_p, qy), quantize(cb_p, qc), quantize(cr_p, qc),
+        qy, qc, hsamp, vsamp, mcus_x, mcus_y,
+    )
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    w: int,
+    h: int,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h*w*3,) or (h, w, 3) uint8 RGB → baseline JFIF bytes.
+
+    ``subsample`` selects 4:2:0 chroma (halved in both axes); default is
+    4:4:4. ``restart_interval`` (in MCUs) emits DRI + RSTn markers —
+    mainly so the decoder's restart path has a real producer to test
+    against."""
+    y_zz, cb_zz, cr_zz, qy, qc, hsamp, vsamp, mcus_x, mcus_y = (
+        _prepare_quantized(pixels, w, h, quality, subsample)
+    )
 
     dc_l = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -662,5 +919,282 @@ def encode_jpeg(
     out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
     out += bytes([0, 63, 0])  # Ss, Se, Ah/Al
     out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (T.81 G.1.2) -----------------------------------------
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: signed magnitude shift (G.1.2.2)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _prog_ac_table() -> tuple[list, list]:
+    """(bits, vals) for a fixed canonical AC table covering every symbol a
+    progressive AC scan can emit: run/size pairs (run 0-15, size 1-10),
+    ZRL (0xF0), and the EOBn codes (r<<4, r 0-14) that the Annex K
+    sequential tables lack. Static lengths chosen so Kraft holds with
+    short codes on the common symbols; any valid prefix code is legal
+    JPEG, the DHT ships with the file."""
+    groups = [
+        (4, [0x00, 0x01, 0x11, 0x21]),
+        (6, [0x10, 0x20, 0x02, 0x12, 0x31, 0x41, 0x51, 0x61]),
+        (8, [0x30, 0x40, 0x50, 0x60, 0x03, 0x13, 0x22, 0x32, 0x71, 0x81,
+             0x91, 0xA1, 0xB1, 0xC1, 0xD1, 0xE1, 0xF1, 0xF0, 0x04, 0x14,
+             0x23, 0x42, 0x52, 0x62, 0x72, 0x05, 0x15, 0x24, 0x33, 0x06,
+             0x16, 0x07]),
+    ]
+    listed = {s for _, syms in groups for s in syms}
+    rest = []
+    for r in range(15):
+        if (r << 4) not in listed:
+            rest.append(r << 4)
+    for run in range(16):
+        for size in range(1, 11):
+            s = (run << 4) | size
+            if s not in listed:
+                rest.append(s)
+    groups.append((10, sorted(rest)))
+    bits = [0] * 16
+    vals = []
+    for length, syms in groups:
+        bits[length - 1] += len(syms)
+        vals.extend(syms)
+    return bits, vals
+
+
+_PROG_AC_BITS, _PROG_AC_VALS = _prog_ac_table()
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan, with the EOB-run and
+    buffered-correction-bit discipline of G.1.2.3: correction bits of
+    already-nonzero coefficients ride immediately after the next emitted
+    symbol (ZRL, run/1, or EOBRUN)."""
+
+    def __init__(self, ac_tab):
+        self.bw = _BitWriter()
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.be = []  # correction bits owned by the pending EOB run
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            c, length = self.ac_tab[r << 4]
+            self.bw.write(c, length)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            for bit in self.be:
+                self.bw.write(bit, 1)
+            self.eobrun = 0
+            self.be = []
+
+    def ac_first_block(self, band, al):
+        vals = [_pt_ac(v, al) for v in band]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+            return
+        self.flush_eobrun()
+        run = 0
+        last = nz[-1]
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, length = self.ac_tab[0xF0]
+                self.bw.write(c, length)
+                run -= 16
+            s = _csize(v)
+            c, length = self.ac_tab[(run << 4) | s]
+            self.bw.write(c, length)
+            self.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < len(band) - 1:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def ac_refine_block(self, band, al):
+        # |v|>>al == 1 ⟺ newly nonzero at this precision; > 1 ⟺ the
+        # coefficient was already nonzero and needs only a correction bit
+        absv = [(abs(v) >> al) for v in band]
+        newly = [i for i, a in enumerate(absv) if a == 1]
+        eob_idx = newly[-1] if newly else -1
+        br = []  # correction bits pending behind the next symbol
+        run = 0
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_idx:
+                self.flush_eobrun()
+                c, length = self.ac_tab[0xF0]
+                self.bw.write(c, length)
+                run -= 16
+                for bit in br:
+                    self.bw.write(bit, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            self.flush_eobrun()
+            c, length = self.ac_tab[(run << 4) | 1]
+            self.bw.write(c, length)
+            self.bw.write(1 if band[i] > 0 else 0, 1)
+            for bit in br:
+                self.bw.write(bit, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            self.eobrun += 1
+            self.be += br
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.bw.flush()
+        return bytes(self.bw.out)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    w: int,
+    h: int,
+    quality: int = 90,
+    subsample: bool = False,
+) -> bytes:
+    """(h*w*3,) or (h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes.
+
+    Scan script exercises every progressive decode path: interleaved DC
+    first at Al=1, DC refinement, then per-component AC first at Al=1 and
+    AC refinement at Al=0 (EOB runs + correction bits throughout). Same
+    quantization as encode_jpeg, so quality/PSNR behavior is identical
+    once all scans are decoded."""
+    y_zz, cb_zz, cr_zz, qy, qc, hsamp, vsamp, mcus_x, mcus_y = (
+        _prepare_quantized(pixels, w, h, quality, subsample)
+    )
+    comps_zz = [y_zz, cb_zz, cr_zz]
+    samp = [(hsamp, vsamp), (1, 1), (1, 1)]
+    hmax, vmax = hsamp, vsamp
+    ndims = []
+    for ch_, cv in samp:
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        ndims.append((-(-cw // 8), -(-chh // 8)))
+
+    dc_l = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    dc_c = _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    dc_tab = [dc_l, dc_c, dc_c]
+    # one custom AC table (with EOBn codes) shared by all components
+    ac_prog = _build_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+    ac_tab = [ac_prog, ac_prog, ac_prog]
+
+    def blocks_of(ci):
+        bw_n, bh_n = ndims[ci]
+        padded_bw = mcus_x * samp[ci][0]
+        for row in range(bh_n):
+            for col in range(bw_n):
+                yield comps_zz[ci][row * padded_bw + col]
+
+    def sos(specs, ss, se, ah, al, entropy):
+        head = b"\xff\xda" + struct.pack(
+            ">HB", 2 + 1 + 2 * len(specs) + 3, len(specs)
+        )
+        for cid, td, ta in specs:
+            head += bytes([cid, (td << 4) | ta])
+        head += bytes([ss, se, (ah << 4) | al])
+        return head + entropy
+
+    scans = []
+
+    # 1. DC first, interleaved, Al=1
+    bw1 = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                ch_, cv = samp[ci]
+                padded_bw = mcus_x * ch_
+                for by in range(cv):
+                    for bx in range(ch_):
+                        dc = int(
+                            comps_zz[ci][
+                                (my * cv + by) * padded_bw + (mx * ch_ + bx)
+                            ][0]
+                        ) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _csize(diff)
+                        c, length = dc_tab[ci][s]
+                        bw1.write(c, length)
+                        if s:
+                            bw1.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+    bw1.flush()
+    scans.append(sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1,
+                     bytes(bw1.out)))
+
+    # 2. DC refinement, Ah=1 -> Al=0 (one bit per block, MCU order)
+    bw2 = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                ch_, cv = samp[ci]
+                padded_bw = mcus_x * ch_
+                for by in range(cv):
+                    for bx in range(ch_):
+                        dc = int(
+                            comps_zz[ci][
+                                (my * cv + by) * padded_bw + (mx * ch_ + bx)
+                            ][0]
+                        )
+                        bw2.write(dc & 1, 1)
+    bw2.flush()
+    scans.append(sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0,
+                     bytes(bw2.out)))
+
+    # 3./4. per-component AC first (Al=1) then AC refinement (Ah=1, Al=0);
+    # all reference the custom AC table 0 (re-declared by DHT mid-file)
+    for ci, cid in enumerate((1, 2, 3)):
+        sw = _ProgScanWriter(ac_tab[ci])
+        for blk in blocks_of(ci):
+            sw.ac_first_block([int(v) for v in blk[1:64]], 1)
+        scans.append(sos([(cid, 0, 0)], 1, 63, 0, 1, sw.finish()))
+    for ci, cid in enumerate((1, 2, 3)):
+        sw = _ProgScanWriter(ac_tab[ci])
+        for blk in blocks_of(ci):
+            sw.ac_refine_block([int(v) for v in blk[1:64]], 0)
+        scans.append(sos([(cid, 0, 0)], 1, 63, 1, 0, sw.finish()))
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes(
+        qy[_ZIGZAG].astype(np.uint8)
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + bytes(
+        qc[_ZIGZAG].astype(np.uint8)
+    )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 2 + 6 + 9, 8, h, w, 3)
+    out += bytes([1, (hsamp << 4) | vsamp, 0])  # Y
+    out += bytes([2, 0x11, 1])  # Cb
+    out += bytes([3, 0x11, 1])  # Cr
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    out += _dht_segment(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    for s in scans:
+        out += s
     out += b"\xff\xd9"  # EOI
     return bytes(out)

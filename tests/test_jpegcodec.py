@@ -123,15 +123,82 @@ def test_handbuilt_minimal_jpeg_decodes():
     assert set(px.tolist()) == {130}
 
 
+def test_progressive_matches_sequential_exactly():
+    """SOF2 progressive decode: same quantized coefficients as the
+    sequential encoder, so fully-decoded pixels must be IDENTICAL to the
+    baseline path — across subsampling, odd dims, and qualities."""
+    from datasketches_cpp_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    for (w, h, sub, q, seed) in [
+        (16, 16, False, 90, 1),
+        (24, 17, False, 75, 2),
+        (33, 29, True, 85, 3),
+        (64, 48, True, 50, 5),
+        (7, 5, False, 60, 8),
+    ]:
+        px = _structured(h, w, seed=seed)
+        seq, _, _ = decode_jpeg(encode_jpeg(px, w, h, quality=q, subsample=sub))
+        pro, _, _ = decode_jpeg(
+            encode_jpeg_progressive(px, w, h, quality=q, subsample=sub)
+        )
+        assert np.array_equal(seq, pro), (w, h, sub, q)
+    # noise content stresses EOB runs + correction bits hardest
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 255, (32, 31, 3), dtype=np.uint8)
+    seq, _, _ = decode_jpeg(encode_jpeg(px, 31, 32, quality=80))
+    pro, _, _ = decode_jpeg(encode_jpeg_progressive(px, 31, 32, quality=80))
+    assert np.array_equal(seq, pro)
+
+
+def test_progressive_partial_scans_refine_monotonically():
+    """Cutting a progressive stream after k scans still decodes; PSNR is
+    non-decreasing in k and the full stream equals the sequential-path
+    pixels — the actual point of progressive encoding."""
+    from datasketches_cpp_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    px = _structured(48, 64, seed=5)
+    pro = encode_jpeg_progressive(px, 64, 48, quality=90)
+    # entropy stuffing guarantees FFDA appears only as a real SOS marker
+    sos = []
+    i = 0
+    while True:
+        i = pro.find(b"\xff\xda", i)
+        if i < 0:
+            break
+        sos.append(i)
+        i += 2
+    assert len(sos) == 8  # 2 DC scans + 3 AC first + 3 AC refine
+    ref = np.asarray(px, np.uint8).reshape(-1).astype(np.float64)
+    prev = -1.0
+    for k in range(1, len(sos) + 1):
+        cut = pro[: sos[k]] + b"\xff\xd9" if k < len(sos) else pro
+        part, w, h = decode_jpeg(cut)
+        assert (w, h) == (64, 48)
+        mse = ((part.astype(np.float64) - ref) ** 2).mean()
+        psnr = 200.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        assert psnr >= prev - 1e-9, (k, psnr, prev)
+        prev = psnr
+    full, _, _ = decode_jpeg(pro)
+    assert np.array_equal(full, part)
+
+
 def test_jpeg_failfast_seams():
     with pytest.raises(ImageCodecError, match="SOI"):
         decode_jpeg(b"nope")
     px = _structured(16, 16)
     good = encode_jpeg(px, 16, 16)
-    # flip SOF0 -> SOF2 (progressive): must name the seam
-    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ImageCodecError, match="progressive|SOF"):
+    # flip SOF0 -> SOF9 (arithmetic coding): must name the seam
+    bad = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ImageCodecError, match="arithmetic|SOF"):
         decode_jpeg(bad)
+    # a sequential stream mislabeled SOF2 is not valid progressive: its
+    # scan header (Ss=0, Se=63) is neither a DC nor an AC band
+    with pytest.raises(ImageCodecError, match="DC scan"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ImageCodecError):
         decode_jpeg(good[: len(good) // 2])  # truncated mid-stream
     with pytest.raises(ImageCodecError, match="quality"):
