@@ -1300,6 +1300,111 @@ def q_audio_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_audio(audio, min_shared=8)["assignments"]
 
 
+def _planted_codec_video_rows():
+    """Planted video corpus where each noisy twin ships in a DIFFERENT
+    container/codec than its original: originals are rawv, twins
+    alternate between uncompressed-DIB AVI and MJPEG AVI (DHT-less
+    baseline JPEG frames, operators/avicodec + jpegcodec). Truth is known
+    by construction, so the oracle hash gates the whole codec stack →
+    frame pHash → band lane → CC chain."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.avicodec import encode_avi
+
+    w = h = 16
+    frames = 8
+
+    def make(seed: int, noise: bool) -> bytes:
+        g = np.random.default_rng(seed)
+        gn = np.random.default_rng(seed + 10**6)
+        out = []
+        for _ in range(frames):
+            base = g.integers(0, 256, (h // 4, w // 4, 3), dtype=np.uint8)
+            f = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+            if noise:
+                f = np.clip(
+                    f.astype(np.int16) + gn.integers(-2, 3, f.shape), 0, 255
+                ).astype(np.uint8)
+            out.append(f.tobytes())
+        return b"".join(out)
+
+    rows, truth = [], {}
+    for i in range(12):
+        vid = f"cv{i:05d}"
+        if i % 4 == 3:
+            codec = "mjpg" if (i // 4) % 2 == 0 else "dib"
+            avi = encode_avi(make(i - 1, True), w, h, frames, codec=codec)
+            rows.append((vid, avi, w, h, "avi"))
+            truth[vid] = f"cv{i - 1:05d}"
+        else:
+            rows.append((vid, make(i, False), w, h, "rawv"))
+            truth[vid] = vid
+    return rows, truth
+
+
+def q_codec_video_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container video dedup: rawv originals vs AVI-shipped twins
+    (DIB and MJPEG). A hash match against the planted truth proves
+    container parsing and JPEG decoding are faithful enough that the
+    pHash lane clusters across codecs — the codec stack's oracle gate."""
+    from datasketches_cpp_spark.operators.videodedup import dedup_videos
+
+    rows, _ = _planted_codec_video_rows()
+    videos = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    res = dedup_videos(videos, SigConfig(phash_hamming=6), every_k=2,
+                       min_matching_frames=2)
+    return res["assignments"]
+
+
+def _planted_codec_audio_rows():
+    """Planted audio corpus where twins ship as compressed/containered
+    WAV: originals are raw pcm16, twins rotate through G.711 mu-law,
+    A-law, and IMA ADPCM RIFF files (operators/audiocodec)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.audiocodec import encode_wav
+
+    window, frames = 1024, 8
+
+    def make(bins) -> "np.ndarray":
+        t = np.arange(frames * window)
+        x = sum(
+            a * np.sin(2 * np.pi * b * t / window)
+            for b, a in zip(bins, (1.0, 0.8, 0.6))
+        )
+        return (np.clip(x, -1, 1) * 20000).astype("<i2")
+
+    codecs = ("mulaw", "alaw", "ima_adpcm")
+    rows, truth = [], {}
+    for i in range(12):
+        aid = f"ca{i:05d}"
+        if i % 3 == 2:
+            base = 40 + 17 * (i - 1)
+            pcm = make((base, base + 70, base + 160))
+            wav = encode_wav(pcm, 16000, codec=codecs[(i // 3) % 3])
+            rows.append((aid, wav, "wav"))
+            truth[aid] = f"ca{i - 1:05d}"
+        else:
+            base = 40 + 17 * i
+            rows.append((aid, make((base, base + 70, base + 160)).tobytes(),
+                         "pcm16"))
+            truth[aid] = aid
+    return rows, truth
+
+
+def q_codec_audio_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec audio dedup: pcm16 originals vs G.711/IMA-ADPCM WAV
+    twins. Hash match vs planted truth proves the decode paths stay
+    within the landmark lane's matching tolerance."""
+    from datasketches_cpp_spark.operators.audiodedup import dedup_audio
+
+    rows, _ = _planted_codec_audio_rows()
+    audio = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    return dedup_audio(audio, min_shared=8)["assignments"]
+
+
 _SEM_N = 48
 
 
@@ -1494,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dedup_planted": q_video_dedup_planted,
         "audio_dedup_planted": q_audio_dedup_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
+        "codec_video_dedup_planted": q_codec_video_dedup_planted,
+        "codec_audio_dedup_planted": q_codec_audio_dedup_planted,
         "line_dedup_planted": q_line_dedup_planted,
         "pii_redaction_planted": q_pii_redaction_planted,
     }
@@ -1898,6 +2005,12 @@ def oracle_sql() -> dict[str, str]:
         "video_dedup_planted": _planted_truth_sql(_planted_video_rows()[1]),
         "audio_dedup_planted": _planted_truth_sql(_planted_audio_rows()[1]),
         "semantic_dedup_planted": _planted_truth_sql(_planted_semantic_rows()[1]),
+        "codec_video_dedup_planted": _planted_truth_sql(
+            _planted_codec_video_rows()[1]
+        ),
+        "codec_audio_dedup_planted": _planted_truth_sql(
+            _planted_codec_audio_rows()[1]
+        ),
         "line_dedup_planted": (
             "WITH lines AS ("
             "  SELECT doc_id, trim(l) AS key, l FROM "
