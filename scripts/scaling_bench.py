@@ -39,8 +39,13 @@ def build_zip() -> str:
     return zpath
 
 
-def run_once(master: str, zpath: str, img_parquet: str, shuffle_parts: int) -> dict:
-    out_json = os.path.join(ROOT, "BENCH", f"run_{master.replace('[', '_').replace(']', '')}.json")
+def run_once(
+    master: str, zpath: str, img_parquet: str, shuffle_parts: int,
+    out_json: str,
+) -> dict:
+    # every invocation gets its own fresh out_json (run_pipeline.py
+    # refuses to overwrite an existing one — committed evidence files
+    # must never be clobbered by a re-run)
     cmd = [
         "spark-submit",
         "--master", master,
@@ -114,6 +119,12 @@ def main() -> None:
     )
     ap.add_argument("--exec-mem-mb", type=int, default=4096)
     ap.add_argument("--out", default=None, help="output md path (default BENCH/BASELINE.md)")
+    ap.add_argument(
+        "--tag", default=None,
+        help="evidence tag: per-run JSONs go to BENCH/runs_<tag>/ and the "
+        "markdown defaults to BENCH/BASELINE_<tag>.md, so a re-run can "
+        "never clobber previously committed evidence files",
+    )
     args = ap.parse_args()
 
     from datasketches_cpp_spark.sources.images import write_images_parquet
@@ -137,11 +148,26 @@ def main() -> None:
     else:
         small_master = f"local[{args.n}]"
         big_master = f"local[{4 * args.n}]"
+    run_dir = os.path.join(
+        ROOT, "BENCH", f"runs_{args.tag}" if args.tag else "runs_scratch"
+    )
+    os.makedirs(run_dir, exist_ok=True)
+
+    def out_path(master: str, i: int) -> str:
+        name = master.replace("[", "_").replace("]", "").replace(",", "_")
+        return os.path.join(run_dir, f"run_{name}_{i}.json")
+
     bw_before = measure_bandwidth()
     small_runs, big_runs = [], []
-    for _ in range(args.repeats):
-        small_runs.append(run_once(small_master, zpath, img_parquet, 2 * args.n))
-        big_runs.append(run_once(big_master, zpath, img_parquet, 8 * args.n))
+    for i in range(args.repeats):
+        small_runs.append(
+            run_once(small_master, zpath, img_parquet, 2 * args.n,
+                     out_path(small_master, i))
+        )
+        big_runs.append(
+            run_once(big_master, zpath, img_parquet, 8 * args.n,
+                     out_path(big_master, i))
+        )
     bw_after = measure_bandwidth()
 
     def best_of(runs: list) -> dict:
@@ -205,7 +231,10 @@ Assignment checksum identical across all runs: `{small['assignments_checksum']}`
 (the pipeline is partition-layout-invariant — scaling changes wall time,
 never answers; see tests/test_dedup_pipeline.py::test_pipeline_partitioning_invariance).
 """
-    out_md = args.out or os.path.join(ROOT, "BENCH", "BASELINE.md")
+    out_md = args.out or os.path.join(
+        ROOT, "BENCH",
+        f"BASELINE_{args.tag}.md" if args.tag else "BASELINE.md",
+    )
     with open(out_md, "w") as f:
         f.write(md)
     print(md)
