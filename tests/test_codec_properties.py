@@ -1,0 +1,152 @@
+"""Hypothesis property tests for the pure-numpy codecs — the same
+adversarial-input discipline that caught the KLL −0.0 serde edge:
+random payloads (including extreme sample values and odd dims) must
+round-trip within each codec's contract.
+
+No Spark session needed; everything here is the kernel layer that runs
+inside mapInPandas on executors."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datasketches_cpp_spark.operators.audiocodec import decode_wav, encode_wav
+from datasketches_cpp_spark.operators.avicodec import decode_avi, encode_avi
+from datasketches_cpp_spark.operators.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+_pcm = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=3000
+)
+
+
+def _snr(a, b):
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    e = ((a - b) ** 2).mean()
+    p = (a**2).mean()
+    if e == 0:
+        return float("inf")
+    if p == 0:
+        return -float("inf")
+    return 10 * np.log10(p / e)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_pcm)
+def test_wav_lossless_roundtrip_properties(samples):
+    pcm = np.asarray(samples, "<i2")
+    for codec in ("pcm16", "pcm24", "pcm32", "float32", "float64"):
+        back, rate = decode_wav(encode_wav(pcm, 8000, codec=codec))
+        assert rate == 8000
+        assert np.array_equal(back, pcm), codec
+
+
+@settings(max_examples=40, deadline=None)
+@given(_pcm)
+def test_wav_g711_roundtrip_properties(samples):
+    """G.711 is a quantizer: round-tripping must be idempotent (decode of
+    an encoded signal re-encodes to the same bytes) and each decoded
+    sample must be the segment-quantized value of its input — error
+    bounded by the largest mu-law step (~1024 around full scale)."""
+    pcm = np.asarray(samples, "<i2")
+    for codec in ("alaw", "mulaw"):
+        buf = encode_wav(pcm, 8000, codec=codec)
+        back, _ = decode_wav(buf)
+        assert len(back) == len(pcm)
+        err = np.abs(back.astype(np.int32) - pcm.astype(np.int32))
+        assert err.max() <= 1024, (codec, int(err.max()))
+        buf2 = encode_wav(back, 8000, codec=codec)
+        assert buf2 == buf, f"{codec} re-encode not idempotent"
+
+
+@settings(max_examples=25, deadline=None)
+@given(_pcm, st.sampled_from([1, 2]))
+def test_wav_ima_adpcm_roundtrip_properties(samples, channels):
+    """IMA ADPCM: exact length preservation (fact chunk) for mono and
+    stereo, first sample of every block exact (it travels in the block
+    header), bounded worst-case step error elsewhere."""
+    pcm = np.asarray(samples, "<i2")
+    arr = pcm if channels == 1 else np.stack([pcm, pcm[::-1]], axis=1)
+    back, _ = decode_wav(encode_wav(arr, 8000, codec="ima_adpcm"))
+    assert len(back) == len(pcm)
+    # block 0's header sample is exact; for mono that's the mixdown too
+    if channels == 1:
+        assert back[0] == pcm[0]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=30, max_value=95),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_progressive_equals_sequential_property(w, h, quality, subsample, seed):
+    """For ANY dims/quality/subsampling: fully-decoded progressive pixels
+    are identical to the sequential path (same quantized coefficients)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    seq, sw, sh = decode_jpeg(encode_jpeg(px, w, h, quality=quality,
+                                          subsample=subsample))
+    pro, pw, ph = decode_jpeg(
+        encode_jpeg_progressive(px, w, h, quality=quality, subsample=subsample)
+    )
+    assert (sw, sh) == (pw, ph) == (w, h)
+    assert np.array_equal(seq, pro)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_avi_dib_roundtrip_property(w, h, n, seed):
+    rng = np.random.default_rng(seed)
+    rawv = rng.integers(0, 256, n * h * w * 3, dtype=np.uint8).tobytes()
+    back, dw, dh, dn = decode_avi(encode_avi(rawv, w, h, n))
+    assert (dw, dh, dn) == (w, h, n)
+    assert back == rawv
+
+
+def test_avi_skips_audio_stream():
+    """An AVI whose FIRST strl is an audio stream (16-byte WAVEFORMATEX
+    strf) must not trip the video strf parser — stream typing comes from
+    the preceding strh."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    w, h, n = 8, 6, 2
+    rawv = rng.integers(0, 256, n * h * w * 3, dtype=np.uint8).tobytes()
+    avi = bytearray(encode_avi(rawv, w, h, n))
+
+    def chunk(cc, body):
+        out = cc + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    auds_strh = b"auds" + b"\x00" * 52
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    auds_strl = chunk(b"LIST", b"strl" + chunk(b"strh", auds_strh)
+                      + chunk(b"strf", auds_strf))
+    # splice the audio strl in FRONT of the video strl inside hdrl
+    i = bytes(avi).find(b"strl")
+    assert i > 0
+    list_start = i - 8  # LIST header of the video strl
+    patched = bytes(avi[:list_start]) + auds_strl + bytes(avi[list_start:])
+    # fix up RIFF and hdrl LIST sizes
+    patched = bytearray(patched)
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    hdrl = bytes(patched).find(b"hdrl")
+    (old_sz,) = struct.unpack_from("<I", patched, hdrl - 4)
+    struct.pack_into("<I", patched, hdrl - 4, old_sz + len(auds_strl))
+    back, dw, dh, dn = decode_avi(bytes(patched))
+    assert (dw, dh, dn) == (w, h, n)
+    assert back == rawv
