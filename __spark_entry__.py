@@ -95,6 +95,64 @@ def q_theta_sql_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_ratio_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference bounds_on_ratios_in_theta_sketched_sets (kmv.
+    ratio_b_over_a + SQL ds_theta_ratio*): per order status, the ratio
+    |custkeys with status| / |all custkeys|. Exact-mode sketches
+    (lg_k=14) make the estimate hash-equal to DuckDB's exact ratio; an
+    lg_k=8 estimation-mode pair asserts the 95% CI covers the exact
+    ratio with a non-degenerate interval — same coverage-contract shape
+    as the other bounds queries."""
+    from datasketches_cpp_spark.functions.thetaserde import with_theta_bytes
+    from datasketches_cpp_spark.sqlfuncs import register_sketch_sql
+
+    register_sketch_sql(spark)
+    orders = _t(spark, sf_dir, "orders").withColumn("g", F.lit("all"))
+    for lg_k, tag in ((14, "ex"), (8, "es")):
+        alls = theta_sketch_agg(orders, ["g"], "o_custkey", lg_k=lg_k)
+        per = theta_sketch_agg(orders, ["o_orderstatus"], "o_custkey",
+                               lg_k=lg_k)
+        with_theta_bytes(alls).createOrReplaceTempView(f"ratio_all_{tag}")
+        with_theta_bytes(per).createOrReplaceTempView(f"ratio_per_{tag}")
+    orders.createOrReplaceTempView("ratio_orders")
+    return spark.sql(
+        """
+        WITH exact AS (
+          SELECT o_orderstatus,
+                 COUNT(DISTINCT o_custkey)
+                   / (SELECT COUNT(DISTINCT o_custkey) FROM ratio_orders)
+                   AS r
+          FROM ratio_orders GROUP BY o_orderstatus
+        )
+        SELECT e.o_orderstatus,
+               ROUND(ds_theta_ratio(
+                 a.sketch_bytes,
+                 ds_theta_intersection(a.sketch_bytes, p.sketch_bytes)
+               ), 9) AS ratio_exact,
+               ROUND(e.r, 9) AS ratio_truth,
+               (ds_theta_ratio_lower_bound(a8.sketch_bytes,
+                  ds_theta_intersection(a8.sketch_bytes, p8.sketch_bytes))
+                  <= e.r
+                AND e.r <=
+                ds_theta_ratio_upper_bound(a8.sketch_bytes,
+                  ds_theta_intersection(a8.sketch_bytes, p8.sketch_bytes)))
+                 AS covered,
+               (ds_theta_ratio_lower_bound(a8.sketch_bytes,
+                  ds_theta_intersection(a8.sketch_bytes, p8.sketch_bytes))
+                <
+                ds_theta_ratio_upper_bound(a8.sketch_bytes,
+                  ds_theta_intersection(a8.sketch_bytes, p8.sketch_bytes)))
+                 AS interval_nondegenerate
+        FROM exact e
+        JOIN ratio_per_ex p ON p.o_orderstatus = e.o_orderstatus
+        JOIN ratio_per_es p8 ON p8.o_orderstatus = e.o_orderstatus
+        CROSS JOIN ratio_all_ex a
+        CROSS JOIN ratio_all_es a8
+        ORDER BY e.o_orderstatus
+        """
+    )
+
+
 def _custkey_sketches(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").withColumn("g", F.lit("all"))
     cust = _t(spark, sf_dir, "customer").withColumn("g", F.lit("all"))
@@ -1541,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
         "theta_distinct_by_status": q_theta_distinct_by_status,
         "theta_sql_estimates": q_theta_sql_estimates,
+        "theta_ratio_coverage": q_theta_ratio_coverage,
         "theta_union_custkeys": q_theta_union_custkeys,
         "theta_intersection_custkeys": q_theta_intersection_custkeys,
         "theta_anotb_custkeys": q_theta_anotb_custkeys,
@@ -1621,6 +1680,16 @@ def oracle_sql() -> dict[str, str]:
         "theta_sql_estimates": (
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_custkeys "
             "FROM orders GROUP BY o_orderstatus"
+        ),
+        "theta_ratio_coverage": (
+            "WITH tot AS (SELECT COUNT(DISTINCT o_custkey) t FROM orders) "
+            "SELECT o_orderstatus, "
+            "ROUND(COUNT(DISTINCT o_custkey) / (SELECT CAST(t AS DOUBLE) FROM tot), 9)"
+            " AS ratio_exact, "
+            "ROUND(COUNT(DISTINCT o_custkey) / (SELECT CAST(t AS DOUBLE) FROM tot), 9)"
+            " AS ratio_truth, "
+            "TRUE AS covered, TRUE AS interval_nondegenerate "
+            "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "theta_union_custkeys": (
             "SELECT COUNT(*) AS union_custkeys FROM "

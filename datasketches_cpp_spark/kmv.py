@@ -178,6 +178,36 @@ def jaccard(a: ThetaSketch, b: ThetaSketch, num_std_devs: float = 2.0) -> tuple[
     return (lb, p, ub)
 
 
+def ratio_b_over_a(
+    a: ThetaSketch, b: ThetaSketch, num_std_devs: float = 2.0
+) -> tuple[float, float, float]:
+    """{lower, estimate, upper} bound of |B|/|A| where B is a theta-subset
+    of A (typically B = intersection(A, C) for a predicate sketch C) —
+    bounds_on_ratios_in_theta_sketched_sets.hpp:50-131 re-derived: A is
+    downsampled to B's theta (count of A-keys below theta_b), then the
+    Bernoulli-sampled-set ratio CI applies with f = theta_b
+    (binomial_bounds.lower/upper_bound_for_b_over_a). Requires
+    theta_a >= theta_b, as any intersection-produced B guarantees."""
+    from . import binomial_bounds as bb
+
+    if b.theta > a.theta:
+        raise ValueError("theta_a must be >= theta_b")
+    count_b = len(b.hashes)
+    if a.theta == b.theta:
+        count_a = len(a.hashes)
+    else:
+        count_a = int(np.searchsorted(a.hashes, np.uint64(b.theta)))
+    f = b.theta / MAX_THETA
+    est = 0.5 if count_a == 0 else count_b / count_a
+    lb = 0.0 if count_a == 0 else bb.lower_bound_for_b_over_a(
+        count_a, count_b, f, num_std_devs
+    )
+    ub = 1.0 if count_a == 0 else bb.upper_bound_for_b_over_a(
+        count_a, count_b, f, num_std_devs
+    )
+    return (lb, est, ub)
+
+
 def similarity_test(a: ThetaSketch, b: ThetaSketch, threshold: float) -> bool:
     """J_lb ≥ threshold at ~97.7% confidence
     (theta_jaccard_similarity_base.hpp:109-121)."""

@@ -131,6 +131,26 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             dtype="float64",
         )
 
+    def _ratio(which):
+        # |B|/|A| for B a theta-subset of A (reference
+        # bounds_on_ratios_in_theta_sketched_sets); which: 0=lb 1=est 2=ub
+        def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    _NAN
+                    if x is None or y is None
+                    else kmv.ratio_b_over_a(_theta_sk(x), _theta_sk(y))[which]
+                    for x, y in zip(a, b)
+                ],
+                dtype="float64",
+            )
+
+        return fn
+
+    theta_ratio_lb = pandas_udf(_ratio(0), "double")
+    theta_ratio = pandas_udf(_ratio(1), "double")
+    theta_ratio_ub = pandas_udf(_ratio(2), "double")
+
     # grouped aggregate: SELECT g, ds_theta_union(blob) FROM t GROUP BY g
     @pandas_udf("binary")
     def theta_union_agg(blobs: pd.Series) -> bytes:
@@ -610,6 +630,9 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
         "theta_intersection": theta_intersect,
         "theta_a_not_b": theta_a_not_b,
         "theta_jaccard": theta_jaccard,
+        "theta_ratio": theta_ratio,
+        "theta_ratio_lower_bound": theta_ratio_lb,
+        "theta_ratio_upper_bound": theta_ratio_ub,
         "theta_union": theta_union_agg,
         "hll_estimate": hll_estimate,
         "hll_lower_bound": hll_lb,

@@ -319,3 +319,42 @@ def test_sampling_p_validation():
         from_hashes(np.array([], dtype=np.uint64), p=0.0)
     with pytest.raises(ValueError):
         empty(p=1.5)
+
+
+def test_ratio_b_over_a_exact_mode():
+    # A = 0..1000 exact; B = A ∩ C where C = 0..250 → |B|/|A| = 1/4 exact
+    a = sketch_of_range(0, 1000)
+    c = sketch_of_range(0, 250)
+    b = kmv.intersection(a, c)
+    lb, est, ub = kmv.ratio_b_over_a(a, b)
+    assert est == pytest.approx(0.25, abs=1e-12)
+    # exact mode (f = 1): the CI collapses to the estimate
+    assert lb == est == ub
+
+
+def test_ratio_b_over_a_estimation_covers_truth():
+    # 40k-item A, C selects the first 10k → true ratio 0.25; k=4096 puts
+    # both sketches in estimation mode (reference
+    # bounds_on_ratios_in_theta_sketched_sets semantics: A downsampled to
+    # B's theta, CI width scaled by the sampling adjuster)
+    k = 1 << 12
+    a = sketch_of_range(0, 40_000, k=k)
+    c = sketch_of_range(0, 10_000, k=k)
+    b = kmv.intersection(a, c)
+    lb, est, ub = kmv.ratio_b_over_a(a, b)
+    assert lb <= 0.25 <= ub
+    assert est == pytest.approx(0.25, abs=0.03)
+    assert lb < est < ub
+
+
+def test_ratio_b_over_a_theta_discipline():
+    # B's theta may not exceed A's (B should come from an intersection
+    # WITH A); the reference throws, so do we
+    k = 1 << 12
+    a = sketch_of_range(0, 100_000, k=k)   # small theta
+    b = sketch_of_range(0, 100)            # exact mode, theta = 1
+    with pytest.raises(ValueError, match="theta_a"):
+        kmv.ratio_b_over_a(a, b)
+    # empty B over non-empty A: ratio 0 with honest bounds
+    lb, est, ub = kmv.ratio_b_over_a(a, kmv.intersection(a, empty()))
+    assert lb == 0.0 and est == 0.0 and ub < 0.001
