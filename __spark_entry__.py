@@ -153,6 +153,32 @@ def q_theta_ratio_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aos_custkey_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-strings tuple sketch (reference array_of_strings_sketch +
+    its Java-parity key hash, functions/tuplesketch.aos_sketch_agg):
+    per-custkey summaries under the deterministic replace policy
+    (greatest tuple), rolled up to (priority, status) → retained-key
+    counts. Exact mode at this sf, so the oracle is a plain GROUP BY over
+    per-custkey max tuples."""
+    from datasketches_cpp_spark.functions.tuplesketch import aos_sketch_agg
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.array(F.col("o_custkey").cast("string")).alias("key"),
+        F.array("o_orderpriority", "o_orderstatus").alias("val"),
+    )
+    sk = aos_sketch_agg(orders, [], "key", "val", lg_k=14)
+    return (
+        sk.select(F.explode("summaries").alias("s"))
+        .select(
+            F.col("s")[0].alias("o_orderpriority"),
+            F.col("s")[1].alias("o_orderstatus"),
+        )
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_custkeys"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
 def _custkey_sketches(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").withColumn("g", F.lit("all"))
     cust = _t(spark, sf_dir, "customer").withColumn("g", F.lit("all"))
@@ -1600,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_distinct_by_status": q_theta_distinct_by_status,
         "theta_sql_estimates": q_theta_sql_estimates,
         "theta_ratio_coverage": q_theta_ratio_coverage,
+        "aos_custkey_priority": q_aos_custkey_priority,
         "theta_union_custkeys": q_theta_union_custkeys,
         "theta_intersection_custkeys": q_theta_intersection_custkeys,
         "theta_anotb_custkeys": q_theta_anotb_custkeys,
@@ -1680,6 +1707,14 @@ def oracle_sql() -> dict[str, str]:
         "theta_sql_estimates": (
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_custkeys "
             "FROM orders GROUP BY o_orderstatus"
+        ),
+        "aos_custkey_priority": (
+            "WITH mx AS (SELECT o_custkey, "
+            "MAX(ROW(o_orderpriority, o_orderstatus)) AS m "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT m[1] AS o_orderpriority, m[2] AS o_orderstatus, "
+            "COUNT(*) AS n_custkeys FROM mx "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "theta_ratio_coverage": (
             "WITH tot AS (SELECT COUNT(DISTINCT o_custkey) t FROM orders) "

@@ -236,3 +236,134 @@ def deserialize_aod(
         vals.reshape(n, d).copy(),
         int(d),
     )
+
+
+# -- array-of-strings (AoS) tuple wire ----------------------------------------
+# Generic compact tuple preamble (serial v3, sketch type 1 — identical to
+# serialize_tuple_compact) with the summary stream replaced by the
+# reference's default_array_of_strings_serde item format
+# (array_of_strings_sketch_impl.hpp:100-160): per item, u32 total_bytes,
+# u8 num_nodes (<= 127), then per string u32 length + UTF-8 bytes.
+
+
+def _aos_item_bytes(strings) -> bytes:
+    if len(strings) > 127:
+        raise TupleSerdeError("array_of_strings size exceeds 127")
+    enc = [s.encode("utf-8") for s in strings]
+    total = 4 + 1 + sum(4 + len(e) for e in enc)
+    out = bytearray(struct.pack("<IB", total, len(enc)))
+    for e in enc:
+        out += struct.pack("<I", len(e)) + e
+    return bytes(out)
+
+
+def serialize_aos(
+    theta: int,
+    keys: np.ndarray,
+    summaries,
+    seed: int = DEFAULT_SEED,
+) -> bytes:
+    """(theta [-1 ⇔ exact], sorted u64 keys, aligned list of string
+    lists) → reference-compatible compact array-of-strings tuple bytes."""
+    theta = MAX_THETA if theta < 0 else int(theta)
+    keys = np.ascontiguousarray(np.asarray(keys, np.int64).view(np.uint64))
+    if len(keys) != len(summaries):
+        raise TupleSerdeError(
+            f"keys ({len(keys)}) and summaries ({len(summaries)}) misaligned"
+        )
+    if len(keys) > 1 and not (keys[:-1] < keys[1:]).all():
+        raise TupleSerdeError("keys must be strictly ascending")
+    n = len(keys)
+    is_empty = n == 0 and theta >= MAX_THETA
+    estimation = theta < MAX_THETA
+    preamble_longs = 3 if estimation else (1 if (is_empty or n == 1) else 2)
+    flags = (
+        (1 << _F_COMPACT)
+        | (1 << _F_READ_ONLY)
+        | ((1 << _F_EMPTY) if is_empty else 0)
+        | (1 << _F_ORDERED)
+    )
+    out = bytearray()
+    out += struct.pack(
+        "<BBBBBBH", preamble_longs, _SERIAL_VERSION, _FAMILY, _SKETCH_TYPE,
+        0, flags, seed_hash(seed),
+    )
+    if preamble_longs > 1:
+        out += struct.pack("<II", n, 0)
+    if estimation:
+        out += struct.pack("<Q", theta)
+    for k64, item in zip(keys, summaries):
+        out += struct.pack("<Q", int(k64)) + _aos_item_bytes(item)
+    return bytes(out)
+
+
+def deserialize_aos(
+    buf: bytes, seed: int = DEFAULT_SEED
+) -> tuple[int, np.ndarray, list]:
+    """Reference compact array-of-strings tuple bytes → (theta [-1 ⇔
+    exact], sorted int64 keys, list of string lists)."""
+    if len(buf) < 8:
+        raise TupleSerdeError(f"buffer too short for preamble: {len(buf)}")
+    preamble_longs, ver, family, typ, _, flags, sh = struct.unpack_from(
+        "<BBBBBBH", buf, 0
+    )
+    if family != _FAMILY:
+        raise TupleSerdeError(f"not a tuple sketch (family {family})")
+    if ver != _SERIAL_VERSION:
+        raise TupleSerdeError(f"unsupported serial version {ver}")
+    if typ != _SKETCH_TYPE:
+        raise TupleSerdeError(f"unsupported sketch type {typ}")
+    if sh != seed_hash(seed):
+        raise TupleSerdeError(
+            f"seed hash mismatch: stream {sh:#06x} vs seed {seed}"
+        )
+    is_empty = bool(flags & (1 << _F_EMPTY))
+    off = 8
+    n = None
+    if preamble_longs > 1:
+        if len(buf) < off + 8:
+            raise TupleSerdeError("truncated preamble (num_entries)")
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 8
+    theta = MAX_THETA
+    if preamble_longs > 2:
+        if len(buf) < off + 8:
+            raise TupleSerdeError("truncated preamble (theta)")
+        (theta,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+    if n is None:
+        n = 0 if is_empty else 1
+    keys = np.empty(n, np.uint64)
+    items = []
+    for i in range(n):
+        if len(buf) < off + 13:
+            raise TupleSerdeError(f"truncated AoS entry {i}")
+        (keys[i],) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        item_start = off
+        total, num_nodes = struct.unpack_from("<IB", buf, off)
+        if num_nodes > 127:
+            raise TupleSerdeError("array_of_strings size exceeds 127")
+        p = off + 5
+        strings = []
+        for _ in range(num_nodes):
+            if len(buf) < p + 4:
+                raise TupleSerdeError(f"truncated AoS string in entry {i}")
+            (slen,) = struct.unpack_from("<I", buf, p)
+            p += 4
+            if len(buf) < p + slen:
+                raise TupleSerdeError(f"truncated AoS string in entry {i}")
+            strings.append(buf[p : p + slen].decode("utf-8"))
+            p += slen
+        if p - item_start != total:
+            raise TupleSerdeError(
+                f"AoS entry {i}: total_bytes {total} != parsed "
+                f"{p - item_start}"
+            )
+        items.append(strings)
+        off = p
+    return (
+        -1 if theta >= MAX_THETA else int(theta),
+        keys.view(np.int64).copy(),
+        items,
+    )

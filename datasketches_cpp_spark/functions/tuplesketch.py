@@ -622,3 +622,153 @@ def array_tuple_pair_set_ops(
             yield compute(pdf)
 
     return joined.mapInPandas(run, schema)
+
+
+# -- array-of-strings (AoS) tuple sketch --------------------------------------
+
+_AOS_KEY_SEED = 0x7A3CCA71  # array_of_strings_sketch_impl.hpp:55
+
+
+def aos_hash_key(key) -> int:
+    """The reference's hash_array_of_strings_key
+    (array_of_strings_sketch_impl.hpp:53-66): XXHash64 with seed
+    0x7A3CCA71 over the UTF-8 strings joined by ',' — the value a caller
+    passes to update() as the sketch key. Returns the unsigned u64."""
+    from ..hashing import xxhash64_bytes
+
+    return xxhash64_bytes(b",".join(s.encode("utf-8") for s in key),
+                          _AOS_KEY_SEED)
+
+
+def _aos_fold(hashes: np.ndarray, values: list) -> tuple[np.ndarray, list]:
+    """One summary per unique retained hash. The reference's replace
+    policy is last-write-wins (order-dependent); a distributed agg has no
+    global order, so the winner is made deterministic: the
+    lexicographically-greatest string tuple. Layout-invariant by
+    construction."""
+    best: dict[int, tuple] = {}
+    for h, v in zip(hashes.tolist(), values):
+        t = tuple(v)
+        prev = best.get(h)
+        if prev is None or t > prev:
+            best[h] = t
+    hs = np.array(sorted(best), np.uint64)
+    return hs, [list(best[int(h)]) for h in hs]
+
+
+def _aos_cut(
+    hashes: np.ndarray, values: list, theta: int, k: int
+) -> tuple[int, np.ndarray, list]:
+    keep = hashes < np.uint64(theta)
+    values = [v for v, kp in zip(values, keep) if kp]
+    hashes = hashes[keep]
+    if len(hashes) > k:
+        theta = int(hashes[k])  # hashes sorted by _aos_fold
+        hashes, values = hashes[:k], values[:k]
+    return theta, hashes, values
+
+
+def aos_sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    lg_k: int = 12,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """groupBy(group_cols).array_of_strings_sketch(key, value) → one row
+    per group: (group..., theta long [-1 ⇔ exact], sig array<long>,
+    summaries array<array<string>> aligned with sig).
+
+    ``key_col`` and ``value_col`` are array<string> columns: the key is
+    hashed with the reference's AoS key scheme (aos_hash_key → the
+    sketch's canonical 8-byte-message hash), the value lands as the
+    retained entry's summary under the replace policy (deterministic
+    greatest-tuple winner; the reference's policy is last-write-wins,
+    which has no distributed meaning). Same k-min cut / lazy 2k-trim as
+    every other sketch agg here."""
+    k = 1 << lg_k
+    group_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in group_cols
+    )
+    prefix = f"{group_fields}, " if group_fields else ""
+    schema = (
+        f"{prefix}theta long, sig array<long>, summaries array<array<string>>"
+    )
+
+    def _hashes(series: pd.Series) -> np.ndarray:
+        k64 = np.array(
+            [aos_hash_key(key) for key in series], np.uint64
+        ).view(np.int64)
+        return hash63_int64(k64, seed)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, tuple[int, np.ndarray, list]] = {}
+        for pdf in batches:
+            pdf = pdf[pdf[key_col].notna()]
+            if len(pdf) == 0:
+                continue
+            hashes_all = _hashes(pdf[key_col])
+            vals_all = [
+                [] if v is None else list(v) for v in pdf[value_col]
+            ]
+            grouped = (
+                pdf.groupby(group_cols, sort=False, dropna=False).indices
+                if group_cols
+                else {(): np.arange(len(pdf))}
+            )
+            for gkey, idx in grouped.items():
+                gkey = gkey if isinstance(gkey, tuple) else (gkey,)
+                h, v = _aos_fold(
+                    hashes_all[idx], [vals_all[i] for i in idx]
+                )
+                if gkey in acc:
+                    ptheta, ph, pv = acc[gkey]
+                    keep = h < np.uint64(ptheta)
+                    h, v = _aos_fold(
+                        np.concatenate([ph, h[keep]]),
+                        pv + [vi for vi, kp in zip(v, keep) if kp],
+                    )
+                    theta = ptheta
+                else:
+                    theta = MAX_THETA
+                if len(h) > 2 * k:
+                    theta, h, v = _aos_cut(h, v, theta, k)
+                acc[gkey] = (theta, h, v)
+        rows = []
+        for gkey, (theta, h, v) in acc.items():
+            theta, h, v = _aos_cut(h, v, theta, k)
+            r = {c: gkey[i] for i, c in enumerate(group_cols)}
+            r["theta"] = -1 if theta >= MAX_THETA else theta
+            r["sig"] = h.astype(np.int64)
+            r["summaries"] = v
+            rows.append(r)
+        if not rows:
+            return
+        yield pd.DataFrame(rows, columns=group_cols + ["theta", "sig", "summaries"])
+
+    partials = df.select(group_cols + [key_col, value_col]).mapInPandas(
+        partial, schema
+    )
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["theta"].to_numpy()
+        enc = ts[ts >= 0]
+        theta = int(enc.min()) if len(enc) else MAX_THETA
+        hs = np.concatenate(
+            [np.asarray(s, np.int64).astype(np.uint64) for s in pdf["sig"]]
+        ) if len(pdf) else np.empty(0, np.uint64)
+        vs = [list(item) for s in pdf["summaries"] for item in s]
+        h, v = _aos_fold(hs, vs)
+        theta, h, v = _aos_cut(h, v, theta, k)
+        r = {c: [pdf[c].iloc[0]] for c in group_cols}
+        r["theta"] = [-1 if theta >= MAX_THETA else theta]
+        r["sig"] = [h.astype(np.int64)]
+        r["summaries"] = [v]
+        return pd.DataFrame(r, columns=group_cols + ["theta", "sig", "summaries"])
+
+    if group_cols:
+        return partials.groupBy(*group_cols).applyInPandas(final, schema)
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(final, schema)

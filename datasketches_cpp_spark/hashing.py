@@ -18,6 +18,8 @@ of the published spec.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 DEFAULT_SEED = 9001  # same default-seed discipline as the reference
@@ -262,6 +264,60 @@ _XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _XXP3 = np.uint64(0x165667B19E3779F9)
 _XXP4 = np.uint64(0x85EBCA77C2B2AE63)
 _XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def xxhash64_bytes(data: bytes, seed: int = 0) -> int:
+    """Full XXH64 over an arbitrary-length byte string (the published
+    xxHash spec: 4-lane 32-byte stripes, merge rounds, 8/4/1-byte tail,
+    avalanche). Scalar — used for short keys (e.g. the reference's
+    array-of-strings tuple key hash); 8-byte messages agree with the
+    vectorized xxhash64_int64 (cross-checked in tests)."""
+    m = (1 << 64) - 1
+    p1, p2, p3, p4, p5 = (int(_XXP1), int(_XXP2), int(_XXP3),
+                          int(_XXP4), int(_XXP5))
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & m
+
+    def rnd(acc: int, lane: int) -> int:
+        return (rotl((acc + lane * p2) & m, 31) * p1) & m
+
+    n = len(data)
+    pos = 0
+    seed &= m
+    if n >= 32:
+        v1 = (seed + p1 + p2) & m
+        v2 = (seed + p2) & m
+        v3 = seed
+        v4 = (seed - p1) & m
+        while pos + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<4Q", data, pos)
+            v1, v2 = rnd(v1, l1), rnd(v2, l2)
+            v3, v4 = rnd(v3, l3), rnd(v4, l4)
+            pos += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & m
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ rnd(0, v)) * p1 + p4) & m
+    else:
+        h = (seed + p5) & m
+    h = (h + n) & m
+    while pos + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, pos)
+        h = (rotl(h ^ rnd(0, lane), 27) * p1 + p4) & m
+        pos += 8
+    if pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        h = (rotl(h ^ ((lane * p1) & m), 23) * p2 + p3) & m
+        pos += 4
+    while pos < n:
+        h = (rotl(h ^ ((data[pos] * p5) & m), 11) * p1) & m
+        pos += 1
+    h ^= h >> 33
+    h = (h * p2) & m
+    h ^= h >> 29
+    h = (h * p3) & m
+    h ^= h >> 32
+    return h
 
 
 def xxhash64_int64(values: np.ndarray, seed: int = 42) -> np.ndarray:

@@ -44,6 +44,7 @@
 #include "frequent_items_sketch.hpp"
 #include "tuple_sketch.hpp"
 #include "array_of_doubles_sketch.hpp"
+#include "array_of_strings_sketch.hpp"
 #include "var_opt_sketch.hpp"
 #include "ebpps_sketch.hpp"
 #include "count_min.hpp"
@@ -376,6 +377,38 @@ static void gen_aod() {
   }
 }
 
+// ------------------------------------------------------ array of strings
+static void gen_aos() {
+  // n=100000 distinct keys >> k=4096 exercises estimation mode + k-min
+  // cut; no RNG anywhere in this family, so the fixtures are
+  // byte-reproducible (unlike the KLL/REQ compaction-offset families)
+  for (uint64_t n : {0ULL, 500ULL, 100000ULL}) {
+    auto upd = update_array_of_strings_tuple_sketch<>::builder().set_lg_k(12).build();
+    for (uint64_t i = 0; i < n; i++) {
+      array_of_strings key(2, "");
+      key[0] = "k" + std::to_string(i % 30000);
+      key[1] = "g" + std::to_string(i % 7);
+      array_of_strings value(2, "");
+      value[0] = "v" + std::to_string(i % 1000);
+      value[1] = std::to_string(i % 7);
+      upd.update(hash_array_of_strings_key(key), value);
+    }
+    auto c = compact_array_of_strings_sketch(upd);
+    size_t total_strings = 0;
+    for (const auto& e : c) total_strings += e.second.size();
+    std::string file = "aos_lgk12_n" + std::to_string(n) + ".sk";
+    write_blob(file, c.serialize(0, default_array_of_strings_serde<>()));
+    Row(file, "aos")
+        .num("n", (double)n)
+        .num("lgk", 12)
+        .num("estimate", c.get_estimate())
+        .num("theta", c.get_theta())
+        .num("num_retained", c.get_num_retained())
+        .num("total_strings", (double)total_strings)
+        .emit();
+  }
+}
+
 // -------------------------------------------------------------- var_opt
 static void gen_varopt() {
   {
@@ -506,6 +539,7 @@ int main(int argc, char** argv) {
   gen_fi();
   gen_tuple();
   gen_aod();
+  gen_aos();
   gen_varopt();
   gen_ebpps();
   gen_countmin();

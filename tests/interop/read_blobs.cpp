@@ -36,6 +36,7 @@
 #include "frequent_items_sketch.hpp"
 #include "tuple_sketch.hpp"
 #include "array_of_doubles_sketch.hpp"
+#include "array_of_strings_sketch.hpp"
 #include "var_opt_sketch.hpp"
 #include "count_min.hpp"
 #include "bloom_filter.hpp"
@@ -162,6 +163,17 @@ int main(int argc, char** argv) {
             << ", \"num_values\": " << (int)sk.get_num_values()
             << ", \"sum0\": " << fmt(sum0);
         dump(path + ".out", sk.serialize());
+      } else if (fam == "aos") {
+        auto sk = compact_array_of_strings_tuple_sketch<>::deserialize(
+            buf.data(), buf.size(), DEFAULT_SEED,
+            default_array_of_strings_serde<>());
+        size_t total_strings = 0;
+        for (const auto& e : sk) total_strings += e.second.size();
+        row << ", \"estimate\": " << fmt(sk.get_estimate())
+            << ", \"num_retained\": " << sk.get_num_retained()
+            << ", \"total_strings\": " << total_strings;
+        dump(path + ".out",
+             sk.serialize(0, default_array_of_strings_serde<>()));
       } else if (fam == "varopti") {
         auto sk = var_opt_sketch<int64_t>::deserialize(buf.data(), buf.size());
         auto ss = sk.estimate_subset_sum([](int64_t) { return true; });

@@ -154,6 +154,9 @@ TUPLE_KEYS = np.sort(RNG.integers(0, _TH, 300, dtype=np.uint64))
 TUPLE_SUMS = RNG.random(300) * 10
 AOD_KEYS = np.sort(RNG.choice(1 << 62, 250, replace=False).astype(np.uint64))
 AOD_VALS = RNG.random((250, 3)) * 5
+AOS_KEYS = np.sort(RNG.choice(1 << 62, 120, replace=False).astype(np.uint64))
+AOS_VALS = [[f"s{i}", "x" * (i % 5)] if i % 3 else [f"solo{i}"]
+            for i in range(120)]
 VAROPT_H_ITEMS = np.arange(10, dtype=np.int64)
 VAROPT_H_WTS = np.linspace(50, 30, 10)
 VAROPT_R_ITEMS = np.arange(100, 122, dtype=np.int64)
@@ -228,6 +231,14 @@ def _make_blobs() -> dict[str, bytes]:
     out["tuple__1.bin"] = serialize_tuple_compact(_TH, TUPLE_KEYS, TUPLE_SUMS)
     out["aod__est.bin"] = serialize_aod(_TH, AOD_KEYS[AOD_KEYS < _TH], AOD_VALS[AOD_KEYS < _TH], 3)
     out["aod__exact.bin"] = serialize_aod(-1, AOD_KEYS, AOD_VALS, 3)
+    from datasketches_cpp_spark.functions.tupleserde import serialize_aos
+
+    out["aos__exact.bin"] = serialize_aos(-1, AOS_KEYS, AOS_VALS)
+    aos_keep = AOS_KEYS < _TH
+    out["aos__est.bin"] = serialize_aos(
+        _TH, AOS_KEYS[aos_keep],
+        [v for v, kp in zip(AOS_VALS, aos_keep) if kp],
+    )
     out["varopti__exact.bin"] = serialize_varopt(
         VAROPT_H_ITEMS, VAROPT_H_WTS, np.ones(10, bool), 10, 32, "int64"
     )
@@ -426,6 +437,36 @@ def test_aod_write(roundtrip):
         assert np.array_equal(k2.view(np.uint64), keys)
         assert np.array_equal(v2, vals)
         assert reenc == serialize_aod(theta_enc, keys, vals, 3), name
+
+
+def test_aos_write(roundtrip):
+    """The reference must read engine-written ArrayOfStrings tuple blobs
+    (generic compact tuple + AoS summary serde), report matching retained
+    counts / estimates / string totals, and re-serialize byte-identically."""
+    from datasketches_cpp_spark.functions.tupleserde import (
+        deserialize_aos,
+        serialize_aos,
+    )
+
+    aos_keep = AOS_KEYS < _TH
+    for name, theta_enc, keys, vals in (
+        ("aos__exact.bin", -1, AOS_KEYS, AOS_VALS),
+        ("aos__est.bin", _TH, AOS_KEYS[aos_keep],
+         [v for v, kp in zip(AOS_VALS, aos_keep) if kp]),
+    ):
+        row, reenc = roundtrip[name]
+        assert "error" not in row, row
+        assert row["num_retained"] == len(keys)
+        theta = MAX_THETA if theta_enc < 0 else theta_enc
+        assert row["estimate"] == pytest.approx(
+            kmv.estimate(theta, len(keys)), rel=1e-12
+        )
+        assert row["total_strings"] == sum(len(v) for v in vals)
+        t2, k2, v2 = deserialize_aos(reenc)
+        assert t2 == theta_enc
+        assert np.array_equal(k2.view(np.uint64), keys)
+        assert v2 == [list(v) for v in vals]
+        assert reenc == serialize_aos(theta_enc, keys, vals), name
 
 
 def test_varopt_write(roundtrip):

@@ -926,3 +926,81 @@ def test_ks_generic_over_all_four_quantile_families():
             assert not ks_test(a, b, 0.01), (i, j, "same distribution rejected")
         for j, b in enumerate(shifted):
             assert ks_test(a, b, 0.01), (i, j, "4-sigma shift accepted")
+
+
+def test_aos_exact_mode_and_layout_invariance(spark, sf_dir):
+    """Array-of-strings tuple agg (reference array_of_strings_sketch):
+    exact mode retains every distinct key with the deterministic
+    greatest-tuple summary; the result is partition-layout-invariant and
+    round-trips the reference wire format."""
+    from datasketches_cpp_spark.functions.tuplesketch import (
+        aos_hash_key,
+        aos_sketch_agg,
+    )
+    from datasketches_cpp_spark.functions.tupleserde import (
+        deserialize_aos,
+        serialize_aos,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.array(F.col("o_custkey").cast("string")).alias("key"),
+        F.array("o_orderpriority", "o_orderstatus").alias("val"),
+    )
+    row = aos_sketch_agg(orders, [], "key", "val", lg_k=14).collect()[0]
+    assert row["theta"] == -1  # exact mode at this sf
+    # oracle: per clerk, the greatest (priority, status) tuple
+    exact = {
+        str(r["o_custkey"]): (r["mx"]["o_orderpriority"], r["mx"]["o_orderstatus"])
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderpriority", "o_orderstatus")).alias("mx"))
+        .collect()
+    }
+    assert len(row["sig"]) == len(exact)
+    # every retained entry maps to its clerk's greatest tuple
+    from datasketches_cpp_spark.hashing import hash63_int64
+    import numpy as np
+
+    want = {}
+    for ck, tup in exact.items():
+        k64 = np.array([aos_hash_key([ck])], np.uint64).view(np.int64)
+        want[int(hash63_int64(k64)[0])] = list(tup)
+    got = dict(zip([int(s) for s in row["sig"]],
+                   [list(v) for v in row["summaries"]]))
+    assert got == want
+    # layout invariance: 1-partition rerun is identical
+    row1 = aos_sketch_agg(
+        orders.repartition(1), [], "key", "val", lg_k=14
+    ).collect()[0]
+    assert list(row1["sig"]) == list(row["sig"])
+    assert [list(v) for v in row1["summaries"]] == [
+        list(v) for v in row["summaries"]
+    ]
+    # wire roundtrip of the aggregated state
+    blob = serialize_aos(
+        row["theta"], np.asarray(row["sig"], np.int64),
+        [list(v) for v in row["summaries"]],
+    )
+    t2, k2, v2 = deserialize_aos(blob)
+    assert t2 == -1 and list(k2) == list(row["sig"])
+    assert v2 == [list(v) for v in row["summaries"]]
+
+
+def test_aos_estimation_mode(spark):
+    """Estimation mode: k-min cut engages, estimate lands in the theta
+    envelope, and summaries stay aligned with retained keys."""
+    from datasketches_cpp_spark.functions.tuplesketch import aos_sketch_agg
+    from datasketches_cpp_spark.kmv import MAX_THETA
+
+    n = 30_000
+    df = spark.range(n).select(
+        F.array(F.concat(F.lit("k"), F.col("id"))).alias("key"),
+        F.array(F.concat(F.lit("v"), F.col("id") % 13)).alias("val"),
+    )
+    row = aos_sketch_agg(df, [], "key", "val", lg_k=8).collect()[0]
+    assert 0 < row["theta"] < MAX_THETA
+    k = 1 << 8
+    assert len(row["sig"]) == k == len(row["summaries"])
+    est = len(row["sig"]) / (row["theta"] / MAX_THETA)
+    assert est == pytest.approx(n, rel=0.15)
+    assert all(v[0].startswith("v") for v in row["summaries"])
