@@ -339,3 +339,28 @@ def upper_bound(num_samples: int, theta: float, num_std_devs: int = 2) -> float:
     estimate = num_samples / theta
     raw = _approx_ub(int(num_samples), float(theta), int(num_std_devs))
     return max(estimate, raw)
+
+
+def estimate_of_b_over_a(a: int, b: int) -> float:
+    """Point estimate of |B|/|A| from the sample (reference
+    bounds_on_ratios_in_sampled_sets::get_estimate_of_b_over_a —
+    including its a == 0 → 0.5 'know nothing' convention)."""
+    if b > a:
+        raise ValueError("a must be >= b")
+    if a == 0:
+        return 0.5
+    return b / a
+
+
+def estimate_of_a(a: int, f: float) -> float:
+    """Estimate of |A| from a Bernoulli(f) sample of observed size a."""
+    if not (0.0 < f <= 1.0):
+        raise ValueError("f must be in (0, 1]")
+    return a / f
+
+
+def estimate_of_b(b: int, f: float) -> float:
+    """Estimate of |B| from a Bernoulli(f) sample containing b B-items."""
+    if not (0.0 < f <= 1.0):
+        raise ValueError("f must be in (0, 1]")
+    return b / f

@@ -772,3 +772,24 @@ def aos_sketch_agg(
     if group_cols:
         return partials.groupBy(*group_cols).applyInPandas(final, schema)
     return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(final, schema)
+
+
+def tuple_jaccard(
+    row_a, row_b, k: int = 1 << 12, num_std_devs: float = 2.0
+) -> tuple[float, float, float]:
+    """{lower, estimate, upper} Jaccard over two tuple-sketch rows
+    (anything name-indexable with ``theta`` [-1 ⇔ exact] and ``sig``,
+    e.g. a Row from any *_sketch_agg here) — the reference's
+    tuple_jaccard_similarity is the theta jaccard template instantiated
+    over tuple entries' keys (tuple_jaccard_similarity.hpp:35,
+    pair_extract_key); summaries play no role in the similarity, so the
+    engine reuses kmv.jaccard on the key signatures directly."""
+    from .. import kmv
+
+    def to_theta(row):
+        theta = int(row["theta"])
+        t = kmv.MAX_THETA if theta < 0 else theta
+        h = np.sort(np.asarray(row["sig"], np.int64).view(np.uint64))
+        return kmv.ThetaSketch(k, t, h)
+
+    return kmv.jaccard(to_theta(row_a), to_theta(row_b), num_std_devs)

@@ -210,3 +210,26 @@ def test_ratio_bounds_shape_and_collapse():
     assert ub1 > ub2 > 0.4
     with pytest.raises(ValueError):
         bb.lower_bound_for_b_over_a(10, 11, 0.5)
+
+
+def test_sampled_set_ratio_estimators():
+    """bounds_on_ratios_in_sampled_sets estimate helpers: b/a with the
+    a==0 → 0.5 convention; A,B scale-up by 1/f; f=1 collapses the ratio
+    CI to the estimate."""
+    from datasketches_cpp_spark import binomial_bounds as bb
+
+    assert bb.estimate_of_b_over_a(200, 50) == 0.25
+    assert bb.estimate_of_b_over_a(0, 0) == 0.5
+    assert bb.estimate_of_a(100, 0.25) == 400.0
+    assert bb.estimate_of_b(30, 0.25) == 120.0
+    assert bb.lower_bound_for_b_over_a(200, 50, 1.0) == 0.25
+    assert bb.upper_bound_for_b_over_a(200, 50, 1.0) == 0.25
+    lb = bb.lower_bound_for_b_over_a(200, 50, 0.1)
+    ub = bb.upper_bound_for_b_over_a(200, 50, 0.1)
+    assert lb < 0.25 < ub
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bb.estimate_of_b_over_a(10, 20)
+    with _pt.raises(ValueError):
+        bb.estimate_of_a(10, 0.0)

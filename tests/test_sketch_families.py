@@ -1004,3 +1004,29 @@ def test_aos_estimation_mode(spark):
     est = len(row["sig"]) / (row["theta"] / MAX_THETA)
     assert est == pytest.approx(n, rel=0.15)
     assert all(v[0].startswith("v") for v in row["summaries"])
+
+
+def test_tuple_jaccard_matches_theta_jaccard(spark, sf_dir):
+    """tuple_jaccard (reference tuple_jaccard_similarity = the theta
+    jaccard template over tuple keys): exact-mode tuple sketches of
+    overlapping key ranges give the exact Jaccard, equal to kmv.jaccard
+    on plain theta sketches of the same sets."""
+    from datasketches_cpp_spark.functions.tuplesketch import (
+        tuple_sketch_agg,
+        tuple_jaccard,
+    )
+
+    df = spark.range(0, 1500).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v"),
+        F.lit("a").alias("g"),
+    )
+    df2 = spark.range(500, 2000).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v"),
+        F.lit("b").alias("g"),
+    )
+    ra = tuple_sketch_agg(df, ["g"], "k", "v", lg_k=14).collect()[0]
+    rb = tuple_sketch_agg(df2, ["g"], "k", "v", lg_k=14).collect()[0]
+    lb, est, ub = tuple_jaccard(ra, rb, k=1 << 14)
+    # |A∩B| = 1000, |A∪B| = 2000 → J = 0.5, exact mode collapses the CI
+    assert est == pytest.approx(0.5, abs=1e-12)
+    assert lb == est == ub
