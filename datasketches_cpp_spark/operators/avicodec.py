@@ -214,8 +214,14 @@ def to_rawv(buf: bytes, fmt: str) -> tuple[bytes, int | None, int | None]:
     if fmt == "avi":
         raw, w, h, _n = decode_avi(buf)
         return raw, w, h
+    if fmt == "gif":
+        from .gifcodec import decode_gif_frames
+
+        raw, w, h, _n = decode_gif_frames(buf)
+        return raw, w, h
     raise NotImplementedError(
         f"video decode for fmt={fmt!r} requires a codec not present in this "
         "environment; supported here: 'rawv' (concatenated raw RGB frames), "
-        "'avi' (uncompressed 24-bit DIB or MJPEG)"
+        "'avi' (uncompressed 24-bit DIB or MJPEG), 'gif' (animated, "
+        "composited frames)"
     )

@@ -363,19 +363,41 @@ def _encode_jpeg_gate(pixels, w, h):
     return encode_jpeg(pixels, w, h, quality=99)
 
 
+def _decode_gif(buf):
+    from .gifcodec import decode_gif
+
+    return decode_gif(buf)
+
+
+def _encode_gif(pixels, w, h):
+    from .gifcodec import encode_gif
+
+    return encode_gif(pixels, w, h)
+
+
 _ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp,
              "dct": encode_dct, "jpg": _encode_jpeg_gate,
-             "jpeg": _encode_jpeg_gate}
+             "jpeg": _encode_jpeg_gate, "gif": _encode_gif}
 _DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp,
-             "dct": decode_dct, "jpg": _decode_jpeg, "jpeg": _decode_jpeg}
+             "dct": decode_dct, "jpg": _decode_jpeg, "jpeg": _decode_jpeg,
+             "gif": _decode_gif}
 
 LOSSY_FORMATS = ("dct", "jpg", "jpeg")
+# Indexed-color formats: EXACT (decode∘encode == id) for images with at
+# most 256 distinct colors, and a hard GifError otherwise — never a
+# silent quantization. Excluded from the 'mixed' rotation because the
+# synthetic noise corpus exceeds any palette.
+PALETTE_FORMATS = ("gif",)
 SUPPORTED_FORMATS = ("raw",) + tuple(sorted(_ENCODERS))
-# Formats whose decode(encode(x)) == x exactly — the only ones eligible
-# for the 'mixed' corpus rotation (its contract is decode-identity with
-# the raw corpus).  The lossy lane guarantees PSNR ≥ 44.6 dB at the
-# default quality, never bit-identity.
-LOSSLESS_FORMATS = ("raw",) + tuple(sorted(set(_ENCODERS) - set(LOSSY_FORMATS)))
+# Formats whose decode(encode(x)) == x exactly for ARBITRARY RGB input —
+# the only ones eligible for the 'mixed' corpus rotation (its contract is
+# decode-identity with the raw corpus). The lossy lane guarantees
+# PSNR ≥ 44.6 dB at the default quality, never bit-identity; the palette
+# lane is exact but refuses >256-color images, so it cannot rotate over
+# the noise corpus either.
+LOSSLESS_FORMATS = ("raw",) + tuple(
+    sorted(set(_ENCODERS) - set(LOSSY_FORMATS) - set(PALETTE_FORMATS))
+)
 
 
 def encode(pixels: np.ndarray, w: int, h: int, fmt: str) -> bytes:

@@ -180,7 +180,8 @@ def sample_frames(
     """(video_id, frame_idx, bytes, w, h, fmt) — every k-th frame.
     fmt='rawv' means concatenated raw RGB frames (n_frames × h × w × 3);
     fmt='avi' parses uncompressed 24-bit DIB AVI containers
-    (operators/avicodec.py) into the same layout; compressed container
+    (operators/avicodec.py) into the same layout; fmt='gif' composites
+    animated GIFs (operators/gifcodec.py); compressed container
     codecs (mp4 etc.) raise NotImplementedError at the decode seam,
     exactly like image codecs. Frame extraction is one buffer slice per
     emitted frame (inherently per-output-row: each frame is its own

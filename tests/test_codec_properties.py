@@ -150,3 +150,25 @@ def test_avi_skips_audio_stream():
     back, dw, dh, dn = decode_avi(bytes(patched))
     assert (dw, dh, dn) == (w, h, n)
     assert back == rawv
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=256),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_roundtrip_property(w, h, ncolors, interlace, seed):
+    """Any ≤256-color image round-trips bit-exactly through the GIF
+    codec, interlaced or not — including 1-pixel images, 1-row strips and
+    palettes whose size is not a power of two."""
+    from datasketches_cpp_spark.operators.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, ncolors, size=w * h)].reshape(-1)
+    back, dw, dh = decode_gif(encode_gif(px, w, h, interlace=interlace))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(back, px)
