@@ -215,16 +215,164 @@ def _alpha(k: int) -> float:
     return 0.7213 / (1.0 + 1.079 / k)
 
 
+# ---------------------------------------------------------------------------
+# Composite (non-HIP) estimator — full reference parity.
+#
+# The reference corrects the raw harmonic-mean estimate by cubic
+# interpolation over empirically measured X tables (one 257-knot row per
+# lg_k in 4..21, uniform Y stride per row;
+# CompositeInterpolationXTable-internal.hpp), then blends with a
+# harmonic-number linear-counting estimate at a measured crossover
+# (HllArray-internal.hpp:367-409 getCompositeEstimate). The tables define
+# the estimator and cannot be re-derived; they ship as _hll_tables.npz,
+# extracted from the public Apache-2.0 header by scripts/gen_hll_tables.py
+# (same adjudication as the CPC compression tables).
+
+_TBL_MIN_LG_K, _TBL_MAX_LG_K = 4, 21
+_hll_tables_cache: dict[str, np.ndarray] | None = None
+
+
+def _hll_tables() -> dict[str, np.ndarray]:
+    global _hll_tables_cache
+    if _hll_tables_cache is None:
+        import os
+
+        with np.load(
+            os.path.join(os.path.dirname(__file__), "_hll_tables.npz")
+        ) as z:
+            _hll_tables_cache = {k: z[k] for k in z.files}
+    return _hll_tables_cache
+
+
+# H(0)..H(24) exactly, then the Euler–Maclaurin expansion with the same
+# term count as the reference (HarmonicNumbers-internal.hpp:30-87)
+_EXACT_HARMONIC = [sum(1.0 / i for i in range(1, n + 1)) for n in range(25)]
+_EULER_MASCHERONI = 0.577215664901532860606512090082
+
+
+def _harmonic_number(x_i: int) -> float:
+    if x_i < 25:
+        return _EXACT_HARMONIC[x_i]
+    x = float(x_i)
+    inv_sq = 1.0 / (x * x)
+    s = math.log(x) + _EULER_MASCHERONI + 1.0 / (2.0 * x)
+    p = inv_sq
+    s -= p / 12.0
+    p *= inv_sq
+    s += p / 120.0
+    p *= inv_sq
+    s -= p / 252.0
+    p *= inv_sq
+    s += p / 240.0
+    return s
+
+
+def _bitmap_estimate(k: int, num_hit: int) -> float:
+    """Linear counting via harmonic numbers (HarmonicNumbers:30-32):
+    k·(H(k) − H(k − numHit))."""
+    return k * (_harmonic_number(k) - _harmonic_number(k - num_hit))
+
+
+def _cubic_interpolate(xs: np.ndarray, ys: np.ndarray, x: float) -> float:
+    """4-point Lagrange cubic (CubicInterpolation-internal.hpp:126-143)."""
+    total = 0.0
+    for i in range(4):
+        numer, denom = 1.0, 1.0
+        for j in range(4):
+            if j != i:
+                numer *= x - xs[j]
+                denom *= xs[i] - xs[j]
+        total += ys[i] * numer / denom
+    return total
+
+
+def _interp_x_arr_y_stride(x_arr: np.ndarray, y_stride: float, x: float) -> float:
+    """CubicInterpolation::usingXArrAndYStride (internal.hpp:188-216):
+    binary-search the straddle knot, shift the 4-point window off the
+    table edges, Lagrange-interpolate against y = stride·index."""
+    n = x_arr.shape[0]
+    if x == x_arr[n - 1]:
+        return y_stride * (n - 1)
+    # straddle: j with x_arr[j] <= x < x_arr[j+1]
+    offset = int(np.searchsorted(x_arr, x, side="right")) - 1
+    if offset == 0:
+        base = offset
+    elif offset == n - 2:
+        base = offset - 2
+    else:
+        base = offset - 1
+    xs = x_arr[base : base + 4]
+    ys = y_stride * np.arange(base, base + 4, dtype=np.float64)
+    return _cubic_interpolate(xs, ys, x)
+
+
+COUPON_RSE = 0.409 / (1 << 13)  # HllUtil.hpp:87-88 (transition-point RSE)
+
+
+def coupon_estimate(coupon_count: int) -> float:
+    """Coupon (LIST/SET) mode estimator: cubic interpolation over the
+    precomputed coupon mapping (CubicInterpolation::usingXAndYTables,
+    internal.hpp:77-104), floored at the exact coupon count
+    (CouponList-internal.hpp:310-313)."""
+    t = _hll_tables()
+    xs, ys = t["coupon_x"], t["coupon_y"]
+    n = xs.shape[0]
+    x = float(coupon_count)
+    if x == xs[n - 1]:
+        return float(ys[n - 1])
+    offset = int(np.searchsorted(xs, x, side="right")) - 1
+    if offset == 0:
+        base = offset
+    elif offset == n - 2:
+        base = offset - 2
+    else:
+        base = offset - 1
+    est = _cubic_interpolate(xs[base : base + 4], ys[base : base + 4], x)
+    return max(est, x)
+
+
+def coupon_bounds(coupon_count: int, num_std_devs: int = 2) -> tuple[float, float]:
+    """CouponList getLowerBound/getUpperBound (internal.hpp:315-328):
+    est/(1 ± n·COUPON_RSE), both floored at the exact coupon count."""
+    est = coupon_estimate(coupon_count)
+    lb = max(est / (1.0 + num_std_devs * COUPON_RSE), float(coupon_count))
+    ub = max(est / (1.0 - num_std_devs * COUPON_RSE), float(coupon_count))
+    return lb, ub
+
+
 def _composite_estimate(regs: np.ndarray) -> float:
-    """Published HLL composite estimator: harmonic mean of 2^-reg with the
-    linear-counting low-range correction (zeros present and raw ≤ 2.5K);
-    no high-range correction is needed with a 63-bit hash domain."""
+    """Reference composite estimator (HllArray-internal.hpp:367-409):
+    raw harmonic-mean estimate → table-driven cubic bias correction →
+    harmonic-number linear counting below the measured crossover (0.64·K;
+    0.718/0.672 at lg_k 4/5), averaging the two estimators at the
+    threshold comparison exactly as the reference does."""
     k = regs.shape[0]
+    lg_k = int(k).bit_length() - 1
     raw = _alpha(k) * k * k / np.sum(np.exp2(-regs.astype(np.float64)))
+    t = _hll_tables()
+    row = lg_k - _TBL_MIN_LG_K
+    if not (_TBL_MIN_LG_K <= lg_k <= _TBL_MAX_LG_K):
+        raise ValueError(f"lg_k {lg_k} outside reference range [4, 21]")
+    x_arr = t["x_arr"][row]
+    y_stride = float(t["y_stride"][row])
+    n_knots = x_arr.shape[0]
+    if raw < x_arr[0]:
+        return 0.0
+    if raw > x_arr[n_knots - 1]:
+        final_y = y_stride * (n_knots - 1)
+        return raw * (final_y / x_arr[n_knots - 1])
+    adj = _interp_x_arr_y_stride(x_arr, y_stride, raw)
+    # skip linear counting entirely when it could be wild (> 3K rule)
+    if adj > float(3 << lg_k):
+        return adj
     zeros = int(np.count_nonzero(regs == 0))
-    if zeros > 0 and raw <= 2.5 * k:
-        return k * math.log(k / zeros)
-    return raw
+    if zeros == 0:
+        lin = k * math.log(k / 0.5)
+    else:
+        lin = _bitmap_estimate(k, k - zeros)
+    avg = (adj + lin) / 2.0
+    cross_over = 0.718 if lg_k == 4 else (0.672 if lg_k == 5 else 0.64)
+    return adj if avg > cross_over * k else lin
 
 
 class HllState:

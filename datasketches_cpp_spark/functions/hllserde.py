@@ -115,9 +115,14 @@ def deserialize_hll8(buf: bytes) -> tuple[int, np.ndarray]:
             f"truncated registers: need {_DATA_START + k} bytes, have {len(buf)}"
         )
     regs = np.frombuffer(buf, np.uint8, count=k, offset=_DATA_START).copy()
-    if int(regs.min()) != cur_min:
+    # HLL6/HLL8 keep curMin pinned at 0 forever (HllArray-internal.hpp:336:
+    # "For HLL6 and HLL8, curMin is always 0 and numAtCurMin ... is
+    # decremented"), so a saturated stream legitimately carries cur_min 0
+    # with every register > 0. Reject only the impossible direction:
+    # cur_min claiming MORE than the registers show.
+    if cur_min > int(regs.min()):
         raise HllSerdeError(
-            f"corrupt stream: cur_min {cur_min} != register min {int(regs.min())}"
+            f"corrupt stream: cur_min {cur_min} > register min {int(regs.min())}"
         )
     return lg_k, regs
 
@@ -320,6 +325,31 @@ def deserialize_hll(buf: bytes) -> tuple[int, np.ndarray]:
     if tgt == 2:
         return deserialize_hll8(buf)
     raise HllSerdeError(f"corrupt target HLL type {tgt}")
+
+
+def coupon_count(buf: bytes) -> int | None:
+    """Number of collected coupons for a LIST/SET-mode reference HLL
+    stream, or None for dense (HLL-mode) streams. In coupon mode the
+    reference answers estimate queries from this count alone
+    (CouponList-internal.hpp:307-328), so exposing it lets the engine
+    reproduce those answers exactly instead of approximating them through
+    a register replay."""
+    if len(buf) < 8:
+        return None
+    preints, sv, family, _, _, _, list_count, mode = struct.unpack_from(
+        "<BBBBBBBB", buf, 0
+    )
+    if family != _FAMILY or sv != _SER_VER:
+        return None
+    cur_mode = mode & 0x3
+    if cur_mode == 0:  # LIST: count lives in preamble byte 6
+        return int(list_count)
+    if cur_mode == 1:  # SET: uint32 count at offset 8
+        if len(buf) < _HASH_SET_INT_ARR_START:
+            raise HllSerdeError("truncated SET preamble")
+        (count,) = struct.unpack_from("<I", buf, _HASH_SET_COUNT_INT)
+        return int(count)
+    return None
 
 
 def hip_estimate(buf: bytes) -> float | None:

@@ -163,12 +163,17 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
     # -- HLL (blob = any reference HLL mode: LIST/SET coupons, HLL_4/6/8) -
     @pandas_udf("double")
     def hll_estimate(blobs: pd.Series) -> pd.Series:
-        from .functions.hll import _composite_estimate
+        from .functions.hll import _composite_estimate, coupon_estimate
 
         out = []
         for b in blobs:
             if b is None:
                 out.append(_NAN)
+                continue
+            cc = hllserde.coupon_count(bytes(b))
+            if cc is not None:
+                # LIST/SET blob: the reference answers from the coupon count
+                out.append(coupon_estimate(cc))
                 continue
             hip = hllserde.hip_estimate(bytes(b))
             if hip is not None:
@@ -381,12 +386,21 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
 
     # -- HLL bounds (hll.hpp get_lower_bound/get_upper_bound) --------------
     def _hll_bound(blobs: pd.Series, num_std: pd.Series, lower: bool) -> pd.Series:
-        from .functions.hll import _composite_estimate, get_rel_err
+        from .functions.hll import (
+            _composite_estimate,
+            coupon_bounds,
+            get_rel_err,
+        )
 
         out = []
         for b, s in zip(blobs, num_std):
             if b is None:
                 out.append(_NAN)
+                continue
+            cc = hllserde.coupon_count(bytes(b))
+            if cc is not None:  # LIST/SET blob: coupon-mode bound law
+                lb, ub = coupon_bounds(cc, int(s))
+                out.append(lb if lower else ub)
                 continue
             _, regs = hllserde.deserialize_hll(bytes(b))
             hip = hllserde.hip_estimate(bytes(b))
@@ -395,7 +409,11 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             # a stored HIP accumulator marks a never-merged stream (the
             # writer leaves hip only when the OOO flag is clear)
             rel = get_rel_err(not lower, hip is None, lg_k, int(s))
-            out.append(est / (1.0 + rel))
+            bound = est / (1.0 + rel)
+            if lower:
+                # LB >= numNonZeros (HllArray-internal.hpp:344-350)
+                bound = max(bound, float(np.count_nonzero(regs)))
+            out.append(bound)
         return pd.Series(out, dtype="float64")
 
     hll_lb = pandas_udf(lambda b, s: _hll_bound(b, s, True), "double")
