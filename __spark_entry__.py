@@ -1615,6 +1615,70 @@ def q_pii_redaction_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXIF_PLANT = [
+    # (image_id, make, orientation, gps)
+    ("x00", "ACME", 1, (37.5, -122.25)),
+    ("x01", None, None, None),
+    ("x02", "Lumix", 6, None),
+    ("x03", None, None, (-12.0, 44.5)),
+    ("x04", "ACME", 3, (51.5, -0.125)),
+    ("x05", None, None, None),
+    ("x06", "Pentacon", 8, (-33.8688, 151.2093)),
+    ("x07", "ACME", 1, None),
+]
+
+
+def _planted_exif_rows():
+    """Deterministic JPEG corpus with planted EXIF: engine-encoded
+    baseline JPEGs, a hand-built APP1 per planted row (make /
+    orientation / GPS), nothing on the rest."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.exif import (
+        build_exif_app1,
+        insert_app1,
+    )
+    from datasketches_cpp_spark.operators.jpegcodec import encode_jpeg
+
+    rows = []
+    for i, (iid, make, orientation, gps) in enumerate(_EXIF_PLANT):
+        rng = np.random.default_rng(7000 + i)
+        px = rng.integers(0, 256, (24, 32, 3), np.uint8)
+        jp = encode_jpeg(px, 32, 24, quality=90)
+        if make is not None or gps is not None or orientation is not None:
+            jp = insert_app1(
+                jp,
+                build_exif_app1(make=make, orientation=orientation, gps=gps),
+            )
+        rows.append((iid, bytearray(jp), 32, 24, "jpeg"))
+    return rows
+
+
+def q_exif_scrub_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction + metadata scrub (operators/exif.py) on a planted
+    JPEG corpus: extract make/orientation/GPS before, scrub (byte-level
+    APPn/COM removal, pixels untouched), re-extract after. Oracle = the
+    planted truth literals — a hash match proves the TIFF IFD walk, the
+    DMS→decimal GPS law, and the scrubber's remove-everything guarantee
+    end-to-end at the Spark surface."""
+    from datasketches_cpp_spark.operators.exif import scrub_metadata, with_exif
+
+    images = spark.createDataFrame(
+        _planted_exif_rows(),
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    before = with_exif(images).select(
+        "id",
+        "exif_make",
+        "exif_orientation",
+        F.col("has_gps").alias("has_gps_before"),
+    )
+    after = with_exif(scrub_metadata(images)).select(
+        "id", F.col("has_gps").alias("has_gps_after")
+    )
+    return before.join(after, "id")
+
+
 def _planted_truth_sql(truth: dict) -> str:
     vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(truth.items()))
     return f"SELECT * FROM (VALUES {vals}) AS t(id, cluster_id)"
@@ -1689,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_audio_dedup_planted": q_codec_audio_dedup_planted,
         "line_dedup_planted": q_line_dedup_planted,
         "pii_redaction_planted": q_pii_redaction_planted,
+        "exif_scrub_planted": q_exif_scrub_planted,
     }
 
 
@@ -2137,6 +2202,22 @@ def oracle_sql() -> dict[str, str]:
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
             "CAST(length(regexp_extract_all(text, '\\+\\d{7,15}')) AS BIGINT) "
             "AS n_phone_e164 FROM " + _docs_values_sql(_planted_pii_docs())
+        ),
+        "exif_scrub_planted": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                "('{}', {}, {}, {}, FALSE)".format(
+                    iid,
+                    "CAST(NULL AS VARCHAR)" if make is None else f"'{make}'",
+                    "CAST(NULL AS INTEGER)"
+                    if orientation is None
+                    else f"CAST({orientation} AS INTEGER)",
+                    "TRUE" if gps is not None else "FALSE",
+                )
+                for iid, make, orientation, gps in sorted(_EXIF_PLANT)
+            )
+            + ") AS t(id, exif_make, exif_orientation, has_gps_before, "
+            "has_gps_after)"
         ),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
         # ann_lsh_topk, tdigest_price_tails:
