@@ -115,10 +115,12 @@ def expected_coupons(n: float, lg_k: int) -> float:
     return float(k * np.sum(-np.expm1(n * np.log1p(-p))))
 
 
-def invert_coupons(coupons: int, lg_k: int) -> float:
+def _invert_expected_coupons(coupons: int, lg_k: int) -> float:
     """Estimate n from observed coupon count by bisection on the strictly
-    increasing E[C] curve (the numerical twin of the reference's ICON
-    spline, cpc_confidence.cpp / icon_estimator.cpp)."""
+    increasing E[C] curve — the exact mapping the reference's ICON
+    polynomials approximate (icon_estimator.hpp:30-43 documents exactly
+    this relationship). Kept as the icon_estimate cross-check and the
+    fallback outside the tabled lg_k range."""
     if coupons <= 0:
         return 0.0
     lo, hi = 0.0, 1.0
@@ -131,6 +133,46 @@ def invert_coupons(coupons: int, lg_k: int) -> float:
         else:
             hi = mid
     return 0.5 * (lo + hi)
+
+
+_ICON_MIN_LG_K, _ICON_MAX_LG_K = 4, 26
+
+
+def icon_estimate(coupons: int, lg_k: int) -> float:
+    """The reference ICON estimator, bit-for-bit
+    (icon_estimator.hpp:248-271 compute_icon_estimate): degree-19
+    polynomial in c/(2k) per lg_k below the monotonicity threshold
+    (5.7k for lg_k<14 else 5.6k), the 0.794·k·2^(c/k) exponential
+    approximation above it, floored at c. Coefficients ship in
+    _cpc_tables.npz (measured accuracy-defining constants, extracted
+    from the public header by scripts/gen_cpc_tables.py). Outside the
+    tabled lg_k range falls back to exact E[C] inversion."""
+    if coupons < 2:
+        return 0.0 if coupons <= 0 else 1.0
+    if not (_ICON_MIN_LG_K <= lg_k <= _ICON_MAX_LG_K):
+        return _invert_expected_coupons(coupons, lg_k)
+    from .cpcserde import _TABLES
+
+    k = float(1 << lg_k)
+    c = float(coupons)
+    threshold_factor = 5.7 if lg_k < 14 else 5.6
+    if c > threshold_factor * k:
+        return 0.7940236163830469 * k * 2.0 ** (c / k)
+    coeffs = _TABLES["icon_poly"][lg_k - _ICON_MIN_LG_K]
+    x = c / (2.0 * k)
+    factor = 0.0
+    for a in coeffs[::-1]:  # Horner, same order as evaluate_polynomial
+        factor = factor * x + a
+    ratio = c / k
+    result = c * factor * (1.0 + ratio * ratio * ratio / 66.774757)
+    return result if result >= c else c
+
+
+def invert_coupons(coupons: int, lg_k: int) -> float:
+    """Estimate n from observed coupon count — the reference's ICON
+    estimator (exact parity with compute_icon_estimate; see
+    icon_estimate). Name kept for the established call sites."""
+    return icon_estimate(coupons, lg_k)
 
 
 # -- HIP estimator (streaming, never-merged) ---------------------------------

@@ -39,6 +39,26 @@ def _numbers_after(text: str, decl: str, count: int) -> np.ndarray:
     return np.array(nums)
 
 
+def _icon_polynomials(ref: str) -> np.ndarray:
+    """The ICON estimator's degree-19 polynomial coefficients
+    (icon_estimator.hpp ICON_POLYNOMIAL_COEFFICIENTS, lg_k 4..26 — the
+    LARGER_K_VALUES rows are compiled out in the reference too). Like the
+    compression tables these are accuracy-DEFINING measured constants
+    with no derivation to re-do."""
+    src = os.path.join(ref, "cpc", "include", "icon_estimator.hpp")
+    with open(src) as f:
+        text = f.read()
+    start = text.index("ICON_POLYNOMIAL_COEFFICIENTS[ICON_TABLE_SIZE] = {")
+    end = text.index("#ifdef LARGER_K_VALUES", start)
+    body = re.sub(r"//[^\n]*", "", text[start:end])
+    body = body.split("{", 1)[1]
+    vals = [float(v) for v in re.findall(r"-?\d+\.?\d*(?:e[+-]?\d+)?", body)]
+    arr = np.array(vals, np.float64)
+    if arr.shape != (23 * 20,):
+        raise SystemExit(f"expected 460 icon coefficients, got {arr.shape}")
+    return arr.reshape(23, 20)
+
+
 def main() -> None:
     with open(SRC) as f:
         text = f.read()
@@ -51,10 +71,13 @@ def main() -> None:
     perm = _numbers_after(
         text, "column_permutations_for_encoding[16][56] = {", 16 * 56
     ).astype(np.uint8).reshape(16, 56)
+    icon = _icon_polynomials(REF)
     np.savez_compressed(
-        DST, encoding_tables=enc, unary_table65=unary, column_permutations=perm
+        DST, encoding_tables=enc, unary_table65=unary,
+        column_permutations=perm, icon_poly=icon,
     )
-    print(f"wrote {DST}: enc {enc.shape}, unary {unary.shape}, perm {perm.shape}")
+    print(f"wrote {DST}: enc {enc.shape}, unary {unary.shape}, "
+          f"perm {perm.shape}, icon {icon.shape}")
 
 
 if __name__ == "__main__":
