@@ -91,6 +91,15 @@ _ALAW_LUT = _build_alaw_lut()
 def _g711_encoder(lut: np.ndarray):
     order = np.argsort(lut, kind="stable")
     decoded = lut[order].astype(np.int32)
+    # mu-law has TWO codes decoding to 0 (0xFF "+0" and 0x7F "-0"); keep
+    # exactly one code per decoded value (the last = the positive-zero
+    # code) so the quantizer is a function of the decoded value alone and
+    # encode∘decode is idempotent — otherwise encode(-1) picks -0 (0x7F)
+    # while re-encoding its decoded 0 picks +0 (0xFF), and byte round-trip
+    # contracts break (the same signed-zero canonicalization the float
+    # sketches apply at update).
+    keep = np.append(decoded[1:] != decoded[:-1], True)
+    order, decoded = order[keep], decoded[keep]
     mids = (decoded[:-1] + decoded[1:]) // 2
 
     def enc(pcm: np.ndarray) -> np.ndarray:

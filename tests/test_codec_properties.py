@@ -65,6 +65,19 @@ def test_wav_g711_roundtrip_properties(samples):
         assert buf2 == buf, f"{codec} re-encode not idempotent"
 
 
+def test_wav_mulaw_negative_zero_regression():
+    """Pinned Hypothesis counterexample: sample -1 quantizes to mu-law
+    zero; the encoder must emit the canonical positive-zero code (0xFF),
+    not minus-zero (0x7F), or decode→re-encode changes bytes."""
+    pcm = np.asarray([-1], "<i2")
+    buf = encode_wav(pcm, 8000, codec="mulaw")
+    back, _ = decode_wav(buf)
+    assert back[0] == 0
+    assert encode_wav(back, 8000, codec="mulaw") == buf
+    # the single code byte precedes the RIFF even-size pad byte
+    assert buf[-2] == 0xFF
+
+
 @settings(max_examples=25, deadline=None)
 @given(_pcm, st.sampled_from([1, 2]))
 def test_wav_ima_adpcm_roundtrip_properties(samples, channels):
