@@ -95,6 +95,45 @@ def q_theta_sql_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_data2sketch_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DataToSketch UDAF surface: build sketches FROM RAW
+    VALUES entirely in SQL (ds_theta/hll/cpc/kll_data2sketch), then query
+    them in SQL. Theta stays exact-mode per group (distinct suppliers
+    ≪ k), so its readout hash-equals COUNT(DISTINCT); HLL and CPC carry
+    3σ coverage booleans; KLL's median lands inside the exact [p25, p75]
+    envelope (k=200 over ~20k values is far tighter than a quartile)."""
+    from datasketches_cpp_spark.sqlfuncs import register_sketch_sql
+
+    register_sketch_sql(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_d2s")
+    sketched = spark.sql(
+        "SELECT l_returnflag, "
+        "ds_theta_data2sketch(l_suppkey) AS th, "
+        "ds_hll_data2sketch(l_suppkey) AS hl, "
+        "ds_cpc_data2sketch(l_suppkey) AS cp, "
+        "ds_kll_data2sketch(l_quantity) AS kl "
+        "FROM li_d2s GROUP BY l_returnflag"
+    )
+    sketched.createOrReplaceTempView("d2s_blobs")
+    exact = spark.sql(
+        "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS exact_supp, "
+        "percentile(l_quantity, 0.25) AS q25, "
+        "percentile(l_quantity, 0.75) AS q75 "
+        "FROM li_d2s GROUP BY l_returnflag"
+    )
+    exact.createOrReplaceTempView("d2s_exact")
+    return spark.sql(
+        "SELECT b.l_returnflag, "
+        "CAST(ds_theta_estimate(b.th) AS long) AS theta_distinct_supp, "
+        "ds_hll_lower_bound(b.hl, 3) <= e.exact_supp AND "
+        "e.exact_supp <= ds_hll_upper_bound(b.hl, 3) AS hll_covered, "
+        "ds_cpc_lower_bound(b.cp, 3) <= e.exact_supp AND "
+        "e.exact_supp <= ds_cpc_upper_bound(b.cp, 3) AS cpc_covered, "
+        "ds_kll_quantile(b.kl, 0.5) BETWEEN e.q25 AND e.q75 AS kll_median_sane "
+        "FROM d2s_blobs b JOIN d2s_exact e ON b.l_returnflag = e.l_returnflag"
+    )
+
+
 def q_theta_ratio_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference bounds_on_ratios_in_theta_sketched_sets (kmv.
     ratio_b_over_a + SQL ds_theta_ratio*): per order status, the ratio
@@ -1689,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
         "theta_distinct_by_status": q_theta_distinct_by_status,
         "theta_sql_estimates": q_theta_sql_estimates,
+        "sql_data2sketch_coverage": q_sql_data2sketch_coverage,
         "theta_ratio_coverage": q_theta_ratio_coverage,
         "aos_custkey_priority": q_aos_custkey_priority,
         "theta_union_custkeys": q_theta_union_custkeys,
@@ -1772,6 +1812,13 @@ def oracle_sql() -> dict[str, str]:
         "theta_sql_estimates": (
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_custkeys "
             "FROM orders GROUP BY o_orderstatus"
+        ),
+        "sql_data2sketch_coverage": (
+            "SELECT l_returnflag, "
+            "COUNT(DISTINCT l_suppkey) AS theta_distinct_supp, "
+            "TRUE AS hll_covered, TRUE AS cpc_covered, "
+            "TRUE AS kll_median_sane "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "aos_custkey_priority": (
             "WITH mx AS (SELECT o_custkey, "

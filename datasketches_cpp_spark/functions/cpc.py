@@ -11,9 +11,10 @@ inverting the coupon-collector expectation curve
 
     E[C](n) = K * sum_{c=0}^{63} (1 - (1 - 2^-(c+1) / K)^n)
 
-which is strictly increasing in n (the ICON estimator of the paper is a
-precomputed spline of exactly this inversion; we invert numerically —
-~100 bisection steps of a 64-term sum, driver-free, per *group*).
+which is strictly increasing in n. The engine answers with the
+reference's ICON estimator bit-for-bit (icon_estimate: per-lg_k
+degree-19 polynomial + exponential regime, tables in _cpc_tables.npz);
+the exact numerical inversion of E[C] stays as a cross-check.
 
 What we deliberately do NOT port: the reference's sliding-window +
 surprising-value Fermat compression (cpc_compressor_impl.hpp). That
@@ -28,13 +29,15 @@ as theta's min-merge, so Spark can combine partials in any order.
 Two-stage plan (same shape as functions/theta.py): mapInPandas partial
 per input partition (vectorized np.bitwise_or scatter; state is O(K) per
 group), then groupBy().applyInPandas final OR-merge. Estimates/bounds are
-computed from the merged matrix; RSE envelope asserted empirically in
-tests/test_cpc.py (observed ≈ 0.8/sqrt(K), consistent with the paper's
-non-HIP ICON constant; bounds use a conservative 1.0/sqrt(K)).
+computed from the merged matrix with the reference's ICON kappa
+confidence law (cpc_confidence.hpp empirical side constants at
+lg_k <= 14, ln 2 above); RSE envelope asserted empirically in
+tests/test_cpc.py.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -43,8 +46,6 @@ from pyspark.sql import DataFrame
 
 from ..hashing import DEFAULT_SEED
 from .tuplesketch import _hash_items
-
-CPC_RSE_FACTOR = 1.0  # conservative envelope; reference ICON ≈ 0.83/√K
 
 
 def _coupons(hashes: np.ndarray, lg_k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -206,6 +207,46 @@ def _hip_rel(lg_k: int, kappa: int, side) -> float:
     return x / float(np.sqrt(1 << lg_k))
 
 
+# ICON (merged-sketch) kappa side constants, cpc_confidence.hpp:36-63 —
+# same published-measurement provenance as the HIP tables above.
+_ICON_LOW_SIDE = [
+    (6037, 5720, 5328), (6411, 6262, 5682), (6724, 6403, 6127),
+    (6665, 6411, 6208), (6959, 6525, 6427), (6892, 6665, 6619),
+    (6792, 6752, 6690), (6899, 6818, 6708), (6871, 6845, 6812),
+    (6909, 6861, 6828), (6919, 6897, 6842),
+]
+_ICON_HIGH_SIDE = [
+    (8031, 8559, 9309), (7084, 7959, 8660), (7141, 7514, 7876),
+    (7458, 7430, 7572), (6892, 7141, 7497), (6889, 7132, 7290),
+    (7075, 7118, 7185), (7040, 7047, 7085), (6993, 7019, 7053),
+    (6953, 7001, 6983), (6944, 6966, 7004),
+]
+
+
+def _icon_rel(lg_k: int, kappa: int, side) -> float:
+    x = ICON_ERROR_CONSTANT
+    if 4 <= lg_k <= 14:
+        x = side[lg_k - 4][kappa - 1] / 10000.0
+    return x / float(np.sqrt(1 << lg_k))
+
+
+def icon_bounds(coupons: int, lg_k: int, kappa: int = 2) -> tuple[float, float]:
+    """Merged-sketch confidence interval, exactly the reference's
+    get_icon_confidence_lb/ub (cpc_confidence.hpp:98-131): eps =
+    kappa · x/√K with the empirical side constants at lg_k ≤ 14 and ln 2
+    above; lower bound floored at the coupon count, upper bound ceil'd
+    for coverage."""
+    if coupons == 0:
+        return 0.0, 0.0
+    if not 1 <= kappa <= 3:
+        raise ValueError("kappa must be between 1 and 3")
+    est = icon_estimate(coupons, lg_k)
+    lb = est / (1.0 + kappa * _icon_rel(lg_k, kappa, _ICON_HIGH_SIDE))
+    lb = max(lb, float(coupons))
+    ub = math.ceil(est / (1.0 - kappa * _icon_rel(lg_k, kappa, _ICON_LOW_SIDE)))
+    return lb, float(ub)
+
+
 class CpcState:
     """Streaming CPC coupon matrix with the reference's HIP accumulator.
 
@@ -266,10 +307,7 @@ class CpcState:
         if self.num_coupons == 0:
             return 0.0, 0.0
         if self.merged:
-            rel = CPC_RSE_FACTOR / float(np.sqrt(1 << self.lg_k))
-            return max(est / (1 + kappa * rel), float(self.num_coupons)), float(
-                np.ceil(est / (1 - kappa * rel))
-            )
+            return icon_bounds(self.num_coupons, self.lg_k, kappa)
         lo = est / (1.0 + kappa * _hip_rel(self.lg_k, kappa, _HIP_HIGH_SIDE))
         hi = est / (1.0 - kappa * _hip_rel(self.lg_k, kappa, _HIP_LOW_SIDE))
         return max(lo, float(self.num_coupons)), float(np.ceil(hi))
@@ -381,21 +419,29 @@ def with_estimate(
     import pyspark.sql.functions as F
     import pyspark.sql.types as T
 
-    @F.pandas_udf(T.DoubleType())
-    def est(lg_ks: pd.Series, coupons: pd.Series) -> pd.Series:
-        out = np.empty(len(lg_ks), dtype=np.float64)
-        for i in range(len(lg_ks)):
+    @F.pandas_udf("estimate double, lower_bound double, upper_bound double")
+    def est(lg_ks: pd.Series, coupons: pd.Series) -> pd.DataFrame:
+        n = len(lg_ks)
+        e = np.empty(n, np.float64)
+        lo = np.empty(n, np.float64)
+        hi = np.empty(n, np.float64)
+        for i in range(n):
             mat = np.asarray(coupons.iloc[i], dtype=np.int64).view(np.uint64)
-            out[i] = invert_coupons(_coupon_count(mat), int(lg_ks.iloc[i]))
-        return pd.Series(out)
+            c = _coupon_count(mat)
+            lg = int(lg_ks.iloc[i])
+            e[i] = icon_estimate(c, lg)
+            lo[i], hi[i] = icon_bounds(c, lg, num_std_devs)
+        return pd.DataFrame(
+            {"estimate": e, "lower_bound": lo, "upper_bound": hi}
+        )
 
-    df = sketch_df.withColumn(out_col, est("lg_k", "coupons"))
-    z = F.lit(float(num_std_devs)) * F.lit(CPC_RSE_FACTOR) / F.sqrt(
-        F.pow(F.lit(2.0), F.col("lg_k").cast("double"))
+    df = sketch_df.withColumn("_eb", est("lg_k", "coupons"))
+    return (
+        df.withColumn(out_col, F.col("_eb.estimate"))
+        .withColumn("lower_bound", F.col("_eb.lower_bound"))
+        .withColumn("upper_bound", F.col("_eb.upper_bound"))
+        .drop("_eb")
     )
-    return df.withColumn(
-        "lower_bound", (F.col(out_col) / (1.0 + z)).cast("double")
-    ).withColumn("upper_bound", (F.col(out_col) / (1.0 - z)).cast("double"))
 
 
 def cpc_stream_agg(

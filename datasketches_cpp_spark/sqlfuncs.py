@@ -234,6 +234,97 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             np.bitwise_or(acc, m, out=acc)
         return serialize_cpc(acc, lg_min)  # merged stream: no HIP registers
 
+    # -- CPC bounds (cpc_confidence.hpp get_lower_bound/get_upper_bound) --
+    def _cpc_bound(blobs: pd.Series, kappas: pd.Series, lower: bool) -> pd.Series:
+        from .functions.cpc import (
+            _HIP_HIGH_SIDE,
+            _HIP_LOW_SIDE,
+            _hip_rel,
+            icon_bounds,
+        )
+
+        out = []
+        for b, s in zip(blobs, kappas):
+            if b is None:
+                out.append(_NAN)
+                continue
+            d = deserialize_cpc(bytes(b))
+            c, lg, kappa = int(d["num_coupons"]), int(d["lg_k"]), int(s)
+            if c == 0:
+                out.append(0.0)
+            elif d["has_hip"]:
+                # stream-written blob: HIP kappa law (the reference uses
+                # the HIP interval whenever HIP registers are valid)
+                est = float(d["hip_est_accum"])
+                if lower:
+                    v = est / (1.0 + kappa * _hip_rel(lg, kappa, _HIP_HIGH_SIDE))
+                    out.append(max(v, float(c)))
+                else:
+                    v = est / (1.0 - kappa * _hip_rel(lg, kappa, _HIP_LOW_SIDE))
+                    out.append(float(np.ceil(v)))
+            else:
+                lb, ub = icon_bounds(c, lg, kappa)
+                out.append(lb if lower else ub)
+        return pd.Series(out, dtype="float64")
+
+    cpc_lb = pandas_udf(lambda b, s: _cpc_bound(b, s, True), "double")
+    cpc_ub = pandas_udf(lambda b, s: _cpc_bound(b, s, False), "double")
+
+    # -- data2sketch aggregates (build FROM RAW VALUES in SQL) -------------
+    # The reference's SQL integrations pair every family with a
+    # DataToSketch UDAF; these are that surface. NOTE: a grouped-agg
+    # pandas UDF shuffles the group's raw values (no partial aggregation),
+    # so these are the convenience/compat path — the DataFrame two-stage
+    # aggregates (functions/*.py) are the 100 TB path. Same tradeoff the
+    # reference's Hive UDAFs make.
+
+    def _hash_series(vals: pd.Series) -> np.ndarray:
+        from .hashing import hash63_int64, hash63_str_many
+
+        vals = vals.dropna()
+        if len(vals) == 0:
+            return np.empty(0, np.uint64)
+        if pd.api.types.is_integer_dtype(vals):
+            return hash63_int64(vals.to_numpy(np.int64))
+        return hash63_str_many(vals.astype(str).tolist())
+
+    @pandas_udf("binary")
+    def theta_data2sketch(vals: pd.Series) -> bytes:
+        sk = kmv.from_hashes(_hash_series(vals), 1 << kmv.DEFAULT_LG_K)
+        return thetaserde.serialize_compact_v3(sk.theta, sk.hashes)
+
+    @pandas_udf("binary")
+    def hll_data2sketch(vals: pd.Series) -> bytes:
+        from .functions.hll import _rho
+
+        lg_k = 12
+        h = _hash_series(vals)
+        regs = np.zeros(1 << lg_k, np.uint8)
+        slots = (h & np.uint64((1 << lg_k) - 1)).astype(np.int64)
+        np.maximum.at(regs, slots, _rho(h, lg_k))
+        return hllserde.serialize_hll8(regs, lg_k)
+
+    @pandas_udf("binary")
+    def cpc_data2sketch(vals: pd.Series) -> bytes:
+        from .functions.cpc import _fold_matrix
+        from .functions.cpcserde import serialize_cpc
+
+        lg_k = 11
+        mat = np.zeros(1 << lg_k, np.uint64)
+        _fold_matrix(mat, _hash_series(vals), lg_k)
+        return serialize_cpc(mat, lg_k)
+
+    @pandas_udf("binary")
+    def kll_data2sketch(vals: pd.Series) -> bytes:
+        from .functions.kllserde import serialize_kll
+        from .functions.quantiles import KllSketch
+
+        sk = KllSketch(200)
+        arr = pd.to_numeric(vals, errors="coerce").dropna().to_numpy(np.float64)
+        if len(arr):
+            sk.update_batch(arr)
+        return serialize_kll(sk)
+
     # -- KLL doubles (blob = family-15 v1/v2) ------------------------------
     @pandas_udf("double")
     def kll_quantile(blobs: pd.Series, ranks: pd.Series) -> pd.Series:
@@ -652,11 +743,17 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
         "theta_ratio_lower_bound": theta_ratio_lb,
         "theta_ratio_upper_bound": theta_ratio_ub,
         "theta_union": theta_union_agg,
+        "theta_data2sketch": theta_data2sketch,
+        "hll_data2sketch": hll_data2sketch,
+        "cpc_data2sketch": cpc_data2sketch,
+        "kll_data2sketch": kll_data2sketch,
         "hll_estimate": hll_estimate,
         "hll_lower_bound": hll_lb,
         "hll_upper_bound": hll_ub,
         "hll_union": hll_union_agg,
         "cpc_estimate": cpc_estimate,
+        "cpc_lower_bound": cpc_lb,
+        "cpc_upper_bound": cpc_ub,
         "cpc_union": cpc_union_agg,
         "kll_quantile": kll_quantile,
         "kll_rank": kll_rank,

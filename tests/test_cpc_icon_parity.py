@@ -64,3 +64,63 @@ def test_untabled_lg_k_falls_back():
     est = icon_estimate(1 << 27, 27)
     assert est == _invert_expected_coupons(1 << 27, 27)
     assert est > 0
+
+
+# ---------------------------------------------------------------------------
+# Estimate + kappa-bound parity on REAL reference sketches (HIP and
+# merged/ICON regimes), through the engine's own wire reader.
+# ---------------------------------------------------------------------------
+
+BFIXDIR = os.path.join(os.path.dirname(__file__), "golden",
+                       "refgen_cpc_bounds")
+BMANIFEST = os.path.join(BFIXDIR, "manifest.jsonl")
+
+
+def _brows():
+    if not os.path.isfile(BMANIFEST):
+        return []
+    with open(BMANIFEST) as f:
+        return [json.loads(line) for line in f]
+
+
+_BROWS = _brows()
+
+
+@pytest.mark.parametrize("row", _BROWS, ids=[r["file"] for r in _BROWS])
+def test_cpc_estimate_and_bounds_parity(row):
+    from datasketches_cpp_spark.functions.cpc import (
+        _HIP_HIGH_SIDE,
+        _HIP_LOW_SIDE,
+        _hip_rel,
+        icon_bounds,
+    )
+    from datasketches_cpp_spark.functions.cpcserde import deserialize_cpc
+
+    with open(os.path.join(BFIXDIR, row["file"]), "rb") as f:
+        d = deserialize_cpc(f.read())
+    c, lg = int(d["num_coupons"]), int(d["lg_k"])
+    assert lg == row["lgk"]
+    if row["merged"]:
+        assert not d["has_hip"]
+        est = icon_estimate(c, lg)
+        assert est == pytest.approx(row["estimate"], rel=1e-12)
+        for kappa in (1, 2, 3):
+            lb, ub = icon_bounds(c, lg, kappa)
+            assert lb == pytest.approx(row[f"lb{kappa}"], rel=1e-12)
+            assert ub == pytest.approx(row[f"ub{kappa}"], rel=1e-12)
+    else:
+        assert d["has_hip"]
+        est = float(d["hip_est_accum"])
+        assert est == pytest.approx(row["estimate"], rel=1e-12)
+        import numpy as np
+
+        for kappa in (1, 2, 3):
+            lb = max(
+                est / (1.0 + kappa * _hip_rel(lg, kappa, _HIP_HIGH_SIDE)),
+                float(c),
+            )
+            ub = float(np.ceil(
+                est / (1.0 - kappa * _hip_rel(lg, kappa, _HIP_LOW_SIDE))
+            ))
+            assert lb == pytest.approx(row[f"lb{kappa}"], rel=1e-12)
+            assert ub == pytest.approx(row[f"ub{kappa}"], rel=1e-12)

@@ -184,3 +184,57 @@ def test_kll_tdigest_sql_quantiles(sql_spark):
     assert row.kll_rank == pytest.approx(0.75, abs=0.01)
     assert row.td_med == pytest.approx(50.5, abs=1.5)
     assert row.td_rank == pytest.approx(0.745, abs=0.02)
+
+
+def test_data2sketch_sql_aggs(sql_spark):
+    """Build FROM RAW VALUES entirely in SQL (the Hive DataToSketch UDAF
+    surface): theta exact below k, HLL/CPC inside their 3-sigma kappa
+    bounds, KLL median exact on a small stream; per-group sketches union
+    back to the global answer."""
+    n = 1500
+    df = sql_spark.createDataFrame(
+        [(i, i % 3, float(i % 100)) for i in range(n)],
+        "id long, grp int, val double",
+    )
+    df.createOrReplaceTempView("d2s_src")
+    row = sql_spark.sql(
+        "SELECT ds_theta_estimate(ds_theta_data2sketch(id)) AS th, "
+        "ds_hll_estimate(ds_hll_data2sketch(id)) AS hl, "
+        "ds_cpc_estimate(ds_cpc_data2sketch(id)) AS cp, "
+        "ds_hll_lower_bound(ds_hll_data2sketch(id), 3) AS hl_lb, "
+        "ds_hll_upper_bound(ds_hll_data2sketch(id), 3) AS hl_ub, "
+        "ds_cpc_lower_bound(ds_cpc_data2sketch(id), 3) AS cp_lb, "
+        "ds_cpc_upper_bound(ds_cpc_data2sketch(id), 3) AS cp_ub, "
+        "ds_kll_quantile(ds_kll_data2sketch(val), 0.5) AS med "
+        "FROM d2s_src"
+    ).collect()[0]
+    assert row["th"] == n  # exact mode below k = 4096
+    assert row["hl_lb"] <= n <= row["hl_ub"]
+    assert row["cp_lb"] <= n <= row["cp_ub"]
+    assert abs(row["hl"] - n) / n < 0.1
+    assert abs(row["cp"] - n) / n < 0.1
+    # KLL k=200 over 1500 values of 0..99: median within one value
+    assert abs(row["med"] - 49.5) <= 2.0
+    # union of per-group sketches == global (set-algebra sanity in SQL)
+    per = sql_spark.sql(
+        "SELECT grp, ds_theta_data2sketch(id) sk FROM d2s_src GROUP BY grp"
+    )
+    per.createOrReplaceTempView("d2s_per")
+    est = sql_spark.sql(
+        "SELECT ds_theta_estimate(ds_theta_union(sk)) est FROM d2s_per"
+    ).collect()[0]["est"]
+    assert est == n
+
+
+def test_data2sketch_string_and_null_inputs(sql_spark):
+    """String columns hash through the engine's string law; NULLs are
+    ignored like the reference UDAFs."""
+    df = sql_spark.createDataFrame(
+        [(f"u{i % 40}",) for i in range(200)] + [(None,)] * 5,
+        "s string",
+    )
+    df.createOrReplaceTempView("d2s_str")
+    row = sql_spark.sql(
+        "SELECT ds_theta_estimate(ds_theta_data2sketch(s)) AS th FROM d2s_str"
+    ).collect()[0]
+    assert row["th"] == 40
