@@ -1718,6 +1718,57 @@ def q_exif_scrub_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return before.join(after, "id")
 
 
+_IMGQ_PLANT = [
+    # (image_id, kind): solid → low-information; gradient → blurry;
+    # noise → sharp, information-dense
+    ("iq00", "solid"),
+    ("iq01", "noise"),
+    ("iq02", "gradient"),
+    ("iq03", "solid"),
+    ("iq04", "noise"),
+    ("iq05", "gradient"),
+    ("iq06", "noise"),
+]
+
+
+def q_image_quality_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality heuristics (operators/imagequality.py — the image
+    axis of the curation family) on a planted corpus: solid placeholders
+    must flag low-information, smooth gradients must flag blurry
+    (Laplacian variance), dense noise must flag neither. Oracle = the
+    planted truth literals."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.imagequality import (
+        image_quality_stats,
+    )
+
+    w, h = 48, 32
+    rows = []
+    for i, (iid, kind) in enumerate(_IMGQ_PLANT):
+        if kind == "solid":
+            px = np.full(h * w * 3, 40 + i, np.uint8)
+        elif kind == "noise":
+            px = np.random.default_rng(9000 + i).integers(
+                0, 256, h * w * 3, np.uint8
+            )
+        else:
+            ramp = np.linspace(0, 255, w, dtype=np.uint8)
+            px = np.repeat(
+                np.broadcast_to(ramp, (h, w)).reshape(-1), 3
+            ).astype(np.uint8)
+        rows.append((iid, bytearray(px.tobytes()), w, h, "raw"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    stats = image_quality_stats(images)
+    return stats.select(
+        "id",
+        "is_low_information",
+        (F.col("laplacian_var") < 50.0).alias("is_blurry"),
+    )
+
+
 def _planted_truth_sql(truth: dict) -> str:
     vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(truth.items()))
     return f"SELECT * FROM (VALUES {vals}) AS t(id, cluster_id)"
@@ -1794,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_planted": q_line_dedup_planted,
         "pii_redaction_planted": q_pii_redaction_planted,
         "exif_scrub_planted": q_exif_scrub_planted,
+        "image_quality_planted": q_image_quality_planted,
     }
 
 
@@ -2265,6 +2317,21 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") AS t(id, exif_make, exif_orientation, has_gps_before, "
             "has_gps_after)"
+        ),
+        "image_quality_planted": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                "('{}', {}, {})".format(
+                    iid,
+                    "TRUE" if kind == "solid" else "FALSE",
+                    # solid images are ALSO blurry by the Laplacian rule
+                    # (zero variance), gradients are the planted blurry
+                    # case, noise is sharp
+                    "TRUE" if kind in ("solid", "gradient") else "FALSE",
+                )
+                for iid, kind in sorted(_IMGQ_PLANT)
+            )
+            + ") AS t(id, is_low_information, is_blurry)"
         ),
         # lsh_dedup_clusters, minhash_signatures, kll_quantiles,
         # ann_lsh_topk, tdigest_price_tails:
