@@ -1731,6 +1731,70 @@ _IMGQ_PLANT = [
 ]
 
 
+def _planted_rotated_rows():
+    """Planted rotation corpus: 12 block-textured originals, each with one
+    rotated (90/180/270) and possibly mirrored noisy copy; truth maps the
+    twin to its original."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    w = h = 64
+    rng = np.random.default_rng(4242)
+    rows, truth = [], {}
+    for i in range(12):
+        small = np.random.default_rng(300 + i).integers(
+            0, 256, (8, 8, 3), np.uint8
+        )
+        px = np.repeat(np.repeat(small, h // 8, axis=0), w // 8, axis=1)
+        iid = f"rot_orig{i:02d}"
+        rows.append(
+            (iid, bytearray(px.tobytes()), w, h, "raw",
+             f"caption original {i}",
+             int(np.int64(np.uint64(phash64(px.reshape(-1), w, h)))))
+        )
+        truth[iid] = iid
+        t = np.rot90(px, 1 + i % 3, axes=(0, 1))
+        if i % 2:
+            t = t[:, ::-1, :]
+        noisy = np.clip(
+            t.astype(np.int16) + rng.integers(-1, 2, t.shape), 0, 255
+        ).astype(np.uint8)
+        tid = f"rot_twin{i:02d}"
+        h2, w2 = noisy.shape[0], noisy.shape[1]
+        flat = np.ascontiguousarray(noisy).reshape(-1)
+        rows.append(
+            (tid, bytearray(flat.tobytes()), w2, h2, "raw",
+             f"caption twin {i}",
+             int(np.int64(np.uint64(phash64(flat, w2, h2)))))
+        )
+        truth[tid] = iid
+    return rows, truth
+
+
+def q_rotated_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation/mirror-invariant image dedup: the pHash lane over
+    dihedral-canonical hashes (imagededup.dedup_images
+    rotation_invariant=True; sigkernel.phash_dihedral_min) on a planted
+    corpus of originals + rotated/mirrored noisy twins. Oracle = planted
+    truth — a hash match proves the canonicalization law AND the full
+    band→verify→CC chain recover exactly the planted clustering. Plain
+    pHash misses most of these pairs (pytest asserts that contrast)."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_rotated_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(
+        images, SigConfig(phash_hamming=6), enable_lanes=("phash",),
+        rotation_invariant=True,
+    )
+    return res["assignments"]
+
+
 def q_image_quality_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image quality heuristics (operators/imagequality.py — the image
     axis of the curation family) on a planted corpus: solid placeholders
@@ -1846,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_planted": q_pii_redaction_planted,
         "exif_scrub_planted": q_exif_scrub_planted,
         "image_quality_planted": q_image_quality_planted,
+        "rotated_dedup_planted": q_rotated_dedup_planted,
     }
 
 
@@ -2318,6 +2383,7 @@ def oracle_sql() -> dict[str, str]:
             + ") AS t(id, exif_make, exif_orientation, has_gps_before, "
             "has_gps_after)"
         ),
+        "rotated_dedup_planted": _planted_truth_sql(_planted_rotated_rows()[1]),
         "image_quality_planted": (
             "SELECT * FROM (VALUES "
             + ", ".join(

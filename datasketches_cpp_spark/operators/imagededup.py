@@ -57,6 +57,58 @@ def phash_combo_keys_expr(phash_col: str, cfg: SigConfig):
     return F.array(*keys)
 
 
+def with_canonical_phash(
+    images: DataFrame,
+    phash_col: str = "phash",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Replace (or add) a pHash column with its dihedral-canonical form
+    (sigkernel.phash_dihedral_min): hashes of rotated/mirrored copies of
+    an image collapse to one value. Exact for noise-free transforms; for
+    the noise-robust pipeline path use ``with_phash_orbit`` (min-of-orbit
+    can jump orbit elements when noise flips a high-order bit)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .sigkernel import phash_dihedral_min
+
+    def _canon(ph):
+        vals = ph.to_numpy(np.int64).view(np.uint64)
+        return pd.Series(phash_dihedral_min(vals).view(np.int64))
+
+    canon = pandas_udf(_canon, "long")
+    return images.withColumn(out_col, canon(F.col(phash_col)))
+
+
+def with_phash_orbit(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """(id, phash) → 8 rows per image, one per D4 orbit hash
+    (sigkernel.phash_dihedral_orbit). Feeding this to the pHash lane
+    makes blocking rotation/mirror-invariant WITHOUT the min-canonical
+    fragility: two images meet in a band whenever ANY relative transform
+    puts them inside the hamming radius, and the inline verification
+    compares exactly the aligned pair of orbit hashes. Costs 8× band
+    rows in this one lane; the pair table dedups back to (a, b)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .sigkernel import phash_dihedral_orbit
+
+    def _orbit(ph):
+        vals = ph.to_numpy(np.int64).view(np.uint64)
+        return pd.Series(list(phash_dihedral_orbit(vals).view(np.int64)))
+
+    orbit = pandas_udf(_orbit, "array<long>")
+    return images.select(
+        id_col, F.explode(orbit(F.col(phash_col))).alias(phash_col)
+    )
+
+
 def phash_pairs(
     images: DataFrame,
     cfg: SigConfig,
@@ -113,6 +165,7 @@ def dedup_images(
     enable_lanes: tuple = ("caption", "bytes", "phash", "substring"),
     profile: dict | None = None,
     hot_policy: str = "chain_hub",
+    rotation_invariant: bool = False,
 ) -> dict:
     """Full multi-lane dedup. Returns dict with 'assignments', 'edges',
     per-lane pair DataFrames, and the two signature tables.
@@ -173,7 +226,10 @@ def dedup_images(
         edge_parts.append(byt_ver.select("a", "b"))
 
     if "phash" in enable_lanes:
-        ph_ver = _bar("phash_pairs", phash_pairs(images, cfg, max_pairs_group=max_pairs_group, hot_policy=hot_policy))
+        # rotation_invariant: band the full D4 orbit so rotated/mirrored
+        # copies meet under their aligning transform (see with_phash_orbit)
+        ph_src = with_phash_orbit(images) if rotation_invariant else images
+        ph_ver = _bar("phash_pairs", phash_pairs(ph_src, cfg, max_pairs_group=max_pairs_group, hot_policy=hot_policy))
         out["phash_pairs"] = ph_ver
         edge_parts.append(ph_ver.select("a", "b"))
 

@@ -360,6 +360,55 @@ def band_hashes(sigs: np.ndarray, cfg: SigConfig) -> np.ndarray:
     return (h1 >> np.uint64(1)).reshape(n, b)
 
 
+def phash_dihedral_min(phashes: np.ndarray) -> np.ndarray:
+    """Canonicalize 64-bit block pHashes under the dihedral group D4
+    (rotations by 0/90/180/270 plus mirrors): unpack each hash to its 8×8
+    bit grid, apply all 8 grid transforms, re-pack, take the numeric
+    minimum. Rotating or mirroring an IMAGE permutes its 8×8 block-mean
+    grid by exactly the corresponding grid transform (block means commute
+    with the transform for w, h multiples of 8), so the canonical hash of
+    a rotated/mirrored copy equals the original's up to pixel noise —
+    making the pHash lane rotation/mirror-invariant with zero change to
+    banding or verification. Fully vectorized (one unpackbits, 8
+    rot/flip views, one reduce); same packbits bit order as the corpus
+    pHash (sources/images.phash64_batch, little-endian)."""
+    return phash_dihedral_orbit(phashes).min(axis=1)
+
+
+def phash_dihedral_orbit(phashes: np.ndarray) -> np.ndarray:
+    """(m,) uint64 pHashes → (m, 8) uint64: the full D4 orbit of each
+    hash's 8×8 bit grid (4 rotations × optional mirror), packed in the
+    corpus bit order. The noise-ROBUST rotation-invariant blocking path
+    bands ALL 8 orbit hashes rather than the numeric minimum: a min-of-
+    orbit canonical form can jump to a different orbit element when pixel
+    noise flips a high-order bit (observed: two near-twins 29 bits apart
+    after canonicalization but 1 bit apart under the aligning transform),
+    whereas orbit banding guarantees the aligned pair meets in a band
+    whenever ANY transform brings the two hashes within the lane's
+    hamming radius."""
+    ph = np.ascontiguousarray(np.asarray(phashes).view(np.uint64))
+    m = len(ph)
+    if m == 0:
+        return ph.reshape(0, 1).repeat(8, axis=1)
+    bits = np.unpackbits(
+        ph.view(np.uint8).reshape(m, 8), axis=1, bitorder="little"
+    ).reshape(m, 8, 8)
+    cands = []
+    for k in range(4):
+        r = np.rot90(bits, k, axes=(1, 2))
+        for t in (r, r[:, :, ::-1]):
+            cands.append(
+                np.packbits(
+                    np.ascontiguousarray(t).reshape(m, 64),
+                    axis=1,
+                    bitorder="little",
+                )
+                .view("<u8")
+                .ravel()
+            )
+    return np.stack(cands, axis=1)
+
+
 def phash_band_hashes(phashes: np.ndarray, num_bands: int = 8) -> np.ndarray:
     """Multi-index blocking for 64-bit pHash: split into ``num_bands``
     equal bit-slices; two hashes within hamming distance < num_bands share
