@@ -1772,6 +1772,63 @@ def _planted_rotated_rows():
     return rows, truth
 
 
+def _planted_scaled_rows():
+    """Planted resolution corpus: 64×64 originals + 2× downscaled noisy
+    thumbnails. The block-mean pHash is resolution-invariant by
+    construction (the 8×8 block grid means are preserved under integer
+    downscale), so the STANDARD pHash lane must cluster each thumbnail
+    with its original — no special mode."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rng = np.random.default_rng(8822)
+    rows, truth = [], {}
+    for i in range(12):
+        small = np.random.default_rng(600 + i).integers(
+            0, 256, (8, 8, 3), np.uint8
+        )
+        px = np.repeat(np.repeat(small, 8, axis=0), 8, axis=1)
+        iid = f"sc_orig{i:02d}"
+        rows.append(
+            (iid, bytearray(px.tobytes()), 64, 64, "raw",
+             f"caption scale original {i}",
+             int(np.int64(np.uint64(phash64(px.reshape(-1), 64, 64)))))
+        )
+        truth[iid] = iid
+        thumb = px.reshape(32, 2, 32, 2, 3).mean(axis=(1, 3))
+        noisy = np.clip(
+            thumb + rng.integers(-1, 2, thumb.shape), 0, 255
+        ).astype(np.uint8)
+        tid = f"sc_thumb{i:02d}"
+        flat = np.ascontiguousarray(noisy).reshape(-1)
+        rows.append(
+            (tid, bytearray(flat.tobytes()), 32, 32, "raw",
+             f"caption scale thumb {i}",
+             int(np.int64(np.uint64(phash64(flat, 32, 32)))))
+        )
+        truth[tid] = iid
+    return rows, truth
+
+
+def q_scaled_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-invariant image dedup: 2× thumbnails cluster with their
+    originals through the STANDARD pHash lane (no flag) because the
+    block-mean hash commutes with integer downscaling. Oracle = planted
+    truth."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_scaled_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("phash",))
+    return res["assignments"]
+
+
 def q_rotated_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rotation/mirror-invariant image dedup: the pHash lane over
     dihedral-canonical hashes (imagededup.dedup_images
@@ -1911,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_scrub_planted": q_exif_scrub_planted,
         "image_quality_planted": q_image_quality_planted,
         "rotated_dedup_planted": q_rotated_dedup_planted,
+        "scaled_dedup_planted": q_scaled_dedup_planted,
     }
 
 
@@ -2384,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
             "has_gps_after)"
         ),
         "rotated_dedup_planted": _planted_truth_sql(_planted_rotated_rows()[1]),
+        "scaled_dedup_planted": _planted_truth_sql(_planted_scaled_rows()[1]),
         "image_quality_planted": (
             "SELECT * FROM (VALUES "
             + ", ".join(
