@@ -220,6 +220,43 @@ class ReqSketch:
         envelope."""
         return FIXED_RSE_FACTOR / self.k
 
+    # -- rank confidence bounds (req_sketch_impl.hpp:285-330) ----------------
+    @staticmethod
+    def _is_exact_rank(k: int, num_levels: int, rank: float, n: int,
+                       hra: bool) -> bool:
+        """Ranks inside the always-exact region (the accurate end holds
+        the first k·INIT_NUM_SECTIONS items uncompacted)."""
+        base_cap = k * INIT_NUM_SECTIONS
+        if num_levels == 1 or n <= base_cap:
+            return True
+        thresh = base_cap / n
+        return (hra and rank >= 1.0 - thresh) or (not hra and rank <= thresh)
+
+    def get_rank_lower_bound(self, rank: float, num_std_dev: int = 2) -> float:
+        """max of the relative-error and fixed-error lower bounds; exact
+        ranks return themselves (get_rank_lb)."""
+        if self._is_exact_rank(self.k, len(self.compactors), rank, self.n,
+                               self.hra):
+            return rank
+        relative = (
+            self.relative_rse_factor() / self.k
+            * ((1.0 - rank) if self.hra else rank)
+        )
+        fixed = FIXED_RSE_FACTOR / self.k
+        return max(rank - num_std_dev * relative, rank - num_std_dev * fixed)
+
+    def get_rank_upper_bound(self, rank: float, num_std_dev: int = 2) -> float:
+        """min of the relative-error and fixed-error upper bounds (get_rank_ub)."""
+        if self._is_exact_rank(self.k, len(self.compactors), rank, self.n,
+                               self.hra):
+            return rank
+        relative = (
+            self.relative_rse_factor() / self.k
+            * ((1.0 - rank) if self.hra else rank)
+        )
+        fixed = FIXED_RSE_FACTOR / self.k
+        return min(rank + num_std_dev * relative, rank + num_std_dev * fixed)
+
     def _sorted_view(self) -> tuple[np.ndarray, np.ndarray]:
         items = np.concatenate([c.buf for c in self.compactors])
         weights = np.concatenate(
@@ -267,14 +304,12 @@ class ReqSketch:
         return math.sqrt(0.0512 / INIT_NUM_SECTIONS)
 
     def rank_bounds(self, rank: float, num_std_devs: int = 2) -> tuple[float, float]:
-        if not self.is_estimation_mode() or self.n <= self.k * INIT_NUM_SECTIONS:
-            return rank, rank
-        rel = self.relative_rse_factor() / self.k * (
-            (1.0 - rank) if self.hra else rank
-        )
-        fixed = FIXED_RSE_FACTOR / self.k
-        lb = max(rank - num_std_devs * rel, rank - num_std_devs * fixed)
-        ub = min(rank + num_std_devs * rel, rank + num_std_devs * fixed)
+        """Convenience pair form of the reference bound law, clamped to
+        [0, 1] for coverage contracts (the raw reference values — which
+        can leave [0, 1] at extreme ranks — are get_rank_lower_bound /
+        get_rank_upper_bound)."""
+        lb = self.get_rank_lower_bound(rank, num_std_devs)
+        ub = self.get_rank_upper_bound(rank, num_std_devs)
         return max(lb, 0.0), min(ub, 1.0)
 
     # -- serde to Spark row -----------------------------------------------------

@@ -533,6 +533,26 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             dtype="float64",
         )
 
+    # req rank confidence bounds (req_sketch_impl.hpp:285-330)
+    def _req_rank_bound(blobs, ranks, stds, lower: bool) -> pd.Series:
+        out = []
+        for b, r, s in zip(blobs, ranks, stds):
+            if b is None:
+                out.append(_NAN)
+                continue
+            sk = deserialize_req(bytes(b))
+            out.append(
+                sk.get_rank_lower_bound(float(r), int(s))
+                if lower
+                else sk.get_rank_upper_bound(float(r), int(s))
+            )
+        return pd.Series(out, dtype="float64")
+
+    req_rank_lb = pandas_udf(
+        lambda b, r, s: _req_rank_bound(b, r, s, True), "double")
+    req_rank_ub = pandas_udf(
+        lambda b, r, s: _req_rank_bound(b, r, s, False), "double")
+
     # -- classic quantiles (family 8; quantiles_sketch.hpp) ---------------
     from .functions.classicserde import deserialize_classic
 
@@ -767,6 +787,8 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
         "tdigest_merge": tdigest_merge_agg,
         "req_quantile": req_quantile,
         "req_rank": req_rank,
+        "req_rank_lower_bound": req_rank_lb,
+        "req_rank_upper_bound": req_rank_ub,
         "classic_quantile": classic_quantile,
         "classic_rank": classic_rank,
         "classic_pmf": classic_pmf,
