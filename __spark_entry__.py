@@ -1811,6 +1811,74 @@ def _planted_scaled_rows():
     return rows, truth
 
 
+def _planted_cropped_rows():
+    """Planted letterbox/pad corpus: 64×64 originals + noisy copies
+    embedded in uniform bars (letterbox) or a solid margin (pad-all).
+    The content-box pHash (sigkernel.content_boxes +
+    phash64_box_batch) trims the bars and hashes the same pixels, so
+    dedup_images(crop_invariant=True) must cluster every padded copy
+    with its original; the plain stored pHash is ~30 bits away
+    (tests/test_crop_invariant_phash.py pins that contrast)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rng = np.random.default_rng(9119)
+    rows, truth = [], {}
+    for i in range(12):
+        small = np.random.default_rng(700 + i).integers(
+            0, 256, (8, 8, 3), np.uint8
+        )
+        px = np.repeat(np.repeat(small, 8, axis=0), 8, axis=1)
+        iid = f"cr_orig{i:02d}"
+        rows.append(
+            (iid, bytearray(px.tobytes()), 64, 64, "raw",
+             f"caption crop original {i}",
+             int(np.int64(np.uint64(phash64(px.reshape(-1), 64, 64)))))
+        )
+        truth[iid] = iid
+        noisy = np.clip(
+            px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+        ).astype(np.uint8)
+        if i % 2:  # letterbox: 16-row bars top and bottom
+            t = np.full((96, 64, 3), 17, np.uint8)
+            t[16:80] = noisy
+        else:  # pad-all-around: 12-px solid margin
+            t = np.full((88, 88, 3), 40 + i, np.uint8)
+            t[12:76, 12:76] = noisy
+        t = np.ascontiguousarray(t)
+        h2, w2 = t.shape[0], t.shape[1]
+        tid = f"cr_pad{i:02d}"
+        flat = t.reshape(-1)
+        rows.append(
+            (tid, bytearray(flat.tobytes()), w2, h2, "raw",
+             f"caption crop padded {i}",
+             int(np.int64(np.uint64(phash64(flat, w2, h2)))))
+        )
+        truth[tid] = iid
+    return rows, truth
+
+
+def q_cropped_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox/pad-invariant image dedup: copies embedded in uniform
+    bars or solid margins cluster with their originals through the
+    content-box pHash lane (dedup_images crop_invariant=True —
+    imagededup.with_content_phash: one narrow decode pass, vectorized
+    autocrop + integral-image box hash, no extra shuffle). Oracle =
+    planted truth."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_cropped_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("phash",), crop_invariant=True)
+    return res["assignments"]
+
+
 def q_scaled_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolution-invariant image dedup: 2× thumbnails cluster with their
     originals through the STANDARD pHash lane (no flag) because the
@@ -1969,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_planted": q_image_quality_planted,
         "rotated_dedup_planted": q_rotated_dedup_planted,
         "scaled_dedup_planted": q_scaled_dedup_planted,
+        "cropped_dedup_planted": q_cropped_dedup_planted,
     }
 
 
@@ -2443,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rotated_dedup_planted": _planted_truth_sql(_planted_rotated_rows()[1]),
         "scaled_dedup_planted": _planted_truth_sql(_planted_scaled_rows()[1]),
+        "cropped_dedup_planted": _planted_truth_sql(_planted_cropped_rows()[1]),
         "image_quality_planted": (
             "SELECT * FROM (VALUES "
             + ", ".join(

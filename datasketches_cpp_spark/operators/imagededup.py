@@ -109,6 +109,52 @@ def with_phash_orbit(
     )
 
 
+def with_content_phash(
+    images: DataFrame,
+    id_col: str = "image_id",
+    tol: float = 3.0,
+) -> DataFrame:
+    """(id, bytes, w, h, fmt) → (id, phash) where phash is the corpus
+    block-mean hash of each image's CONTENT BOX — uniform borders
+    (letterbox bars, pillarbox padding, solid margins) auto-trimmed by
+    sigkernel.content_boxes before hashing. Feeding this projection to
+    the standard pHash lane makes dedup border/pad-invariant: a
+    letterboxed or padded copy hashes identically to its original
+    (sigkernel.phash64_box_batch is bit-exact vs the full-frame hash on
+    the trimmed window), while the plain stored pHash lands ~30 bits
+    away (test_crop_invariant_phash pins the contrast).
+
+    Spark shape: ONE narrow mapInPandas over (bytes, w, h, fmt) —
+    decode batched per uniform shape group, boxes + box-hashes fully
+    vectorized (one integral image per batch), output 16 bytes/row.
+    No shuffle, no join; the projection plugs into phash_pairs exactly
+    like the raw table."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import _decode_block, _shape_groups
+    from .sigkernel import content_boxes, gray_sum_batch, phash64_box_batch
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for idx, w, h, fmt in _shape_groups(pdf):
+                px = _decode_block(pdf["bytes"].iloc[idx].tolist(), w, h, fmt)
+                gray = gray_sum_batch(px, w, h)
+                ph = phash64_box_batch(gray, content_boxes(gray, tol=tol))
+                yield pd.DataFrame(
+                    {
+                        "image_id": pdf[id_col].iloc[idx].to_numpy(),
+                        "phash": ph.view(np.int64),
+                    }
+                )
+
+    return images.select(
+        F.col(id_col).alias(id_col), "bytes", "w", "h", "fmt"
+    ).mapInPandas(run, "image_id string, phash long")
+
+
 def phash_pairs(
     images: DataFrame,
     cfg: SigConfig,
@@ -166,6 +212,7 @@ def dedup_images(
     profile: dict | None = None,
     hot_policy: str = "chain_hub",
     rotation_invariant: bool = False,
+    crop_invariant: bool = False,
 ) -> dict:
     """Full multi-lane dedup. Returns dict with 'assignments', 'edges',
     per-lane pair DataFrames, and the two signature tables.
@@ -226,9 +273,15 @@ def dedup_images(
         edge_parts.append(byt_ver.select("a", "b"))
 
     if "phash" in enable_lanes:
+        # crop_invariant: re-hash each image's auto-trimmed content box so
+        # letterboxed/padded copies hash like their originals (one narrow
+        # decode pass, see with_content_phash); composes with
+        # rotation_invariant (orbit of the content hash — a rotated padded
+        # copy's content box rotates with it, so the same D4 law applies).
+        ph_src = with_content_phash(images) if crop_invariant else images
         # rotation_invariant: band the full D4 orbit so rotated/mirrored
         # copies meet under their aligning transform (see with_phash_orbit)
-        ph_src = with_phash_orbit(images) if rotation_invariant else images
+        ph_src = with_phash_orbit(ph_src) if rotation_invariant else ph_src
         ph_ver = _bar("phash_pairs", phash_pairs(ph_src, cfg, max_pairs_group=max_pairs_group, hot_policy=hot_policy))
         out["phash_pairs"] = ph_ver
         edge_parts.append(ph_ver.select("a", "b"))

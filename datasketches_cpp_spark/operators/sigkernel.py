@@ -409,6 +409,91 @@ def phash_dihedral_orbit(phashes: np.ndarray) -> np.ndarray:
     return np.stack(cands, axis=1)
 
 
+def gray_sum_batch(pixels: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(m, 3*w*h) uint8 RGB → (m, h, w) int64 channel-SUM grayscale.
+
+    Sum (not mean) keeps the arithmetic integer-exact through the
+    integral-image path in ``phash64_box_batch`` — and scaling every
+    value by 3 changes neither block-mean vs median comparisons nor
+    border-color deviation tests, so the hashes and boxes are identical
+    to what the corpus mean-gray would give."""
+    m = pixels.shape[0]
+    return pixels.reshape(m, h, w, 3).sum(axis=3, dtype=np.int64)
+
+
+def content_boxes(gray: np.ndarray, tol: float = 3.0) -> np.ndarray:
+    """Vectorized autocrop: (m, h, w) channel-sum grayscale → (m, 4) int64
+    boxes (y0, y1, x0, x1) bounding each image's CONTENT after trimming
+    uniform borders (letterbox bars, pillarbox padding, solid margins).
+
+    Semantics follow the classic border-trim (ImageMagick ``-trim``): a
+    row/column is padding iff every pixel in it is within ``tol``
+    (per-channel 0-255 units) of the nearest corner's color; trimming is
+    contiguous from each edge inward, so a uniform region INSIDE the
+    content (sky, walls) is never cut. Top/left trim against the
+    top-left corner color, bottom/right against the bottom-right — the
+    common letterbox/pillarbox/pad cases have one bar color, mixed-color
+    bars still trim per-edge. Degenerate guards: an all-uniform image,
+    or a trim that leaves less than an 8×8 content box, falls back to
+    the full frame (the plain corpus pHash). One pass, no Python loop:
+    two broadcast |g - corner| deviations, four argmax scans."""
+    m, h, w = gray.shape
+    t3 = 3.0 * float(tol)  # channel-sum units
+    d_tl = np.abs(gray - gray[:, :1, :1])  # (m, h, w) deviation vs top-left
+    d_br = np.abs(gray - gray[:, -1:, -1:])
+    row_act_tl = d_tl.max(axis=2) > t3  # (m, h) row has content vs TL color
+    row_act_br = d_br.max(axis=2) > t3
+    col_act_tl = d_tl.max(axis=1) > t3  # (m, w)
+    col_act_br = d_br.max(axis=1) > t3
+    y0 = row_act_tl.argmax(axis=1).astype(np.int64)
+    y1 = (h - row_act_br[:, ::-1].argmax(axis=1)).astype(np.int64)
+    x0 = col_act_tl.argmax(axis=1).astype(np.int64)
+    x1 = (w - col_act_br[:, ::-1].argmax(axis=1)).astype(np.int64)
+    bad = (
+        ~row_act_tl.any(axis=1)
+        | ~row_act_br.any(axis=1)
+        | ~col_act_tl.any(axis=1)
+        | ~col_act_br.any(axis=1)
+        | ((y1 - y0) < 8)
+        | ((x1 - x0) < 8)
+    )
+    y0[bad] = 0
+    y1[bad] = h
+    x0[bad] = 0
+    x1[bad] = w
+    return np.stack([y0, y1, x0, x1], axis=1)
+
+
+def phash64_box_batch(gray: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """(m, h, w) channel-sum grayscale + (m, 4) boxes → (m,) uint64: the
+    corpus block-mean pHash (sources/images.phash64_batch bit law: 8×8
+    block means, bit i set iff block i's mean > the 64-block median,
+    little-endian packbits) computed over each image's box.
+
+    Varying per-image boxes stay fully vectorized through ONE shared
+    integral image: block boundaries are the 9 evenly-spaced integer
+    cuts of each box, block sums come from a fancy-indexed (m, 9, 9)
+    gather + 2D difference, means divide by the per-block area. Integer
+    channel-sum input keeps every cumsum/difference exact (≤ 2^53), so
+    for a full-frame box with h, w multiples of 8 the result is
+    bit-identical to phash64_batch."""
+    m, h, w = gray.shape
+    S = np.zeros((m, h + 1, w + 1), dtype=np.float64)
+    S[:, 1:, 1:] = gray.cumsum(axis=1).cumsum(axis=2)
+    y0, y1, x0, x1 = (boxes[:, i].astype(np.int64) for i in range(4))
+    i9 = np.arange(9, dtype=np.int64)
+    ry = y0[:, None] + (i9[None, :] * (y1 - y0)[:, None]) // 8  # (m, 9)
+    rx = x0[:, None] + (i9[None, :] * (x1 - x0)[:, None]) // 8
+    G = S[np.arange(m)[:, None, None], ry[:, :, None], rx[:, None, :]]
+    sums = G[:, 1:, 1:] - G[:, :-1, 1:] - G[:, 1:, :-1] + G[:, :-1, :-1]
+    hh = (ry[:, 1:] - ry[:, :-1])[:, :, None].astype(np.float64)
+    ww = (rx[:, 1:] - rx[:, :-1])[:, None, :].astype(np.float64)
+    flat = (sums / (hh * ww)).reshape(m, 64)
+    med = np.median(flat, axis=1, keepdims=True)
+    bits = (flat > med).astype(np.uint8)
+    return np.packbits(bits, axis=1, bitorder="little").view("<u8").ravel()
+
+
 def phash_band_hashes(phashes: np.ndarray, num_bands: int = 8) -> np.ndarray:
     """Multi-index blocking for 64-bit pHash: split into ``num_bands``
     equal bit-slices; two hashes within hamming distance < num_bands share
