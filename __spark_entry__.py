@@ -1879,6 +1879,130 @@ def q_cropped_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["assignments"]
 
 
+def _planted_jpeg_rows():
+    """Planted recompression corpus: 64×64 raw originals + genuinely
+    lossy JPEG quality-75 re-encodes of noisy copies (measured PSNR
+    ≈ 27 dB — real quantization loss, not a near-lossless pass). The
+    block-mean pHash moves ≤ 2 bits under that loss, so the pHash lane
+    must cluster each re-encode with its original. The query runs
+    crop_invariant=True, which re-hashes from DECODED bytes — i.e. the
+    pure-numpy ITU T.81 JPEG decoder (operators/jpegcodec.py) runs
+    executor-side inside the distributed lane, not just at plant
+    time."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rows, truth = [], {}
+    for i in range(12):
+        r = np.random.default_rng(810 + i)
+        small = r.integers(0, 256, (16, 16, 3), np.uint8)
+        px = np.repeat(np.repeat(small, 4, axis=0), 4, axis=1)
+        px = np.clip(
+            px.astype(np.int16) + r.integers(-6, 7, px.shape), 0, 255
+        ).astype(np.uint8)
+        flat = np.ascontiguousarray(px).reshape(-1)
+        iid = f"jp_orig{i:02d}"
+        rows.append(
+            (iid, bytearray(flat.tobytes()), 64, 64, "raw",
+             f"caption jpeg original {i}",
+             int(np.int64(np.uint64(phash64(flat, 64, 64)))))
+        )
+        truth[iid] = iid
+        buf = encode_jpeg(flat, 64, 64, quality=75)
+        dec, _, _ = decode_jpeg(buf)  # stored phash = post-decode truth
+        tid = f"jp_re{i:02d}"
+        rows.append(
+            (tid, bytearray(buf), 64, 64, "jpg",
+             f"caption jpeg recompressed {i}",
+             int(np.int64(np.uint64(phash64(dec.reshape(-1), 64, 64)))))
+        )
+        truth[tid] = iid
+    return rows, truth
+
+
+def q_jpeg_recompress_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-recompression-robust image dedup: quality-75 re-encodes
+    (PSNR ≈ 27 dB, real quantization loss) cluster with their raw
+    originals. crop_invariant=True makes the lane hash from decoded
+    bytes, so the pure-numpy JPEG decoder runs inside the distributed
+    pHash lane. Oracle = planted truth."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_jpeg_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("phash",), crop_invariant=True)
+    return res["assignments"]
+
+
+def _planted_watermark_rows():
+    """Planted watermark corpus: originals + noisy copies with a bright
+    8×8 block-aligned logo stamped in a corner. The overlay perturbs
+    one cell of the 8×8 block-mean grid (plus possible median wobble),
+    moving the pHash ≤ 2 bits — well inside the lane's verification
+    radius — so the STANDARD pHash lane must cluster watermarked copies
+    with their originals (no flag)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rng = np.random.default_rng(6161)
+    rows, truth = [], {}
+    for i in range(12):
+        small = np.random.default_rng(820 + i).integers(
+            0, 256, (8, 8, 3), np.uint8
+        )
+        px = np.repeat(np.repeat(small, 8, axis=0), 8, axis=1)
+        iid = f"wm_orig{i:02d}"
+        rows.append(
+            (iid, bytearray(px.tobytes()), 64, 64, "raw",
+             f"caption watermark original {i}",
+             int(np.int64(np.uint64(phash64(px.reshape(-1), 64, 64)))))
+        )
+        truth[iid] = iid
+        wm = np.clip(
+            px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+        ).astype(np.uint8)
+        y, x = (48, 48) if i % 2 else (0, 48)
+        wm[y : y + 8, x : x + 8, :] = 255  # the overlay "logo"
+        flat = np.ascontiguousarray(wm).reshape(-1)
+        tid = f"wm_stamp{i:02d}"  # sorts after wm_orig → orig stays canonical
+        rows.append(
+            (tid, bytearray(flat.tobytes()), 64, 64, "raw",
+             f"caption watermark stamped {i}",
+             int(np.int64(np.uint64(phash64(flat, 64, 64)))))
+        )
+        truth[tid] = iid
+    return rows, truth
+
+
+def q_watermarked_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-overlay-robust image dedup: copies with a small bright
+    corner logo cluster with their originals through the STANDARD
+    pHash lane (the overlay moves ≤ 2 of 64 hash bits, within the
+    verification radius). Oracle = planted truth."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_watermark_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("phash",))
+    return res["assignments"]
+
+
 def q_scaled_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolution-invariant image dedup: 2× thumbnails cluster with their
     originals through the STANDARD pHash lane (no flag) because the
@@ -2038,6 +2162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotated_dedup_planted": q_rotated_dedup_planted,
         "scaled_dedup_planted": q_scaled_dedup_planted,
         "cropped_dedup_planted": q_cropped_dedup_planted,
+        "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
+        "watermarked_dedup_planted": q_watermarked_dedup_planted,
     }
 
 
@@ -2513,6 +2639,8 @@ def oracle_sql() -> dict[str, str]:
         "rotated_dedup_planted": _planted_truth_sql(_planted_rotated_rows()[1]),
         "scaled_dedup_planted": _planted_truth_sql(_planted_scaled_rows()[1]),
         "cropped_dedup_planted": _planted_truth_sql(_planted_cropped_rows()[1]),
+        "jpeg_recompress_dedup_planted": _planted_truth_sql(_planted_jpeg_rows()[1]),
+        "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
         "image_quality_planted": (
             "SELECT * FROM (VALUES "
             + ", ".join(
