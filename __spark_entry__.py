@@ -2003,6 +2003,80 @@ def q_watermarked_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["assignments"]
 
 
+def _planted_multilane_rows():
+    """Planted precision-fusion corpus for edge_policy=2 over the
+    caption + phash lanes: true dups (noisy image copy + identical
+    caption — BOTH lanes confirm → merge), recaptioned copies (same
+    image, new caption — phash only → stay distinct), caption twins
+    (same caption, different image — caption only → stay distinct).
+    Under the default "any" policy all three kinds merge; the planted
+    truth encodes the PRECISION answer (tests/test_edge_policy.py pins
+    the any-vs-2 contrast)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    def img(seed):
+        small = np.random.default_rng(seed).integers(0, 256, (8, 8, 3), np.uint8)
+        return np.repeat(np.repeat(small, 8, axis=0), 8, axis=1)
+
+    def caption(seed, n=12):
+        r = np.random.default_rng(seed)
+        return " ".join(f"tok{v:05d}" for v in r.integers(0, 9000, n))
+
+    def row(iid, px, cap):
+        flat = np.ascontiguousarray(px).reshape(-1)
+        return (iid, bytearray(flat.tobytes()), 64, 64, "raw", cap,
+                int(np.int64(np.uint64(phash64(flat, 64, 64)))))
+
+    rng = np.random.default_rng(2468)
+    rows, truth = [], {}
+    for i in range(8):  # true dups: merge
+        px, cap = img(5000 + i), caption(6000 + i)
+        a, b = f"ml_td_a{i:02d}", f"ml_td_b{i:02d}"
+        noisy = np.clip(
+            px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+        ).astype(np.uint8)
+        rows += [row(a, px, cap), row(b, noisy, cap)]
+        truth[a] = a
+        truth[b] = a
+    for i in range(8):  # recaptioned: distinct
+        px = img(5100 + i)
+        a, b = f"ml_rc_a{i:02d}", f"ml_rc_b{i:02d}"
+        noisy = np.clip(
+            px.astype(np.int16) + rng.integers(-1, 2, px.shape), 0, 255
+        ).astype(np.uint8)
+        rows += [row(a, px, caption(6100 + i)), row(b, noisy, caption(6200 + i))]
+        truth[a] = a
+        truth[b] = b
+    for i in range(8):  # caption twins: distinct
+        cap = caption(6300 + i)
+        a, b = f"ml_ct_a{i:02d}", f"ml_ct_b{i:02d}"
+        rows += [row(a, img(5200 + i), cap), row(b, img(5300 + i), cap)]
+        truth[a] = a
+        truth[b] = b
+    return rows, truth
+
+
+def q_multilane_precision_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-fusion dedup precision (dedup_images edge_policy=2): a pair
+    collapses only when BOTH the caption and pHash lanes confirm it —
+    "same image AND same caption". Recaptioned copies of the same
+    picture and re-illustrated copies of the same caption stay distinct
+    training samples. Oracle = planted truth."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_multilane_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("caption", "phash"), edge_policy=2)
+    return res["assignments"]
+
+
 def q_scaled_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolution-invariant image dedup: 2× thumbnails cluster with their
     originals through the STANDARD pHash lane (no flag) because the
@@ -2164,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cropped_dedup_planted": q_cropped_dedup_planted,
         "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
         "watermarked_dedup_planted": q_watermarked_dedup_planted,
+        "multilane_precision_planted": q_multilane_precision_planted,
     }
 
 
@@ -2641,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "cropped_dedup_planted": _planted_truth_sql(_planted_cropped_rows()[1]),
         "jpeg_recompress_dedup_planted": _planted_truth_sql(_planted_jpeg_rows()[1]),
         "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
+        "multilane_precision_planted": _planted_truth_sql(_planted_multilane_rows()[1]),
         "image_quality_planted": (
             "SELECT * FROM (VALUES "
             + ", ".join(

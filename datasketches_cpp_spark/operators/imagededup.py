@@ -2,7 +2,9 @@
 image+caption table (BASELINE.json north_star / input_hint shape
 ``(image_id, bytes, w, h, fmt, caption, phash)``).
 
-Four candidate lanes, OR-fused (SURVEY.md §2B S7), one clustering pass:
+Four candidate lanes, OR-fused by default (SURVEY.md §2B S7; see
+``dedup_images(edge_policy=...)`` for AND/k-of-n precision fusion), one
+clustering pass:
 
   caption lane   MinHash(token shingles) → LSH bands → jaccard/simhash verify
   bytes lane     MinHash(byte shingles of pixel payload) → LSH → jaccard
@@ -213,9 +215,21 @@ def dedup_images(
     hot_policy: str = "chain_hub",
     rotation_invariant: bool = False,
     crop_invariant: bool = False,
+    edge_policy: str | int = "any",
 ) -> dict:
     """Full multi-lane dedup. Returns dict with 'assignments', 'edges',
     per-lane pair DataFrames, and the two signature tables.
+
+    ``edge_policy``: ``"any"`` (default — a pair found by ANY lane is an
+    edge, the recall-first OR fusion), ``"all"`` (a pair must be found
+    by EVERY enabled lane), or an int k (at least k distinct lanes).
+    The precision policies answer the curation question "same image AND
+    same caption" — e.g. a re-captioned copy of the same picture stays
+    a distinct training sample under ``edge_policy=2`` with the caption
+    + phash lanes, while true byte/near duplicates still collapse.
+    Cost: one groupBy over the PAIR set (tiny next to the corpus
+    shuffles) counting distinct confirming lanes per pair; ``"any"``
+    keeps the zero-extra-shuffle raw-union path.
 
     ``profile``: optional dict to fill with per-phase wall times — each
     phase gets an EAGER materialization barrier (diagnosis only; the
@@ -257,7 +271,7 @@ def dedup_images(
         cap_ver = _bar("caption_pairs", cap_ver)
         out["caption_sig"] = cap_sig
         out["caption_pairs"] = cap_ver
-        edge_parts.append(cap_ver.select("a", "b"))
+        edge_parts.append(("caption", cap_ver.select("a", "b")))
 
     if "bytes" in enable_lanes:
         byt_sig = compute_signatures(
@@ -270,7 +284,7 @@ def dedup_images(
         byt_ver = _bar("bytes_pairs", byt_ver)
         out["bytes_sig"] = byt_sig
         out["bytes_pairs"] = byt_ver
-        edge_parts.append(byt_ver.select("a", "b"))
+        edge_parts.append(("bytes", byt_ver.select("a", "b")))
 
     if "phash" in enable_lanes:
         # crop_invariant: re-hash each image's auto-trimmed content box so
@@ -284,20 +298,41 @@ def dedup_images(
         ph_src = with_phash_orbit(ph_src) if rotation_invariant else ph_src
         ph_ver = _bar("phash_pairs", phash_pairs(ph_src, cfg, max_pairs_group=max_pairs_group, hot_policy=hot_policy))
         out["phash_pairs"] = ph_ver
-        edge_parts.append(ph_ver.select("a", "b"))
+        edge_parts.append(("phash", ph_ver.select("a", "b")))
 
     if "substring" in enable_lanes:
         sub = _bar("substring_pairs", substring_pairs(images, "image_id", "caption", cfg))
         out["substring_pairs"] = sub
-        edge_parts.append(sub)
+        edge_parts.append(("substring", sub))
 
-    raw_edges = edge_parts[0]
-    for e in edge_parts[1:]:
-        raw_edges = raw_edges.union(e)
-    # the exposed edge table is deduped; the clustering path takes the RAW
-    # union — CC's _canonical() distinct already dedups, so a dropDuplicates
-    # here would be a second full shuffle of the pair set for nothing
-    edges = raw_edges.dropDuplicates(["a", "b"])
+    min_lanes = (
+        1 if edge_policy == "any"
+        else len(edge_parts) if edge_policy == "all"
+        else int(edge_policy)
+    )
+    if min_lanes <= 1:
+        raw_edges = edge_parts[0][1]
+        for _, e in edge_parts[1:]:
+            raw_edges = raw_edges.union(e)
+        # the exposed edge table is deduped; the clustering path takes the
+        # RAW union — CC's _canonical() distinct already dedups, so a
+        # dropDuplicates here would be a second full shuffle of the pair
+        # set for nothing
+        edges = raw_edges.dropDuplicates(["a", "b"])
+    else:
+        # precision fusion: one groupBy over the pair set counting the
+        # distinct lanes confirming each pair (a lane emits a pair at most
+        # once, so count(*) == countDistinct(lane) but cheaper)
+        tagged = edge_parts[0][1].withColumn("lane", F.lit(edge_parts[0][0]))
+        for name, e in edge_parts[1:]:
+            tagged = tagged.union(e.withColumn("lane", F.lit(name)))
+        edges = (
+            tagged.groupBy("a", "b")
+            .agg(F.count_distinct("lane").alias("nlanes"))
+            .where(F.col("nlanes") >= min_lanes)
+            .select("a", "b")
+        )
+        raw_edges = edges
     edges = _bar("edges", edges)
     out["edges"] = edges
     t_cc = _time.time()
