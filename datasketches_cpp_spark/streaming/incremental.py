@@ -70,6 +70,8 @@ class IncrementalDeduper:
         max_fanout: int = 64,
         enable_lanes: tuple = ("caption", "bytes", "phash"),
         num_buckets: int = 64,
+        rotation_invariant: bool = False,
+        crop_invariant: bool = False,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -82,6 +84,11 @@ class IncrementalDeduper:
         self.max_fanout = max_fanout
         self.enable_lanes = enable_lanes
         self.num_buckets = num_buckets
+        # streaming twins of the batch lane's invariance flags; like cfg,
+        # they shape the phash_keys store contents, so they must stay
+        # constant for the lifetime of a state_dir
+        self.rotation_invariant = rotation_invariant
+        self.crop_invariant = crop_invariant
         # All store bookkeeping (epoch manifests, compaction swaps, done
         # markers) routes through the Hadoop FileSystem facade, so state_dir
         # may be any URI with a registered FileSystem — same contract as
@@ -342,7 +349,11 @@ class IncrementalDeduper:
         accumulated (bucketed, pre-exploded) pHash key store with partition
         pruning; verify with bit_count. Keys are materialized once at
         ingest — the store is never re-exploded on probe."""
-        from ..operators.imagededup import phash_combo_keys_expr
+        from ..operators.imagededup import (
+            phash_combo_keys_expr,
+            with_content_phash,
+            with_phash_orbit,
+        )
 
         def keys(df: DataFrame, idc: str) -> DataFrame:
             arr = phash_combo_keys_expr("phash", self.cfg)
@@ -351,7 +362,16 @@ class IncrementalDeduper:
                 F.posexplode(arr).alias("band_idx", "band_hash"),
             )
 
-        new_k = keys(batch_df.select("image_id", "phash"), "new_id")
+        # same invariance ladder as the batch lane (imagededup.dedup_images):
+        # content-box hash first (needs bytes/w/h/fmt on the stream), then
+        # D4 orbit explosion — the key store simply holds the transformed
+        # (id, phash) rows, so probes match under the same laws as batch
+        src = batch_df.select("image_id", "phash")
+        if self.crop_invariant:
+            src = with_content_phash(batch_df)
+        if self.rotation_invariant:
+            src = with_phash_orbit(src)
+        new_k = keys(src, "new_id")
         self._write_epoch_bucketed(
             "phash_keys",
             new_k.select(F.col("new_id").alias("id"),
