@@ -375,12 +375,26 @@ def _encode_gif(pixels, w, h):
     return encode_gif(pixels, w, h)
 
 
+def _decode_tiff(buf):
+    from .tiffcodec import decode_tiff
+
+    return decode_tiff(buf)
+
+
+def _encode_tiff(pixels, w, h):
+    # default LZW + horizontal predictor — lossless for arbitrary RGB
+    from .tiffcodec import encode_tiff
+
+    return encode_tiff(pixels, w, h)
+
+
 _ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp,
              "dct": encode_dct, "jpg": _encode_jpeg_gate,
-             "jpeg": _encode_jpeg_gate, "gif": _encode_gif}
+             "jpeg": _encode_jpeg_gate, "gif": _encode_gif,
+             "tif": _encode_tiff, "tiff": _encode_tiff}
 _DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp,
              "dct": decode_dct, "jpg": _decode_jpeg, "jpeg": _decode_jpeg,
-             "gif": _decode_gif}
+             "gif": _decode_gif, "tif": _decode_tiff, "tiff": _decode_tiff}
 
 LOSSY_FORMATS = ("dct", "jpg", "jpeg")
 # Indexed-color formats: EXACT (decode∘encode == id) for images with at
@@ -388,6 +402,9 @@ LOSSY_FORMATS = ("dct", "jpg", "jpeg")
 # silent quantization. Excluded from the 'mixed' rotation because the
 # synthetic noise corpus exceeds any palette.
 PALETTE_FORMATS = ("gif",)
+# Pure aliases ('tif' == 'tiff', as 'jpg' == 'jpeg') — decodable like any
+# registered name but excluded from rotations so no format is counted twice.
+_ALIAS_FORMATS = ("tif",)
 SUPPORTED_FORMATS = ("raw",) + tuple(sorted(_ENCODERS))
 # Formats whose decode(encode(x)) == x exactly for ARBITRARY RGB input —
 # the only ones eligible for the 'mixed' corpus rotation (its contract is
@@ -396,7 +413,8 @@ SUPPORTED_FORMATS = ("raw",) + tuple(sorted(_ENCODERS))
 # lane is exact but refuses >256-color images, so it cannot rotate over
 # the noise corpus either.
 LOSSLESS_FORMATS = ("raw",) + tuple(
-    sorted(set(_ENCODERS) - set(LOSSY_FORMATS) - set(PALETTE_FORMATS))
+    sorted(set(_ENCODERS) - set(LOSSY_FORMATS) - set(PALETTE_FORMATS)
+           - set(_ALIAS_FORMATS))
 )
 
 
