@@ -1944,6 +1944,63 @@ def q_jpeg_recompress_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFra
     return res["assignments"]
 
 
+def _planted_crossformat_rows():
+    """Planted cross-codec corpus: each base image stored SIX ways —
+    raw plus the five lossless codecs (png, bmp, ppm, tiff, gif) — with
+    distinct captions, so only the pixel lane can cluster them. Pixels
+    are drawn from a 64-color palette so the GIF's exact-palette
+    contract holds; TIFF uses the default LZW + horizontal predictor
+    path. The query runs crop_invariant=True, which re-hashes from
+    DECODED bytes: all five pure-numpy decoders (imagecodec.decode
+    dispatch incl. operators/tiffcodec.py, round 4) run executor-side
+    inside the distributed pHash lane, and decode-identity makes every
+    variant hash-equal to its raw original."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.imagecodec import encode
+    from datasketches_cpp_spark.sources.images import phash64
+
+    formats = ("raw", "png", "bmp", "ppm", "tiff", "gif")
+    rows, truth = [], {}
+    for i in range(10):
+        r = np.random.default_rng(8800 + i)
+        palette = r.integers(0, 256, (64, 3), np.int64).astype(np.uint8)
+        idx = r.integers(0, 64, 32 * 32)
+        flat = np.ascontiguousarray(palette[idx]).reshape(-1)
+        ph = int(np.int64(np.uint64(phash64(flat, 32, 32))))
+        cid = f"xf{i:02d}a"
+        for j, fmt in enumerate(formats):
+            iid = f"xf{i:02d}{chr(ord('a') + j)}"
+            payload = (
+                flat.tobytes() if fmt == "raw" else encode(flat, 32, 32, fmt)
+            )
+            rows.append(
+                (iid, bytearray(payload), 32, 32, fmt,
+                 f"caption crossformat {i} {fmt}", ph)
+            )
+            truth[iid] = cid
+    return rows, truth
+
+
+def q_crossformat_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-invariant image dedup: the same pixels stored as raw /
+    png / bmp / ppm / tiff / gif cluster together through the pHash
+    lane with crop_invariant=True (hashes recomputed from decoded
+    bytes, so all five pure-numpy codecs run inside the distributed
+    lane). Oracle = planted truth."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_crossformat_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("phash",), crop_invariant=True)
+    return res["assignments"]
+
+
 def _planted_watermark_rows():
     """Planted watermark corpus: originals + noisy copies with a bright
     8×8 block-aligned logo stamped in a corner. The overlay perturbs
@@ -2237,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scaled_dedup_planted": q_scaled_dedup_planted,
         "cropped_dedup_planted": q_cropped_dedup_planted,
         "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
+        "crossformat_dedup_planted": q_crossformat_dedup_planted,
         "watermarked_dedup_planted": q_watermarked_dedup_planted,
         "multilane_precision_planted": q_multilane_precision_planted,
     }
@@ -2715,6 +2773,9 @@ def oracle_sql() -> dict[str, str]:
         "scaled_dedup_planted": _planted_truth_sql(_planted_scaled_rows()[1]),
         "cropped_dedup_planted": _planted_truth_sql(_planted_cropped_rows()[1]),
         "jpeg_recompress_dedup_planted": _planted_truth_sql(_planted_jpeg_rows()[1]),
+        "crossformat_dedup_planted": _planted_truth_sql(
+            _planted_crossformat_rows()[1]
+        ),
         "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
         "multilane_precision_planted": _planted_truth_sql(_planted_multilane_rows()[1]),
         "image_quality_planted": (
