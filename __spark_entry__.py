@@ -2001,6 +2001,56 @@ def q_crossformat_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["assignments"]
 
 
+def q_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard ingest (sources/tarshards.py): the
+    deterministic mixed-codec corpus is written as tar shards
+    (<key>.<fmt> + <key>.txt members, raw dims via .json sidecar), read
+    back through binaryFile + one mapInPandas (format magic-byte
+    validation, header-only dims, batched pHash recompute), and the
+    metadata columns are returned. Oracle = the same corpus straight
+    from the generator: ingest must be a pure re-representation —
+    including hash-identical pHashes recomputed from the decoded
+    payloads of all five lossless codecs (png/bmp/ppm/tiff/gif rotate
+    in 'mixed'). 120 rows — a bounded driver materialization by
+    construction."""
+    import shutil
+    import tempfile
+
+    from datasketches_cpp_spark.sources.tarshards import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    d = tempfile.mkdtemp(prefix="tar_ingest_oracle_")
+    try:
+        write_tar_shards(d, 120, seed=61, fmt="mixed", images_per_shard=48)
+        pdf = (
+            read_tar_shards(spark, d)
+            .select("image_id", "fmt", "caption", "phash")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(pdf.sort_values("image_id", ignore_index=True))
+
+
+def _tar_shard_ingest_oracle_sql() -> str:
+    from datasketches_cpp_spark.sources.images import generate_images
+
+    pdf, _ = generate_images(120, seed=61, fmt="mixed")
+    vals = ", ".join(
+        "('{}', '{}', '{}', CAST({} AS BIGINT))".format(
+            r.image_id, r.fmt, r.caption.replace("'", "''"), int(r.phash)
+        )
+        for r in pdf.itertuples(index=False)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(image_id, fmt, caption, phash)"
+    )
+
+
 def _planted_watermark_rows():
     """Planted watermark corpus: originals + noisy copies with a bright
     8×8 block-aligned logo stamped in a corner. The overlay perturbs
@@ -2295,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cropped_dedup_planted": q_cropped_dedup_planted,
         "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
+        "tar_shard_ingest": q_tar_shard_ingest,
         "watermarked_dedup_planted": q_watermarked_dedup_planted,
         "multilane_precision_planted": q_multilane_precision_planted,
     }
@@ -2776,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "crossformat_dedup_planted": _planted_truth_sql(
             _planted_crossformat_rows()[1]
         ),
+        "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
         "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
         "multilane_precision_planted": _planted_truth_sql(_planted_multilane_rows()[1]),
         "image_quality_planted": (

