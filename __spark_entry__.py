@@ -2001,6 +2001,63 @@ def q_crossformat_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["assignments"]
 
 
+def q_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact text dedup (operators/textnorm.py): every 5th
+    document gets a decorated twin (upper-cased, accent-injected via
+    translate, punctuation-wrapped); the canonical form (lower → accent
+    fold → punct strip → ws collapse, one codegen expression, ONE
+    shuffle with map-side partial agg) must group each twin with its
+    base. Oracle: the identical decoration + the DuckDB twin emitted
+    from the same constants (textnorm.sql_normalized_text)."""
+    from datasketches_cpp_spark.operators.textnorm import (
+        canonical_dedup_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("¡"),
+            F.translate(F.upper("text"), "AEO", "ÄÉÖ"),
+            F.lit("!!"),
+        ).alias("text"),
+    )
+    stats = canonical_dedup_stats(docs.unionAll(variants), "doc_id", "text")
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum((F.col("n_copies") >= 2).cast("long")).alias("n_multi"),
+        F.max("n_copies").alias("max_copies"),
+        F.sum(F.col("norm_len") * F.col("n_copies")).alias("norm_chars"),
+    )
+
+
+def _canonical_text_dedup_oracle_sql() -> str:
+    from datasketches_cpp_spark.operators.textnorm import sql_normalized_text
+
+    norm = sql_normalized_text("text")
+    return f"""
+        WITH allv AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   '¡' || translate(upper(text), 'AEO', 'ÄÉÖ') || '!!'
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        g AS (
+            SELECT {norm} AS norm, count(*) AS n_copies
+            FROM allv GROUP BY 1
+        )
+        SELECT count(*) AS n_groups,
+               CAST(sum(n_copies) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE n_copies >= 2) AS BIGINT)
+                   AS n_multi,
+               max(n_copies) AS max_copies,
+               CAST(sum(length(norm) * n_copies) AS BIGINT) AS norm_chars
+        FROM g
+    """
+
+
 def q_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard ingest (sources/tarshards.py): the
     deterministic mixed-codec corpus is written as tar shards
@@ -2346,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
         "tar_shard_ingest": q_tar_shard_ingest,
+        "canonical_text_dedup": q_canonical_text_dedup,
         "watermarked_dedup_planted": q_watermarked_dedup_planted,
         "multilane_precision_planted": q_multilane_precision_planted,
     }
@@ -2828,6 +2886,7 @@ def oracle_sql() -> dict[str, str]:
             _planted_crossformat_rows()[1]
         ),
         "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
+        "canonical_text_dedup": _canonical_text_dedup_oracle_sql(),
         "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
         "multilane_precision_planted": _planted_truth_sql(_planted_multilane_rows()[1]),
         "image_quality_planted": (
