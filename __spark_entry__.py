@@ -2001,6 +2001,50 @@ def q_crossformat_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["assignments"]
 
 
+def q_dedup_recall_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level recall per planted dup kind (operators/evaldedup.py —
+    counting identities, no pair materialization): the full multi-lane
+    pipeline at jaccard_threshold=0.55 recovers EVERY planted pair of
+    every kind on the 500-image seed-97 corpus, including the 24-member
+    transitive caption chain (C(24,2)=276 pairs through CC closure).
+    Oracle = truth pair counts derived straight from the generator's
+    ground-truth frame, claiming full recovery; any split cluster or
+    missed pair changes recovered_pairs and breaks the hash."""
+    from datasketches_cpp_spark.operators.evaldedup import recall_by_kind
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+    from datasketches_cpp_spark.sources.images import generate_images
+
+    pdf, truth_pdf = generate_images(500, seed=97)
+    res = dedup_images(
+        spark.createDataFrame(pdf), SigConfig(jaccard_threshold=0.55)
+    )
+    return recall_by_kind(
+        res["assignments"], spark.createDataFrame(truth_pdf)
+    ).select("dup_kind", "truth_pairs", "recovered_pairs")
+
+
+def _dedup_recall_oracle_sql() -> str:
+    from datasketches_cpp_spark.sources.images import generate_images
+
+    _, truth_pdf = generate_images(500, seed=97)
+    per_kind: dict[str, int] = {}
+    for _, grp in truth_pdf.groupby("dup_group"):
+        kinds = [k for k in grp["dup_kind"] if k != "unique"]
+        if not kinds:
+            continue
+        n = len(grp)
+        per_kind[min(kinds)] = per_kind.get(min(kinds), 0) + n * (n - 1) // 2
+    vals = ", ".join(
+        f"('{k}', CAST({v} AS BIGINT), CAST({v} AS BIGINT))"
+        for k, v in sorted(per_kind.items())
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(dup_kind, truth_pairs, recovered_pairs)"
+    )
+
+
 def q_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-exact text dedup (operators/textnorm.py): every 5th
     document gets a decorated twin (upper-cased, accent-injected via
@@ -2404,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
         "tar_shard_ingest": q_tar_shard_ingest,
         "canonical_text_dedup": q_canonical_text_dedup,
+        "dedup_recall_by_kind": q_dedup_recall_by_kind,
         "watermarked_dedup_planted": q_watermarked_dedup_planted,
         "multilane_precision_planted": q_multilane_precision_planted,
     }
@@ -2887,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
         "canonical_text_dedup": _canonical_text_dedup_oracle_sql(),
+        "dedup_recall_by_kind": _dedup_recall_oracle_sql(),
         "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
         "multilane_precision_planted": _planted_truth_sql(_planted_multilane_rows()[1]),
         "image_quality_planted": (
