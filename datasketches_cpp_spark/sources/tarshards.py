@@ -125,19 +125,21 @@ def _rows_from_shard(name: str, data: bytes) -> pd.DataFrame:
 
 def read_tar_shards(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     glob: str = "*.tar",
     max_shard_bytes: int = 2 << 30,
 ) -> DataFrame:
-    """Directory/glob of tar shards -> the canonical image+caption table
-    (image_id, bytes, w, h, fmt, caption, phash).  One task per shard;
-    see the module docstring for the scale model."""
+    """Directory/glob (or explicit shard-path list) of tar shards -> the
+    canonical image+caption table (image_id, bytes, w, h, fmt, caption,
+    phash).  One task per shard; see the module docstring for the scale
+    model."""
     from ..operators.multimodal import _decode_block, _shape_groups
     from .images import phash64_batch
 
-    shards = spark.read.format("binaryFile").option(
-        "pathGlobFilter", glob
-    ).load(path).select("path", "length", "content")
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    shards = (
+        reader.load(path) if isinstance(path, str) else reader.load(list(path))
+    ).select("path", "length", "content")
 
     def run(batches):
         for pdf in batches:
@@ -219,3 +221,94 @@ def write_tar_shards(
         os.path.join(out_dir, "images_truth.parquet"), index=False
     )
     return paths
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    shard_dir: str,
+    state_dir: str,
+    glob: str = "*.tar",
+    max_shard_bytes: int = 2 << 30,
+) -> dict:
+    """Continuous-crawl ingest: read ONLY shards not yet recorded in the
+    state manifest, append them as one parquet epoch under
+    ``state_dir/images/epoch=<k>``, and commit the manifest atomically.
+
+    Crash discipline mirrors plans/checkpoint.py: the epoch's parquet is
+    written FIRST (overwrite mode — the epoch id is derived from the
+    committed manifest, so a retry after a crash rewrites the same epoch
+    with the same rows), the manifest rename is the commit point, and
+    readers go through the manifest's epoch list — an orphan epoch dir
+    from a torn run is invisible until its manifest lands. A shard whose
+    SIZE changed since it was manifested raises (shards are immutable by
+    the WebDataset contract; in-place mutation means upstream corruption,
+    not new data).
+
+    All bookkeeping goes through the Hadoop FileSystem API
+    (plans/fsio.py), so shard_dir/state_dir may live on any URI scheme
+    Spark can reach. Returns {'n_new_shards', 'n_new_images', 'epoch',
+    'table'} — 'table' is the full snapshot DataFrame across committed
+    epochs (None while empty)."""
+    import fnmatch
+
+    from ..plans.fsio import HadoopFS
+
+    # separate FS handles: shard_dir and state_dir may live on different
+    # URI schemes (crawl bucket vs warehouse)
+    with HadoopFS(spark, state_dir) as fs, HadoopFS(spark, shard_dir) as sfs:
+        fs.mkdirs(state_dir)
+        man_path = fs.join(state_dir, "_INGESTED.json")
+        manifest = {"shards": {}, "epochs": []}
+        if fs.exists(man_path):
+            manifest = json.loads(fs.read_bytes(man_path).decode())
+
+        seen: dict = manifest["shards"]
+        # list_files yields basenames; re-root them under shard_dir
+        listed = [
+            (sfs.join(shard_dir, name), name, sz)
+            for name, sz in sfs.list_files(shard_dir)
+            if fnmatch.fnmatch(name, glob)
+        ]
+        for p, name, sz in listed:
+            if name in seen and seen[name] != sz:
+                raise TarShardError(
+                    f"{p}: size changed since ingest ({seen[name]} -> {sz});"
+                    " shards are immutable — this is corruption, not new data"
+                )
+        new = [(p, name, sz) for p, name, sz in listed if name not in seen]
+
+        epoch = len(manifest["epochs"])
+        table_dir = fs.join(state_dir, "images")
+        n_new = 0
+        if new:
+            df = read_tar_shards(
+                spark, [p for p, _, _ in new], glob=glob,
+                max_shard_bytes=max_shard_bytes,
+            )
+            epoch_dir = fs.join(table_dir, f"epoch={epoch}")
+            df.write.mode("overwrite").parquet(epoch_dir)
+            n_new = spark.read.parquet(epoch_dir).count()
+            for _, name, sz in new:
+                seen[name] = sz
+            manifest["epochs"].append(
+                {"epoch": epoch, "shards": len(new), "images": n_new}
+            )
+            fs.write_bytes_atomic(
+                man_path, json.dumps(manifest, sort_keys=True).encode()
+            )
+
+        committed = [
+            fs.join(table_dir, f"epoch={e['epoch']}")
+            for e in manifest["epochs"]
+        ]
+        table = (
+            spark.read.option("basePath", table_dir).parquet(*committed)
+            if committed
+            else None
+        )
+    return {
+        "n_new_shards": len(new),
+        "n_new_images": n_new,
+        "epoch": epoch if new else epoch - 1,
+        "table": table,
+    }

@@ -176,3 +176,59 @@ def test_tar_ingest_feeds_pipeline(spark, tmp_path):
         res = dedup_images(images, cfg)
         cks.append(checksum(res["assignments"], "id", "cluster_id"))
     assert cks[0] == cks[1]
+
+
+# --------------------------------------------------------------------------
+# incremental ingest
+
+
+def test_incremental_ingest_epochs(spark, tmp_path):
+    from datasketches_cpp_spark.sources.tarshards import incremental_ingest
+
+    shards = str(tmp_path / "crawl")
+    state = str(tmp_path / "state")
+    write_tar_shards(shards, 100, seed=41, images_per_shard=50)
+
+    r1 = incremental_ingest(spark, shards, state)
+    assert (r1["n_new_shards"], r1["n_new_images"], r1["epoch"]) == (2, 100, 0)
+    assert r1["table"].count() == 100
+
+    # nothing new: no-op, table unchanged
+    r2 = incremental_ingest(spark, shards, state)
+    assert (r2["n_new_shards"], r2["n_new_images"]) == (0, 0)
+    assert r2["table"].count() == 100
+
+    # drop two more shards into the crawl dir (fresh ids via a writer to
+    # a side dir, then move) — only they are read
+    import shutil
+
+    side = str(tmp_path / "side")
+    write_tar_shards(side, 60, seed=77, images_per_shard=60)
+    shutil.move(
+        os.path.join(side, "shard-00000.tar"),
+        os.path.join(shards, "shard-00002.tar"),
+    )
+    r3 = incremental_ingest(spark, shards, state)
+    assert (r3["n_new_shards"], r3["n_new_images"], r3["epoch"]) == (1, 60, 1)
+    got = r3["table"]
+    assert got.count() == 160
+    # both generations present, partitioned by their ingest epoch
+    assert got.filter("fmt = 'tiff'").count() > 0
+    assert got.filter("epoch = 0").count() == 100
+    assert got.filter("epoch = 1").count() == 60
+    # (both synthetic generations start at img000000000, so ids collide
+    # across epochs by construction — the snapshot keys are (epoch, id))
+    assert got.select("epoch", "image_id").distinct().count() == 160
+
+
+def test_incremental_ingest_mutated_shard_fails(spark, tmp_path):
+    from datasketches_cpp_spark.sources.tarshards import incremental_ingest
+
+    shards = str(tmp_path / "crawl")
+    state = str(tmp_path / "state")
+    write_tar_shards(shards, 40, seed=3, images_per_shard=40)
+    incremental_ingest(spark, shards, state)
+    with open(os.path.join(shards, "shard-00000.tar"), "ab") as f:
+        f.write(b"\x00" * 1024)
+    with pytest.raises(TarShardError, match="immutable"):
+        incremental_ingest(spark, shards, state)
