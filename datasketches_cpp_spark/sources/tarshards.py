@@ -306,9 +306,17 @@ def incremental_ingest(
             if committed
             else None
         )
+        new_table = (
+            spark.read.parquet(fs.join(table_dir, f"epoch={epoch}"))
+            if new
+            else None
+        )
     return {
         "n_new_shards": len(new),
         "n_new_images": n_new,
         "epoch": epoch if new else epoch - 1,
         "table": table,
+        # just this round's rows — the natural feed for
+        # streaming.incremental.IncrementalDeduper.process_batch
+        "new_table": new_table,
     }

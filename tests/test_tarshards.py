@@ -232,3 +232,60 @@ def test_incremental_ingest_mutated_shard_fails(spark, tmp_path):
         f.write(b"\x00" * 1024)
     with pytest.raises(TarShardError, match="immutable"):
         incremental_ingest(spark, shards, state)
+
+
+def test_ingest_feeds_incremental_deduper(spark, tmp_path):
+    """Continuous-crawl composition: each incremental_ingest round's
+    new_table feeds IncrementalDeduper.process_batch; after two crawl
+    drops the incremental assignments equal the one-shot batch dedup of
+    the full shard-read corpus (any-order folding law), with ids
+    disambiguated per epoch like a real crawl's shard-scoped keys."""
+    from pyspark.sql import functions as F
+
+    from datasketches_cpp_spark.operators.dedup import SigConfig
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+    from datasketches_cpp_spark.plans.checkpoint import checksum
+    from datasketches_cpp_spark.sources.tarshards import incremental_ingest
+    from datasketches_cpp_spark.streaming.incremental import IncrementalDeduper
+
+    crawl = str(tmp_path / "crawl")
+    state = str(tmp_path / "ingest_state")
+    lanes = ("caption", "bytes", "phash")
+    cfg = SigConfig()
+
+    write_tar_shards(crawl, 150, seed=19, images_per_shard=150)
+    with IncrementalDeduper(
+        spark, str(tmp_path / "dd_state"), cfg, max_fanout=512,
+        enable_lanes=lanes,
+    ) as dd:
+        def scoped(df, epoch):
+            return df.withColumn(
+                "image_id", F.concat(F.lit(f"e{epoch}/"), F.col("image_id"))
+            ).drop("epoch")
+
+        r = incremental_ingest(spark, crawl, state)
+        dd.process_batch(scoped(r["new_table"], 0), 0)
+
+        import shutil
+
+        side = str(tmp_path / "side")
+        write_tar_shards(side, 80, seed=53, images_per_shard=80)
+        shutil.move(
+            os.path.join(side, "shard-00000.tar"),
+            os.path.join(crawl, "shard-00001.tar"),
+        )
+        r = incremental_ingest(spark, crawl, state)
+        dd.process_batch(scoped(r["new_table"], 1), 1)
+
+        got = checksum(dd.assignments(), "id", "cluster_id")
+        full = r["table"]
+        full_scoped = full.withColumn(
+            "image_id",
+            F.concat(F.lit("e"), F.col("epoch").cast("string"), F.lit("/"),
+                     F.col("image_id")),
+        ).drop("epoch")
+        want = checksum(
+            dedup_images(full_scoped, cfg, enable_lanes=lanes)["assignments"],
+            "id", "cluster_id",
+        )
+    assert got == want
