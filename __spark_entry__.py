@@ -2102,6 +2102,73 @@ def _canonical_text_dedup_oracle_sql() -> str:
     """
 
 
+def _planted_photometric_rows():
+    """Planted photometric-edit corpus: originals (pixel range [30,220]
+    so global shifts don't clip) plus four tone-edited twins each —
+    mean-luma grayscale, brightness +15, contrast ×0.85 about 128, and
+    gamma 1.2 — with DISTINCT captions, so only the pixel lane can
+    cluster them. The block-mean pHash thresholds block MEANS against
+    their median and the mean is linear, so unclipped AFFINE tone maps
+    preserve the hash exactly, while gamma/rounding reorder only blocks
+    near the median (≤ a few bits — inside phash_hamming=6); the law
+    and its clipping boundary are pinned in
+    tests/test_photometric_phash.py, and this oracle proves the whole
+    distributed lane inherits it."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rows, truth = [], {}
+    for i in range(12):
+        r = np.random.default_rng(9900 + i)
+        base = r.integers(30, 220, (32, 32, 3)).astype(np.uint8)
+        variants = [("a", base)]
+        g = np.round(base.mean(axis=2))
+        variants.append(
+            ("b", np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8))
+        )
+        variants.append(
+            ("c", np.clip(base.astype(np.int16) + 15, 0, 255).astype(np.uint8))
+        )
+        variants.append(
+            ("d", np.clip((base.astype(np.float64) - 128) * 0.85 + 128,
+                          0, 255).astype(np.uint8))
+        )
+        variants.append(
+            ("e", (255 * (base.astype(np.float64) / 255) ** 1.2)
+             .round().astype(np.uint8))
+        )
+        cid = f"pm{i:02d}a"
+        for tag, px in variants:
+            flat = np.ascontiguousarray(px).reshape(-1)
+            iid = f"pm{i:02d}{tag}"
+            rows.append(
+                (iid, bytearray(flat.tobytes()), 32, 32, "raw",
+                 f"caption photometric {i} {tag}",
+                 int(np.int64(np.uint64(phash64(flat, 32, 32)))))
+            )
+            truth[iid] = cid
+    return rows, truth
+
+
+def q_photometric_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tone-edit-robust image dedup: grayscale conversion, brightness,
+    contrast and gamma twins cluster with their originals through the
+    STANDARD pHash lane (median thresholding is invariant to monotonic
+    global tone maps — no flag needed). Oracle = planted truth."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_photometric_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("phash",))
+    return res["assignments"]
+
+
 def q_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard ingest (sources/tarshards.py): the
     deterministic mixed-codec corpus is written as tar shards
@@ -2446,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cropped_dedup_planted": q_cropped_dedup_planted,
         "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
+        "photometric_dedup_planted": q_photometric_dedup_planted,
         "tar_shard_ingest": q_tar_shard_ingest,
         "canonical_text_dedup": q_canonical_text_dedup,
         "dedup_recall_by_kind": q_dedup_recall_by_kind,
@@ -2931,6 +2999,9 @@ def oracle_sql() -> dict[str, str]:
             _planted_crossformat_rows()[1]
         ),
         "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
+        "photometric_dedup_planted": _planted_truth_sql(
+            _planted_photometric_rows()[1]
+        ),
         "canonical_text_dedup": _canonical_text_dedup_oracle_sql(),
         "dedup_recall_by_kind": _dedup_recall_oracle_sql(),
         "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
