@@ -1308,6 +1308,17 @@ def q_c4_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity quality scores (operators/
+    curation.ngram_lm_scores): self-trained add-alpha word-bigram LM,
+    per-doc ppl = exp(-mean log P(w2|w1)) + low-quality flag. Corpus
+    explodes to bigrams once, LM broadcasts in, ONE groupBy(doc)."""
+    from datasketches_cpp_spark.operators.curation import ngram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_lm_scores(docs, "doc_id", "text", ppl_threshold=50.0)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (operators/curation.
     pack_training_sequences): documents in doc_id order chunked into
@@ -2498,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_train": q_decontaminate_train,
         "repetition_ratio_stats": q_repetition_ratio_stats,
         "c4_filter_flags": q_c4_filter_flags,
+        "lm_perplexity_quality": q_lm_perplexity_quality,
         "pack_sequences": q_pack_sequences,
         "video_dedup_planted": q_video_dedup_planted,
         "audio_dedup_planted": q_audio_dedup_planted,
@@ -2934,6 +2946,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, f_terminal, f_min_words, f_word_len, f_no_brace, f_no_lorem, f_no_js, "
             "(f_terminal AND f_min_words AND f_word_len AND f_no_brace AND f_no_lorem AND f_no_js) AS c4_keep "
             "FROM r"
+        ),
+        "lm_perplexity_quality": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "  string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS ws FROM documents), "
+            "t2 AS (SELECT doc_id, ws FROM toks WHERE len(ws) >= 2), "
+            "big AS (SELECT doc_id, "
+            "  unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i])) AS w1, "
+            "  unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i+1])) AS w2 FROM t2), "
+            "c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM t2)), "
+            "scored AS (SELECT b.doc_id, ln((c12.c12 + 0.1) / (c1.c1 + 0.1 * v.v)) AS lp "
+            "  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v), "
+            "agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s FROM scored GROUP BY 1) "
+            "SELECT doc_id, n_bigrams, round(exp(-s / n_bigrams), 4) AS ppl, "
+            "exp(-s / n_bigrams) > 50.0 AS low_quality FROM agg"
         ),
         "pack_sequences": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -441,3 +441,111 @@ def pii_stats(
             red = F.regexp_replace(red, pat, replacement)
         cols.append(red.alias("redacted_text"))
     return df.select(*cols)
+
+
+def _lm_words(text_col: str):
+    """Lowercased alpha word array — the LM tokenizer. Deliberately the
+    simplest deterministic rule ([a-z]+ runs) so the DuckDB oracle can
+    reproduce it exactly; CCNet-style pipelines swap in SentencePiece
+    here without touching the counting/scoring plan below."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: w != F.lit(""),
+    )
+
+
+# bigram structs from a word array, 0-based Spark SQL array indexing;
+# guard size>=2 at the caller
+_BIGRAMS = "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+
+
+def train_bigram_lm(df: DataFrame, text_col: str):
+    """Train an add-alpha-smoothed word-bigram language model over a
+    corpus: returns ``(pairs, prefixes, vocab)`` DataFrames —
+    (w1,w2,c12) bigram counts, (w1,c1) prefix counts (c1 = sum of c12
+    over w2, the standard MLE conditional denominator), and a 1-row
+    (v) vocabulary size. Two shuffles total: one groupBy over exploded
+    bigrams, one countDistinct; the prefix table derives from the pair
+    table without re-reading the corpus.
+
+    This is the training half of a CCNet-style perplexity quality
+    filter (Wenzek et al. 2020 train a KenLM on clean reference text and
+    score crawl docs); at 100 TB the reference corpus is the small side,
+    so the tables this returns stay broadcast-size."""
+    toks = df.select(_lm_words(text_col).alias("ws")).where(F.size("ws") >= 2)
+    big = toks.select(F.explode(F.expr(_BIGRAMS)).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    prefixes = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    return pairs, prefixes, vocab
+
+
+def ngram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm=None,
+    alpha: float = 0.1,
+    broadcast_lm: bool = True,
+    ppl_threshold: float = 1000.0,
+) -> DataFrame:
+    """Per-document bigram-LM perplexity quality score (CCNet-style,
+    Wenzek et al. 2020): score each document's word bigrams under an
+    add-alpha LM, P(w2|w1) = (c12+a)/(c1+a*V), and report
+    ppl = exp(-mean log P) plus a ``low_quality`` flag. ``lm`` is the
+    (pairs, prefixes, vocab) triple from :func:`train_bigram_lm`; None
+    self-trains on ``df`` (every bigram then has c12 >= 1, but the
+    unseen-fallback path below is still exercised by external LMs and
+    is add-alpha-exact: missing (w1,w2) coalesces c12 to 0, missing w1
+    coalesces c1 to 0, so P degrades smoothly to a/(a*V) = 1/V).
+
+    Scale shape: the corpus side explodes to (doc, w1, w2) rows once and
+    is never shuffled by gram — the LM joins in (broadcast by default;
+    set broadcast_lm=False to shuffle-join when a giant LM is scored
+    against a giant corpus) — then ONE groupBy(doc) aggregates the log
+    scores. Docs with < 2 alpha words carry no bigrams and are excluded
+    (same rule in the oracle SQL).
+
+    Reference analog: none — the reference is a sketch library; this is
+    part of the curation layer the north-star pipeline needs. The
+    counting plan reuses the decontaminate() discipline above: small
+    side broadcast, TB side never fans out through a shuffle-by-gram.
+    """
+    if lm is None:
+        lm = train_bigram_lm(df, text_col)
+    pairs, prefixes, vocab = lm
+    toks = df.select(
+        F.col(id_col), _lm_words(text_col).alias("ws")
+    ).where(F.size("ws") >= 2)
+    big = toks.select(
+        id_col, F.explode(F.expr(_BIGRAMS)).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    maybe_bc = F.broadcast if broadcast_lm else (lambda x: x)
+    scored = (
+        big.join(maybe_bc(pairs), ["w1", "w2"], "left")
+        .join(maybe_bc(prefixes), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.exp(-F.col("s") / F.col("n_bigrams")), 4).alias("ppl"),
+            (F.exp(-F.col("s") / F.col("n_bigrams")) > F.lit(ppl_threshold)).alias(
+                "low_quality"
+            ),
+        )
+    )

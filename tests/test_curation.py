@@ -264,3 +264,97 @@ def test_line_dedup_broadcasts_hot_set(spark):
     b = sorted(map(tuple, line_dedup_stats(
         df, "doc_id", "text", broadcast_hot=False).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram-LM perplexity (Wenzek et al. 2020 quality filter)
+# ---------------------------------------------------------------------------
+
+
+def _lm_py(corpus, alpha=0.1):
+    """Hand-rolled add-alpha bigram LM twin of curation.ngram_lm_scores."""
+    import collections
+    import math
+    import re
+
+    tok = lambda t: [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+    ws = {d: tok(t) for d, t in corpus}
+    ws = {d: w for d, w in ws.items() if len(w) >= 2}
+    c12 = collections.Counter(
+        (w[i], w[i + 1]) for w in ws.values() for i in range(len(w) - 1)
+    )
+    c1 = collections.Counter()
+    for (a, _), c in c12.items():
+        c1[a] += c
+    vocab = len({w for x in ws.values() for w in x})
+    out = {}
+    for d, w in ws.items():
+        lps = [
+            math.log((c12[(w[i], w[i + 1])] + alpha) / (c1[w[i]] + alpha * vocab))
+            for i in range(len(w) - 1)
+        ]
+        out[d] = (len(lps), round(math.exp(-sum(lps) / len(lps)), 4))
+    return c12, c1, vocab, out
+
+
+def test_lm_perplexity_matches_python(spark, docs):
+    from datasketches_cpp_spark.operators.curation import ngram_lm_scores
+
+    corpus = [(r.doc_id, r.text) for r in docs.collect()]
+    _, _, _, expect = _lm_py(corpus)
+    got = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in ngram_lm_scores(docs, "doc_id", "text").collect()
+    }
+    assert got == expect  # doc 3 ("tiny") has < 2 words and is excluded
+
+
+def test_lm_perplexity_external_lm_unseen_fallback(spark, docs):
+    """Scoring a doc with bigrams absent from an external LM must follow the
+    add-alpha law exactly: unseen (w1,w2) -> c12=0; unseen w1 -> c1=0."""
+    import math
+
+    from datasketches_cpp_spark.operators.curation import (
+        ngram_lm_scores,
+        train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(docs, "text")
+    vocab = lm[2].collect()[0].v
+    probe = spark.createDataFrame(
+        [(99, "qqq www qqq")], "doc_id long, text string"
+    )
+    [row] = ngram_lm_scores(probe, "doc_id", "text", lm=lm).collect()
+    # both bigrams fully unseen: P = 0.1 / (0.1 * V) = 1 / V
+    assert row.n_bigrams == 2
+    assert row.ppl == round(math.exp(math.log(vocab)), 4) == round(float(vocab), 4)
+
+
+def test_lm_perplexity_layout_invariant(spark, docs):
+    from datasketches_cpp_spark.operators.curation import ngram_lm_scores
+
+    a = sorted(
+        map(tuple, ngram_lm_scores(docs, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ngram_lm_scores(docs.repartition(7), "doc_id", "text").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_lm_perplexity_low_quality_flag(spark, docs):
+    """Repetitive text scores LOW ppl (predictable), shuffled-vocab text
+    scores high; the flag thresholds raw (unrounded) ppl."""
+    from datasketches_cpp_spark.operators.curation import ngram_lm_scores
+
+    rows = {
+        r.doc_id: r
+        for r in ngram_lm_scores(
+            docs, "doc_id", "text", ppl_threshold=5.0
+        ).collect()
+    }
+    assert not rows[2].low_quality  # "spark spark spark..." is maximally predictable
+    assert rows[2].ppl < rows[1].ppl  # unique-words doc is the least predictable
