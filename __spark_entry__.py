@@ -1319,6 +1319,23 @@ def q_lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_scores(docs, "doc_id", "text", ppl_threshold=50.0)
 
 
+_MIX_TARGETS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+
+
+def q_data_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile/Dolma-style data-mixing weights (operators/curation.
+    mixing_weights): per-language token totals vs a target mix —
+    sampling weight and epochs consumed by a 1M-token budget. ONE
+    groupBy; the corpus total broadcasts back as a scalar."""
+    from datasketches_cpp_spark.operators.curation import mixing_weights
+    from datasketches_cpp_spark.operators.textstats import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"), "text", "tokens")
+    return mixing_weights(
+        docs, "lang", "tokens", _MIX_TARGETS, budget_tokens=1_000_000
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (operators/curation.
     pack_training_sequences): documents in doc_id order chunked into
@@ -2510,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio_stats": q_repetition_ratio_stats,
         "c4_filter_flags": q_c4_filter_flags,
         "lm_perplexity_quality": q_lm_perplexity_quality,
+        "data_mixing_weights": q_data_mixing_weights,
         "pack_sequences": q_pack_sequences,
         "video_dedup_planted": q_video_dedup_planted,
         "audio_dedup_planted": q_audio_dedup_planted,
@@ -2962,6 +2980,19 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s FROM scored GROUP BY 1) "
             "SELECT doc_id, n_bigrams, round(exp(-s / n_bigrams), 4) AS ppl, "
             "exp(-s / n_bigrams) > 50.0 AS low_quality FROM agg"
+        ),
+        "data_mixing_weights": (
+            "WITH t AS (SELECT lang, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "  len(string_split_regex(trim(text), '\\s+')) END AS tokens FROM documents), "
+            "a AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS tokens FROM t GROUP BY 1), "
+            "tot AS (SELECT sum(tokens) AS total FROM a), "
+            "w AS (SELECT lang, tokens, tokens * 1.0 / tot.total AS share, "
+            "  CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15 "
+            "    WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS DOUBLE) AS target_share "
+            "  FROM a CROSS JOIN tot) "
+            "SELECT lang, tokens, round(share, 6) AS actual_share, target_share, "
+            "round(target_share / share, 6) AS weight, "
+            "round(1000000.0 * target_share / tokens, 6) AS epochs_at_budget FROM w"
         ),
         "pack_sequences": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -549,3 +549,42 @@ def ngram_lm_scores(
             ),
         )
     )
+
+
+def mixing_weights(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    targets: dict,
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-source sampling weights to hit a target token mix — the
+    Pile/Dolma-style data-mixing step that follows dedup + quality
+    filtering: given observed per-group token totals and a target share
+    per group, report each group's actual share, the sampling weight
+    (target_share / actual_share, >1 means upsample) and the number of
+    epochs of that group a ``budget_tokens`` training run consumes
+    (budget * target / available — >1 means the source repeats).
+
+    Groups missing from ``targets`` get target 0 (dropped from the mix
+    but still reported). ONE shuffle (the groupBy); the corpus total
+    joins back as a broadcast scalar and the target map is a codegen
+    literal, so nothing else moves.
+    """
+    agg = df.groupBy(group_col).agg(F.sum(token_col).alias("tokens"))
+    total = agg.agg(F.sum("tokens").alias("total_tokens"))
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    share = F.col("tokens") / F.col("total_tokens")
+    tgt = F.coalesce(tmap[F.col(group_col)], F.lit(0.0))
+    return agg.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "tokens",
+        F.round(share, 6).alias("actual_share"),
+        tgt.alias("target_share"),
+        F.round(tgt / share, 6).alias("weight"),
+        F.round(
+            F.lit(float(budget_tokens)) * tgt / F.col("tokens"), 6
+        ).alias("epochs_at_budget"),
+    )

@@ -358,3 +358,45 @@ def test_lm_perplexity_low_quality_flag(spark, docs):
     }
     assert not rows[2].low_quality  # "spark spark spark..." is maximally predictable
     assert rows[2].ppl < rows[1].ppl  # unique-words doc is the least predictable
+
+
+def test_mixing_weights_matches_python(spark):
+    from datasketches_cpp_spark.operators.curation import mixing_weights
+
+    rows = [("en", 600), ("en", 400), ("de", 300), ("zh", 100), ("xx", 50)]
+    df = spark.createDataFrame(rows, "lang string, tokens long")
+    targets = {"en": 0.6, "de": 0.3, "zh": 0.1}
+    got = {
+        r.lang: r
+        for r in mixing_weights(
+            df, "lang", "tokens", targets, budget_tokens=10_000
+        ).collect()
+    }
+    total = 1450
+    for lang, toks in [("en", 1000), ("de", 300), ("zh", 100), ("xx", 50)]:
+        t = targets.get(lang, 0.0)
+        r = got[lang]
+        assert r.tokens == toks
+        assert r.actual_share == round(toks / total, 6)
+        assert r.target_share == t
+        assert r.weight == round(t / (toks / total), 6)
+        assert r.epochs_at_budget == round(10_000 * t / toks, 6)
+    # upsampled low-resource group repeats: zh needs 10x its tokens
+    assert got["zh"].epochs_at_budget == 10.0
+    # group absent from targets is reported but weighted to zero
+    assert got["xx"].weight == 0.0
+
+
+def test_mixing_weights_one_shuffle(spark):
+    from datasketches_cpp_spark.operators.curation import mixing_weights
+
+    df = spark.createDataFrame(
+        [("en", 10), ("de", 5)], "lang string, tokens long"
+    )
+    plan = (
+        mixing_weights(df, "lang", "tokens", {"en": 1.0}, 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the group agg is the only hash exchange; the total joins back broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
