@@ -2104,6 +2104,71 @@ def q_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_policy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level agreement between two dedup POLICIES (operators/
+    evaldedup.clustering_agreement): exact-text grouping vs
+    canonical-text grouping over documents + the decorated twins from
+    q_canonical_text_dedup (twins join their base only under
+    normalization, so the ARI quantifies what normalization changes).
+    Rand/ARI by counting identities — three groupBys, never a pair row."""
+    from datasketches_cpp_spark.operators.evaldedup import (
+        clustering_agreement,
+    )
+    from datasketches_cpp_spark.operators.textnorm import normalized_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("¡"),
+            F.translate(F.upper("text"), "AEO", "ÄÉÖ"),
+            F.lit("!!"),
+        ).alias("text"),
+    )
+    allv = docs.unionAll(variants)
+    a = allv.select("doc_id", F.col("text").alias("cluster_id"))
+    b = allv.select(
+        "doc_id", normalized_text(F.col("text")).alias("cluster_id")
+    )
+    return clustering_agreement(a, b, id_col="doc_id")
+
+
+def _dedup_policy_agreement_oracle_sql() -> str:
+    from datasketches_cpp_spark.operators.textnorm import sql_normalized_text
+
+    norm = sql_normalized_text("text")
+    return f"""
+        WITH allv AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   '¡' || translate(upper(text), 'AEO', 'ÄÉÖ') || '!!'
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        j AS (SELECT doc_id, text AS a, {norm} AS b FROM allv),
+        sa AS (SELECT coalesce(sum(CAST(n AS DOUBLE) * (n - 1) / 2), 0) AS s
+               FROM (SELECT count(*) AS n FROM j GROUP BY a)),
+        sb AS (SELECT coalesce(sum(CAST(n AS DOUBLE) * (n - 1) / 2), 0) AS s
+               FROM (SELECT count(*) AS n FROM j GROUP BY b)),
+        sab AS (SELECT coalesce(sum(CAST(n AS DOUBLE) * (n - 1) / 2), 0) AS s
+                FROM (SELECT count(*) AS n FROM j GROUP BY a, b)),
+        nn AS (SELECT count(*) AS c FROM j),
+        k AS (SELECT nn.c AS c,
+                     CAST(nn.c AS DOUBLE) * (CAST(nn.c AS DOUBLE) - 1) / 2 AS p,
+                     sa.s AS sa, sb.s AS sb, sab.s AS sab
+              FROM nn, sa, sb, sab)
+        SELECT c AS n_items, p AS pairs_total,
+               sab AS n11, sa - sab AS n10, sb - sab AS n01,
+               p - sa - sb + sab AS n00,
+               round((sab + p - sa - sb + sab) / p, 6) AS rand_index,
+               round(CASE WHEN (sa + sb) / 2 - sa * sb / p = 0 THEN 1.0
+                     ELSE (sab - sa * sb / p)
+                          / ((sa + sb) / 2 - sa * sb / p) END, 6)
+                   AS adjusted_rand
+        FROM k
+    """
+
+
 def _canonical_text_dedup_oracle_sql() -> str:
     from datasketches_cpp_spark.operators.textnorm import sql_normalized_text
 
@@ -2546,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "photometric_dedup_planted": q_photometric_dedup_planted,
         "tar_shard_ingest": q_tar_shard_ingest,
         "canonical_text_dedup": q_canonical_text_dedup,
+        "dedup_policy_agreement": q_dedup_policy_agreement,
         "dedup_recall_by_kind": q_dedup_recall_by_kind,
         "watermarked_dedup_planted": q_watermarked_dedup_planted,
         "multilane_precision_planted": q_multilane_precision_planted,
@@ -3062,6 +3128,7 @@ def oracle_sql() -> dict[str, str]:
             _planted_photometric_rows()[1]
         ),
         "canonical_text_dedup": _canonical_text_dedup_oracle_sql(),
+        "dedup_policy_agreement": _dedup_policy_agreement_oracle_sql(),
         "dedup_recall_by_kind": _dedup_recall_oracle_sql(),
         "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
         "multilane_precision_planted": _planted_truth_sql(_planted_multilane_rows()[1]),

@@ -130,3 +130,87 @@ def recall_by_kind(
             (F.col("recovered_pairs") / F.col("truth_pairs")).alias("recall"),
         )
     )
+
+
+def _c2d(col):
+    """C(n, 2) as an exact-integer-valued DOUBLE expression. Doubles so
+    the identity also evaluates when a single cluster exceeds 3e9
+    members (where n*(n-1) overflows int64): every term and sum stays
+    integer-valued and exact below 2^53 pairs; past that the relative
+    error is ~1e-16 — irrelevant for an agreement metric."""
+    n = F.col(col).cast("double")
+    return n * (n - F.lit(1.0)) / F.lit(2.0)
+
+
+def clustering_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    a_cluster: str = "cluster_id",
+    b_cluster: str = "cluster_id",
+) -> DataFrame:
+    """Pair-level agreement between two clusterings of the same items —
+    the standard way to compare two dedup POLICIES (e.g. exact vs
+    normalized text, pHash-only vs multi-lane fused) without labeled
+    truth. One row: item count, total pairs, the pair contingency
+    (n11 same-cluster in both, n10 only in A, n01 only in B, n00
+    neither), the Rand index (n11+n00)/P and the Adjusted Rand Index.
+
+    Same counting discipline as pair_confusion: never a pair row —
+    S_A = Σ C(n_c,2) over A's clusters, S_B over B's, S_AB over the
+    joint (a,b) groups; n11 = S_AB, n10 = S_A−S_AB, n01 = S_B−S_AB,
+    n00 = P−S_A−S_B+S_AB. Three narrow groupBys (map-side partial agg)
+    + an inner join on id; the four scalar aggregates cross-join back
+    as 1-row broadcasts. ARI = (S_AB − S_A·S_B/P) / ((S_A+S_B)/2 −
+    S_A·S_B/P), defined as 1.0 when the denominator is 0 (both
+    clusterings trivial: all-singletons or one cluster)."""
+    j = (
+        a.select(F.col(id_col).alias("_id"), F.col(a_cluster).alias("_a"))
+        .join(
+            b.select(
+                F.col(id_col).alias("_id"), F.col(b_cluster).alias("_b")
+            ),
+            "_id",
+        )
+    )
+    z = F.lit(0.0)
+    sa = (
+        j.groupBy("_a").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(_c2d("n")), z).alias("sa"))
+    )
+    sb = (
+        j.groupBy("_b").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(_c2d("n")), z).alias("sb"))
+    )
+    sab = (
+        j.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(_c2d("n")), z).alias("sab"))
+    )
+    nn = j.agg(F.count(F.lit(1)).alias("n_items"))
+    p = F.col("n_items").cast("double") * (
+        F.col("n_items").cast("double") - F.lit(1.0)
+    ) / F.lit(2.0)
+    n11 = F.col("sab")
+    n10 = F.col("sa") - F.col("sab")
+    n01 = F.col("sb") - F.col("sab")
+    n00 = p - F.col("sa") - F.col("sb") + F.col("sab")
+    exp = F.col("sa") * F.col("sb") / p
+    ari_den = (F.col("sa") + F.col("sb")) / F.lit(2.0) - exp
+    ari = F.when(ari_den == z, F.lit(1.0)).otherwise(
+        (F.col("sab") - exp) / ari_den
+    )
+    return (
+        nn.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(sab))
+        .select(
+            "n_items",
+            p.alias("pairs_total"),
+            n11.alias("n11"),
+            n10.alias("n10"),
+            n01.alias("n01"),
+            n00.alias("n00"),
+            F.round((n11 + n00) / p, 6).alias("rand_index"),
+            F.round(ari, 6).alias("adjusted_rand"),
+        )
+    )

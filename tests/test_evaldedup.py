@@ -116,3 +116,76 @@ def test_pipeline_recall_by_config_on_planted_corpus(spark):
         assert r.recovered_pairs == r.truth_pairs, (k, r)
     conf = pair_confusion(res["assignments"], truth).collect()[0]
     assert conf.recall == 1.0 and conf.precision == 1.0
+
+
+# ---------------------------------------------------------------------------
+# clustering_agreement — Rand / ARI by counting, vs a brute-force pair twin
+# ---------------------------------------------------------------------------
+
+
+def _pair_twin(la, lb):
+    """Brute-force pair contingency + Rand/ARI over explicit pairs."""
+    import itertools
+
+    ids = sorted(la)
+    n11 = n10 = n01 = n00 = 0
+    for x, y in itertools.combinations(ids, 2):
+        sa, sb = la[x] == la[y], lb[x] == lb[y]
+        n11 += sa and sb
+        n10 += sa and not sb
+        n01 += (not sa) and sb
+        n00 += not sa and not sb
+    p = n11 + n10 + n01 + n00
+    sa_, sb_, sab = n11 + n10, n11 + n01, n11
+    exp = sa_ * sb_ / p
+    den = (sa_ + sb_) / 2 - exp
+    ari = 1.0 if den == 0 else (sab - exp) / den
+    return n11, n10, n01, n00, round((n11 + n00) / p, 6), round(ari, 6)
+
+
+def test_clustering_agreement_matches_pair_twin(spark):
+    from datasketches_cpp_spark.operators.evaldedup import clustering_agreement
+
+    la = {1: "x", 2: "x", 3: "x", 4: "y", 5: "y", 6: "z"}
+    lb = {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2}
+    a = spark.createDataFrame(list(la.items()), "id long, cluster_id string")
+    b = spark.createDataFrame(list(lb.items()), "id long, cluster_id long")
+    [r] = clustering_agreement(a, b).collect()
+    n11, n10, n01, n00, rand, ari = _pair_twin(la, lb)
+    assert (r.n11, r.n10, r.n01, r.n00) == (n11, n10, n01, n00)
+    assert r.n_items == 6 and r.pairs_total == 15.0
+    assert r.rand_index == rand and r.adjusted_rand == ari
+
+
+def test_clustering_agreement_identical_and_degenerate(spark):
+    from datasketches_cpp_spark.operators.evaldedup import clustering_agreement
+
+    a = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "id long, cluster_id long"
+    )
+    [r] = clustering_agreement(a, a).collect()
+    assert r.rand_index == 1.0 and r.adjusted_rand == 1.0
+    # all singletons on both sides: S_A = S_B = S_AB = 0 -> ARI denominator 0
+    s = spark.createDataFrame(
+        [(i, i) for i in range(8)], "id long, cluster_id long"
+    )
+    [r2] = clustering_agreement(s, s).collect()
+    assert r2.n11 == 0.0 and r2.rand_index == 1.0 and r2.adjusted_rand == 1.0
+
+
+def test_clustering_agreement_never_materializes_pairs(spark):
+    from datasketches_cpp_spark.operators.evaldedup import clustering_agreement
+
+    a = spark.createDataFrame(
+        [(i, 0) for i in range(1000)], "id long, cluster_id long"
+    )
+    b = spark.createDataFrame(
+        [(i, i % 2) for i in range(1000)], "id long, cluster_id long"
+    )
+    df = clustering_agreement(a, b)
+    [r] = df.collect()
+    # one 1000-cluster = 499500 pairs, never enumerated
+    assert r.pairs_total == 499500.0
+    assert r.n11 + r.n10 == 499500.0  # S_A
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
