@@ -2262,6 +2262,68 @@ def q_photometric_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["assignments"]
 
 
+def _planted_ssim_rows():
+    """Planted SSIM-precision corpus: 10 originals, each with (b) a mild
+    ±3 noise twin and (c) a pHash-IDENTICAL impostor — a ±60 pixel-period
+    checkerboard is zero-mean inside every 4×4 block, so the block-mean
+    pHash (sources/images.phash64: 8×8 grid of 4×4-block means vs their
+    median) is preserved BIT-FOR-BIT while local structure is destroyed
+    (window variance inflates by A²=3600, covariance doesn't → SSIM
+    ≈0.45). The hash lane therefore accepts base–impostor; only the SSIM
+    gate separates them. Expected gated clusters known by construction:
+    {a, b} together, c a singleton. Base range [60,190] so ±60 never
+    clips (clipping would break the zero-mean-per-block law)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rows, truth = [], {}
+    cb = (np.indices((32, 32)).sum(axis=0) % 2 * 2 - 1)[:, :, None] * 60
+    for i in range(10):
+        r = np.random.default_rng(7700 + i)
+        base = r.integers(60, 190, (32, 32, 3)).astype(np.uint8)
+        mild = np.clip(
+            base.astype(np.int16) + r.integers(-3, 4, base.shape), 0, 255
+        ).astype(np.uint8)
+        imp = (base.astype(np.int16) + cb).astype(np.uint8)
+        for tag, px in [("a", base), ("b", mild), ("c", imp)]:
+            flat = np.ascontiguousarray(px).reshape(-1)
+            iid = f"ss{i:02d}{tag}"
+            rows.append(
+                (iid, bytearray(flat.tobytes()), 32, 32, "raw",
+                 f"caption ssim {i} {tag}",
+                 int(np.int64(np.uint64(phash64(flat, 32, 32)))))
+            )
+            truth[iid] = f"ss{i:02d}a" if tag in ("a", "b") else iid
+    return rows, truth
+
+
+def q_ssim_gated_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSIM precision gate over the pHash lane (operators/imagequality.
+    ssim_gate_edges → cc.assign_clusters): the planted impostors share
+    their base's pHash bit-for-bit (zero-mean-per-block perturbation)
+    so the hash lane clusters them; re-scoring just the candidate edges
+    from pixels (Wang et al. 2004 SSIM, integral-image windows) rejects
+    the structure-destroyed pairs and keeps the mild twins. Oracle =
+    planted truth."""
+    from datasketches_cpp_spark.operators.cc import assign_clusters
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+    from datasketches_cpp_spark.operators.imagequality import ssim_gate_edges
+
+    rows, _ = _planted_ssim_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("phash",))
+    gated = ssim_gate_edges(res["edges"], images, threshold=0.8)
+    return assign_clusters(
+        images.select(F.col("image_id").alias("id")), gated
+    )
+
+
 def q_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard ingest (sources/tarshards.py): the
     deterministic mixed-codec corpus is written as tar shards
@@ -2609,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
         "photometric_dedup_planted": q_photometric_dedup_planted,
+        "ssim_gated_dedup_planted": q_ssim_gated_dedup_planted,
         "tar_shard_ingest": q_tar_shard_ingest,
         "canonical_text_dedup": q_canonical_text_dedup,
         "dedup_policy_agreement": q_dedup_policy_agreement,
@@ -3126,6 +3189,9 @@ def oracle_sql() -> dict[str, str]:
         "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
         "photometric_dedup_planted": _planted_truth_sql(
             _planted_photometric_rows()[1]
+        ),
+        "ssim_gated_dedup_planted": _planted_truth_sql(
+            _planted_ssim_rows()[1]
         ),
         "canonical_text_dedup": _canonical_text_dedup_oracle_sql(),
         "dedup_policy_agreement": _dedup_policy_agreement_oracle_sql(),

@@ -33,6 +33,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .multimodal import _decode_block, _shape_groups
@@ -104,3 +105,142 @@ def image_quality_stats(
                 )
 
     return images.select(cols).mapInPandas(run, _QUALITY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# SSIM (Wang et al. 2004, "Image Quality Assessment: From Error Visibility
+# to Structural Similarity") — the principled perceptual-similarity metric,
+# used here as an OPTIONAL precision gate over dedup candidate edges: pHash
+# banding recalls candidates cheaply from 8-byte signatures; SSIM re-scores
+# just the surviving pairs from pixels. A pair that shares every low-
+# frequency DCT sign (identical pHash) but has destroyed local structure
+# (e.g. heavy high-frequency noise) passes the hash lane and is rejected
+# here — the knob that trades a pixel decode on O(edges) rows for
+# pair-level precision.
+# ---------------------------------------------------------------------------
+
+
+def _win_sums(x: np.ndarray, win: int) -> np.ndarray:
+    """(m, h, w) → (m, h-win+1, w-win+1) sliding win×win window sums via
+    integral images (two cumsums + four gathers) — O(h·w) per image
+    regardless of window size."""
+    c = x.cumsum(axis=1).cumsum(axis=2)
+    c = np.pad(c, ((0, 0), (1, 0), (1, 0)))
+    return (
+        c[:, win:, win:]
+        - c[:, :-win, win:]
+        - c[:, win:, :-win]
+        + c[:, :-win, :-win]
+    )
+
+
+def ssim_batch(
+    ga: np.ndarray, gb: np.ndarray, win: int = 8, L: float = 255.0
+) -> np.ndarray:
+    """Mean SSIM between two (m, h, w) grayscale stacks: uniform win×win
+    window slid at stride 1 (the uniform-window variant of Wang et al.
+    2004 eq. 13 with the standard K1=0.01, K2=0.03 stabilizers), local
+    moments from integral images, map averaged over all windows.
+    Windows clamp to min(h, w) for tiny images. Returns (m,) doubles
+    in [-1, 1]; 1.0 iff the images are identical."""
+    ga = ga.astype(np.float64)
+    gb = gb.astype(np.float64)
+    _, h, w = ga.shape
+    win = max(1, min(win, h, w))
+    n = float(win * win)
+    mua = _win_sums(ga, win) / n
+    mub = _win_sums(gb, win) / n
+    va = _win_sums(ga * ga, win) / n - mua * mua
+    vb = _win_sums(gb * gb, win) / n - mub * mub
+    cab = _win_sums(ga * gb, win) / n - mua * mub
+    c1 = (0.01 * L) ** 2
+    c2 = (0.03 * L) ** 2
+    num = (2.0 * mua * mub + c1) * (2.0 * cab + c2)
+    den = (mua * mua + mub * mub + c1) * (va + vb + c2)
+    return (num / den).mean(axis=(1, 2))
+
+
+_SSIM_SCHEMA = "a string, b string, ssim double"
+
+
+def ssim_verify_pairs(
+    pairs: DataFrame,
+    images: DataFrame,
+    win: int = 8,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Per candidate pair (a, b): mean SSIM between the two decoded
+    grayscale images. Two joins pull each side's (bytes, w, h, fmt)
+    onto the pair rows — the pair table is the small side by
+    construction (post-banding candidates), so Catalyst broadcasts it
+    and the image table never reshuffles — then ONE mapInPandas decodes
+    per uniform shape group and scores with integral-image SSIM.
+    Pairs whose dimensions differ get ssim NULL (structural similarity
+    is undefined across rasters; the content-box/resize lanes handle
+    cross-resolution dedup before this gate)."""
+    a_side = images.select(
+        F.col(id_col).alias("a"),
+        F.col("bytes").alias("abytes"),
+        F.col("w").alias("aw"),
+        F.col("h").alias("ah"),
+        F.col("fmt").alias("afmt"),
+    )
+    b_side = images.select(
+        F.col(id_col).alias("b"),
+        F.col("bytes").alias("bbytes"),
+        F.col("w").alias("bw"),
+        F.col("h").alias("bh"),
+        F.col("fmt").alias("bfmt"),
+    )
+    j = pairs.select("a", "b").join(a_side, "a").join(b_side, "b")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ssim = np.full(len(pdf), np.nan)
+            same = (pdf["aw"].values == pdf["bw"].values) & (
+                pdf["ah"].values == pdf["bh"].values
+            )
+            sub = pdf[same]
+            for (w, h, afmt, bfmt), idx in sub.groupby(
+                ["aw", "ah", "afmt", "bfmt"], sort=False
+            ).indices.items():
+                rows = sub.iloc[idx]
+                ga = _gray(
+                    _decode_block(
+                        rows["abytes"].tolist(), int(w), int(h), str(afmt)
+                    ),
+                    int(h),
+                    int(w),
+                )
+                gb = _gray(
+                    _decode_block(
+                        rows["bbytes"].tolist(), int(w), int(h), str(bfmt)
+                    ),
+                    int(h),
+                    int(w),
+                )
+                ssim[pdf.index.get_indexer(rows.index)] = ssim_batch(
+                    ga, gb, win=win
+                )
+            yield pd.DataFrame(
+                {"a": pdf["a"], "b": pdf["b"], "ssim": ssim}
+            )
+
+    return j.mapInPandas(run, schema=_SSIM_SCHEMA)
+
+
+def ssim_gate_edges(
+    edges: DataFrame,
+    images: DataFrame,
+    threshold: float = 0.8,
+    win: int = 8,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Precision gate: keep only edges whose SSIM clears ``threshold``
+    (dimension-mismatched pairs, ssim NULL, are dropped — gate what you
+    can measure). Compose before assign_clusters for an SSIM-verified
+    clustering."""
+    v = ssim_verify_pairs(edges, images, win=win, id_col=id_col)
+    return v.where(F.col("ssim") >= F.lit(threshold)).select("a", "b")
