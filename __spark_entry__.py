@@ -1319,6 +1319,27 @@ def q_lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_scores(docs, "doc_id", "text", ppl_threshold=50.0)
 
 
+def q_gopher_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (operators/curation.gopher_quality_flags,
+    Rae et al. 2021 A1.1): word-count/mean-word-length/symbol-ratio/
+    bullet/ellipsis/alpha-word/stop-word flags + conjunction — one
+    codegen stage, no shuffle. min_words=20 fits the synthetic docs."""
+    from datasketches_cpp_spark.operators.curation import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" the cat and the dog have fun")),
+        ).otherwise(F.col("text")),
+    )
+    return gopher_quality_flags(docs, "text", min_words=20).select(
+        "doc_id", "g_word_count", "g_mean_wl", "g_symbol_ratio",
+        "g_bullet_lines", "g_ellipsis_lines", "g_alpha_words",
+        "g_stopwords", "gopher_keep",
+    )
+
+
 _MIX_TARGETS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
 
 
@@ -2653,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_train": q_decontaminate_train,
         "repetition_ratio_stats": q_repetition_ratio_stats,
         "c4_filter_flags": q_c4_filter_flags,
+        "gopher_filter_flags": q_gopher_filter_flags,
         "lm_perplexity_quality": q_lm_perplexity_quality,
         "data_mixing_weights": q_data_mixing_weights,
         "pack_sequences": q_pack_sequences,
@@ -3092,6 +3114,35 @@ def oracle_sql() -> dict[str, str]:
             "  NOT contains(lo, 'javascript') AS f_no_js FROM f) "
             "SELECT doc_id, f_terminal, f_min_words, f_word_len, f_no_brace, f_no_lorem, f_no_js, "
             "(f_terminal AND f_min_words AND f_word_len AND f_no_brace AND f_no_lorem AND f_no_js) AS c4_keep "
+            "FROM r"
+        ),
+        "gopher_filter_flags": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' the cat and the dog have fun' ELSE text END AS text FROM documents), " 
+            "b AS (SELECT doc_id, text, trim(text) AS t FROM d), "
+            "f AS (SELECT doc_id, text, t, "
+            "  CASE WHEN t = '' THEN [] ELSE string_split_regex(t, '\\s+') END AS ws, "
+            "  string_split(text, chr(10)) AS ls FROM b), "
+            "g AS (SELECT doc_id, ws, ls, len(ws) AS n_words, len(ls) AS n_lines, "
+            "  coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS sum_wl, "
+            "  len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS n_sym, "
+            "  len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet, "
+            "  len(list_filter(ls, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS n_ell, "
+            "  len(list_filter(ws, w -> regexp_matches(lower(w), '[a-z]'))) AS n_alpha, "
+            "  len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))), "
+            "      ['the','be','to','of','and','that','have','with'])) AS n_stop FROM f), "
+            "r AS (SELECT doc_id, "
+            "  n_words >= 20 AND n_words <= 100000 AS g_word_count, "
+            "  CASE WHEN n_words > 0 THEN sum_wl * 1.0 / n_words >= 3.0 "
+            "    AND sum_wl * 1.0 / n_words <= 10.0 ELSE false END AS g_mean_wl, "
+            "  CASE WHEN n_words > 0 THEN n_sym * 1.0 / n_words <= 0.1 ELSE false END AS g_symbol_ratio, "
+            "  CASE WHEN n_lines > 0 THEN n_bullet * 1.0 / n_lines < 0.9 ELSE true END AS g_bullet_lines, "
+            "  CASE WHEN n_lines > 0 THEN n_ell * 1.0 / n_lines <= 0.3 ELSE true END AS g_ellipsis_lines, "
+            "  CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words >= 0.8 ELSE false END AS g_alpha_words, "
+            "  n_stop >= 2 AS g_stopwords FROM g) "
+            "SELECT doc_id, g_word_count, g_mean_wl, g_symbol_ratio, g_bullet_lines, "
+            "g_ellipsis_lines, g_alpha_words, g_stopwords, "
+            "(g_word_count AND g_mean_wl AND g_symbol_ratio AND g_bullet_lines "
+            " AND g_ellipsis_lines AND g_alpha_words AND g_stopwords) AS gopher_keep "
             "FROM r"
         ),
         "lm_perplexity_quality": (

@@ -588,3 +588,91 @@ def mixing_weights(
             F.lit(float(budget_tokens)) * tgt / F.col("tokens"), 6
         ).alias("epochs_at_budget"),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, app. A1.1),
+    one boolean per rule plus the conjunction ``gopher_keep``:
+
+    * ``g_word_count``   — whitespace word count in [min_words, max_words]
+    * ``g_mean_wl``      — mean word length in [3, 10]
+    * ``g_symbol_ratio`` — (# + ellipsis) to word ratio ≤ 0.1
+    * ``g_bullet_lines`` — < 90% of lines start with a bullet
+    * ``g_ellipsis_lines`` — ≤ 30% of lines end with an ellipsis
+    * ``g_alpha_words``  — ≥ 80% of words contain a letter
+    * ``g_stopwords``    — ≥ 2 distinct common stop words present
+
+    Like c4_quality_flags: pure `split`/`filter`/`rlike` array
+    expressions, ONE codegen stage over the scan, no shuffle. The
+    sandbox default lowers min_words to fit short synthetic docs; the
+    paper's 50/100k are the defaults here."""
+    t = F.trim(F.col(text_col))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n_words = F.size(words)
+    sum_wl = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(n_words > 0, sum_wl / n_words).otherwise(F.lit(0.0))
+    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ell = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: F.lower(w).rlike(r"[a-z]"))
+    )
+    low_words = F.transform(words, F.lower)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(low_words),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    df = (
+        df.withColumn(
+            "g_word_count",
+            (n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words)),
+        )
+        .withColumn("g_mean_wl", (mean_wl >= 3.0) & (mean_wl <= 10.0))
+        .withColumn(
+            "g_symbol_ratio",
+            F.when(n_words > 0, n_sym / n_words <= 0.1).otherwise(False),
+        )
+        .withColumn(
+            "g_bullet_lines",
+            F.when(n_lines > 0, n_bullet / n_lines < 0.9).otherwise(True),
+        )
+        .withColumn(
+            "g_ellipsis_lines",
+            F.when(n_lines > 0, n_ell / n_lines <= 0.3).otherwise(True),
+        )
+        .withColumn(
+            "g_alpha_words",
+            F.when(n_words > 0, n_alpha / n_words >= 0.8).otherwise(False),
+        )
+        .withColumn("g_stopwords", n_stop >= 2)
+    )
+    keep = (
+        F.col("g_word_count")
+        & F.col("g_mean_wl")
+        & F.col("g_symbol_ratio")
+        & F.col("g_bullet_lines")
+        & F.col("g_ellipsis_lines")
+        & F.col("g_alpha_words")
+        & F.col("g_stopwords")
+    )
+    return df.withColumn("gopher_keep", keep)

@@ -400,3 +400,49 @@ def test_mixing_weights_one_shuffle(spark):
     # the group agg is the only hash exchange; the total joins back broadcast
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_flags_rules(spark):
+    from datasketches_cpp_spark.operators.curation import gopher_quality_flags
+
+    good = (
+        "the cat and dog have gone to the market of wonders "
+        "that they be with joy today and more words here now"
+    )
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "tiny doc"),                            # word count
+        (2, "aa " * 20),                            # mean word length < 3
+        (3, ("the of and " * 7) + "# # # # # # #"), # symbol ratio > 0.1
+        (4, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # bullets
+        (5, "the end...\nof the and...\nbe to have..."),          # ellipsis
+        (6, ("1 2 3 4 5 6 7 8 9 10 " * 2) + "the of"),            # alpha
+        (7, "zebra quantum flux " * 7),              # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_flags(df, "text", min_words=10).collect()
+    }
+    assert out[0].gopher_keep
+    assert not out[1].g_word_count
+    assert not out[2].g_mean_wl
+    assert not out[3].g_symbol_ratio
+    assert not out[4].g_bullet_lines
+    assert not out[5].g_ellipsis_lines
+    assert not out[6].g_alpha_words
+    assert not out[7].g_stopwords
+    for d in range(1, 8):
+        assert not out[d].gopher_keep
+
+
+def test_gopher_flags_single_codegen_stage(spark):
+    from datasketches_cpp_spark.operators.curation import gopher_quality_flags
+
+    df = spark.createDataFrame([(0, "the of and")], "doc_id long, text string")
+    plan = (
+        gopher_quality_flags(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
