@@ -2345,6 +2345,97 @@ def q_ssim_gated_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_caption_rows():
+    """Planted cross-modal corpus: 8 pixel-dup clusters of 3 (base + two
+    mild ±3 noise twins) + 4 singletons. EVEN clusters carry the same
+    caption in three decorations (case/punctuation/whitespace — must
+    canonicalize to one), ODD clusters carry three genuinely different
+    captions (the mislabeled-alt-text case). Expected audit rows are
+    known by construction once the pixel lane clusters the twins (the
+    same ±3-noise-within-hamming-6 law the photometric/ssim planted
+    oracles pin)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rows, expect = [], []
+    for i in range(8):
+        r = np.random.default_rng(8800 + i)
+        base = r.integers(30, 220, (32, 32, 3)).astype(np.uint8)
+        if i % 2 == 0:
+            caps = [
+                f"Caption alpha {i}",
+                f"¡caption ALPHA {i}!",
+                f"  caption   alpha {i} ",
+            ]
+        else:
+            caps = [
+                f"caption alpha {i}",
+                f"totally different text {i}",
+                f"yet another caption {i}",
+            ]
+        for t, tag in enumerate("abc"):
+            px = (
+                base
+                if tag == "a"
+                else np.clip(
+                    base.astype(np.int16) + r.integers(-3, 4, base.shape),
+                    0,
+                    255,
+                ).astype(np.uint8)
+            )
+            flat = np.ascontiguousarray(px).reshape(-1)
+            rows.append(
+                (f"cc{i:02d}{tag}", bytearray(flat.tobytes()), 32, 32,
+                 "raw", caps[t],
+                 int(np.int64(np.uint64(phash64(flat, 32, 32)))))
+            )
+        expect.append(
+            (f"cc{i:02d}a", 3, 1 if i % 2 == 0 else 3, i % 2 == 1)
+        )
+    for j in range(4):
+        r = np.random.default_rng(8890 + j)
+        px = r.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        flat = np.ascontiguousarray(px).reshape(-1)
+        rows.append(
+            (f"cs{j:02d}", bytearray(flat.tobytes()), 32, 32, "raw",
+             f"singleton caption {j}",
+             int(np.int64(np.uint64(phash64(flat, 32, 32)))))
+        )
+        expect.append((f"cs{j:02d}", 1, 1, False))
+    return rows, expect
+
+
+def q_caption_conflicts_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal caption-conflict audit (operators/dedup.
+    caption_conflicts): pixel-dup clusters from the pHash lane, then per
+    cluster count distinct CANONICAL captions — decorated same-captions
+    don't conflict, genuinely different ones do. Oracle = expected audit
+    table known by construction."""
+    from datasketches_cpp_spark.operators.dedup import caption_conflicts
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_caption_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("phash",))
+    return caption_conflicts(res["assignments"], images)
+
+
+def _caption_conflicts_oracle_sql() -> str:
+    _, expect = _planted_caption_rows()
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS cluster_id, CAST({m} AS BIGINT) AS n_members, "
+        f"CAST({k} AS BIGINT) AS n_captions, {str(bool(f)).upper()} AS caption_conflict"
+        for c, m, k, f in expect
+    )
+    return rows
+
+
 def q_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard ingest (sources/tarshards.py): the
     deterministic mixed-codec corpus is written as tar shards
@@ -2694,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
         "photometric_dedup_planted": q_photometric_dedup_planted,
         "ssim_gated_dedup_planted": q_ssim_gated_dedup_planted,
+        "caption_conflicts_planted": q_caption_conflicts_planted,
         "tar_shard_ingest": q_tar_shard_ingest,
         "canonical_text_dedup": q_canonical_text_dedup,
         "dedup_policy_agreement": q_dedup_policy_agreement,
@@ -3244,6 +3336,7 @@ def oracle_sql() -> dict[str, str]:
         "ssim_gated_dedup_planted": _planted_truth_sql(
             _planted_ssim_rows()[1]
         ),
+        "caption_conflicts_planted": _caption_conflicts_oracle_sql(),
         "canonical_text_dedup": _canonical_text_dedup_oracle_sql(),
         "dedup_policy_agreement": _dedup_policy_agreement_oracle_sql(),
         "dedup_recall_by_kind": _dedup_recall_oracle_sql(),

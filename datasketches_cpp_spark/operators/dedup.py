@@ -115,3 +115,41 @@ def select_representatives(
         joined.withColumn("rep_id", F.first("id").over(w))
         .withColumn("is_kept", F.col("id") == F.col("rep_id"))
     )
+
+
+def caption_conflicts(
+    assignments: DataFrame,
+    images: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Cross-modal consistency audit for an image+caption corpus: per
+    image CLUSTER, how many distinct canonical captions its members
+    carry. A multi-member cluster whose pixels deduplicate but whose
+    captions disagree (``caption_conflict``) is the classic mislabeled/
+    scraped-alt-text signal — route those clusters to keep-best
+    (select_representatives) or human QA instead of blind collapse.
+
+    Captions compare in canonical form (operators/textnorm.normalized_
+    text: lower → accent fold → punct strip → ws collapse) so trivial
+    decoration differences don't count as conflicts. ONE join to pull
+    captions onto the assignment table and ONE groupBy(cluster) —
+    count + count_distinct, map-side partial agg; nothing else moves."""
+    from .textnorm import normalized_text
+
+    cap = images.select(
+        F.col(id_col).alias("id"),
+        normalized_text(F.col(caption_col)).alias("_cap"),
+    )
+    return (
+        assignments.join(cap, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_distinct("_cap").alias("n_captions"),
+        )
+        .withColumn(
+            "caption_conflict",
+            (F.col("n_members") >= 2) & (F.col("n_captions") >= 2),
+        )
+    )

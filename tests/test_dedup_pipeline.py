@@ -336,3 +336,34 @@ def test_select_representatives_keeps_best(spark):
         4: (5, False), 5: (5, True),                   # higher score wins
         6: (6, True),                                  # singleton
     }
+
+
+def test_caption_conflicts_canonicalization_and_plan(spark):
+    """Decorated same-captions don't conflict; different captions do;
+    one join + one groupBy, no Python in the plan."""
+    from datasketches_cpp_spark.operators.dedup import caption_conflicts
+
+    assignments = spark.createDataFrame(
+        [("a1", "c0"), ("a2", "c0"), ("b1", "c1"), ("b2", "c1"), ("s", "s")],
+        "id string, cluster_id string",
+    )
+    images = spark.createDataFrame(
+        [
+            ("a1", "Hello World"),
+            ("a2", "  hello   WORLD!! "),
+            ("b1", "a cat"),
+            ("b2", "a dog"),
+            ("s", "alone"),
+        ],
+        "image_id string, caption string",
+    )
+    out = caption_conflicts(assignments, images)
+    got = {r.cluster_id: (r.n_members, r.n_captions, r.caption_conflict)
+           for r in out.collect()}
+    assert got == {
+        "c0": (2, 1, False),
+        "c1": (2, 2, True),
+        "s": (1, 1, False),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
