@@ -1319,6 +1319,16 @@ def q_lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_scores(docs, "doc_id", "text", ppl_threshold=50.0)
 
 
+def q_zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (operators/textstats.zipf_fit): log-log
+    least squares over the top-1000 word frequencies — slope/R² as the
+    corpus-health tripwire. One shuffle + a bounded head; the fit is
+    Catalyst regr_* aggregates."""
+    from datasketches_cpp_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text")
+
+
 def q_gopher_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (operators/curation.gopher_quality_flags,
     Rae et al. 2021 A1.1): word-count/mean-word-length/symbol-ratio/
@@ -2765,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_train": q_decontaminate_train,
         "repetition_ratio_stats": q_repetition_ratio_stats,
         "c4_filter_flags": q_c4_filter_flags,
+        "zipf_corpus_fit": q_zipf_corpus_fit,
         "gopher_filter_flags": q_gopher_filter_flags,
         "lm_perplexity_quality": q_lm_perplexity_quality,
         "data_mixing_weights": q_data_mixing_weights,
@@ -3207,6 +3218,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, f_terminal, f_min_words, f_word_len, f_no_brace, f_no_lorem, f_no_js, "
             "(f_terminal AND f_min_words AND f_word_len AND f_no_brace AND f_no_lorem AND f_no_js) AS c4_keep "
             "FROM r"
+        ),
+        "zipf_corpus_fit": (
+            "WITH w AS (SELECT unnest(list_filter("
+            "  string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w FROM documents), "
+            "c AS (SELECT w, count(*) AS n FROM w GROUP BY 1), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types, "
+            "  CAST(sum(n) AS BIGINT) AS n_tokens FROM c), "
+            "top AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank "
+            "  FROM c ORDER BY n DESC, w LIMIT 1000), "
+            "fit AS (SELECT round(regr_slope(log10(n), log10(rank)), 6) AS zipf_slope, "
+            "  round(regr_intercept(log10(n), log10(rank)), 6) AS zipf_intercept, "
+            "  round(regr_r2(log10(n), log10(rank)), 6) AS zipf_r2 FROM top) "
+            "SELECT n_types, n_tokens, zipf_slope, zipf_intercept, zipf_r2 FROM tot, fit"
         ),
         "gopher_filter_flags": (
             "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' the cat and the dog have fun' ELSE text END AS text FROM documents), " 

@@ -238,3 +238,48 @@ def exact_ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Corpus-health diagnostic: least-squares fit of log10(frequency)
+    against log10(rank) over the ``top_n`` most frequent words — natural
+    language tracks Zipf's law with slope ≈ −1; synthetic, templated, or
+    collapsed corpora diverge (flat slope = uniform vocab, steep =
+    boilerplate domination), which makes the slope + R² a cheap
+    before/after tripwire for every curation stage upstream.
+
+    One explode→groupBy(word) shuffle for the frequency table, a
+    bounded orderBy().limit(top_n) for the head (driver never sees
+    rows; the single-partition window ranks only the capped head — the
+    cc.py bounded-materialization discipline), and the fit itself is
+    Catalyst's regr_slope/regr_intercept/regr_r2 aggregates. Returns
+    ONE row: (n_types, n_tokens, zipf_slope, zipf_intercept, zipf_r2).
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: w != F.lit(""),
+    )
+    counts = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+    )
+    head = counts.orderBy(F.desc("n"), F.asc("w")).limit(top_n)
+    ranked = head.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w"))),
+    )
+    y = F.log10(F.col("n").cast("double"))
+    x = F.log10(F.col("rank").cast("double"))
+    fit = ranked.agg(
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
+    )
+    return totals.crossJoin(F.broadcast(fit))
