@@ -133,4 +133,28 @@ print(
     pii.where(F.col("n_email") > 0).count(),
     "(all redacted to <PII>)",
 )
+
+# -- round 4 session 4: LM perplexity, Gopher rules, mixing, Zipf ------------
+from datasketches_cpp_spark.operators.curation import (
+    gopher_quality_flags,
+    mixing_weights,
+    ngram_lm_scores,
+)
+from datasketches_cpp_spark.operators.textstats import zipf_fit
+
+ppl = ngram_lm_scores(train, "doc_id", "text", ppl_threshold=50.0)
+print(
+    "bigram-LM perplexity: median ppl =",
+    ppl.agg(F.expr("percentile(ppl, 0.5)")).collect()[0][0],
+)
+gq = gopher_quality_flags(train, "text", min_words=20)
+print("gopher keep rate =",
+      round(gq.agg(F.avg(F.col("gopher_keep").cast("int"))).collect()[0][0], 3))
+mix = mixing_weights(
+    with_token_count(train, "text", "tokens"), "lang", "tokens",
+    {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1},
+    budget_tokens=1_000_000,
+)
+print("mixing weights:", {r.lang: r.weight for r in mix.collect()})
+print("zipf fit:", zipf_fit(train, "text").collect()[0].asDict())
 spark.stop()
