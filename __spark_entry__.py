@@ -2416,6 +2416,71 @@ def _planted_caption_rows():
     return rows, expect
 
 
+def _planted_gradient_rows():
+    """Planted lighting-edit corpus: 10 originals + a smooth vertical
+    lighting-ramp twin each (per-row constant 0..55, no clipping from
+    the [30,200] base range) + 5 distinct singletons. The ramp preserves
+    the 8×9 gradient-sign dHash BIT-FOR-BIT (per-row constants cancel in
+    every horizontal block-mean comparison — sigkernel.dhash64_batch)
+    while moving the block-mean pHash 22-34 bits, far past any sane
+    hamming radius — worse, the shared ramp DOMINATES the block-vs-
+    median bits and glues unrelated twins to each other. Only the dhash
+    lane recovers the true pairs; tests/test_imagededup pins both
+    failure modes as the contrast law."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rows, truth = [], {}
+    for i in range(10):
+        r = np.random.default_rng(6600 + i)
+        base = r.integers(30, 200, (32, 32, 3)).astype(np.uint8)
+        ramp = (np.arange(32, dtype=np.int16) * 55) // 31
+        lit = np.clip(
+            base.astype(np.int16) + ramp[:, None, None], 0, 255
+        ).astype(np.uint8)
+        for tag, px in [("a", base), ("b", lit)]:
+            flat = np.ascontiguousarray(px).reshape(-1)
+            iid = f"gr{i:02d}{tag}"
+            rows.append(
+                (iid, bytearray(flat.tobytes()), 32, 32, "raw",
+                 f"caption gradient {i} {tag}",
+                 int(np.int64(np.uint64(phash64(flat, 32, 32)))))
+            )
+            truth[iid] = f"gr{i:02d}a"
+    for j in range(5):
+        r = np.random.default_rng(6690 + j)
+        px = r.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        flat = np.ascontiguousarray(px).reshape(-1)
+        iid = f"gs{j:02d}"
+        rows.append(
+            (iid, bytearray(flat.tobytes()), 32, 32, "raw",
+             f"caption gradient single {j}",
+             int(np.int64(np.uint64(phash64(flat, 32, 32)))))
+        )
+        truth[iid] = iid
+    return rows, truth
+
+
+def q_gradient_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lighting-ramp-robust image dedup via the gradient-sign dHash lane
+    (operators/imagededup.with_dhash + the fused band machinery): the
+    planted vertical-ramp twins keep their dHash bit-for-bit while
+    their block-mean pHash moves ~20 bits, so enable_lanes=("dhash",)
+    recovers exactly the planted clusters. Oracle = planted truth."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    rows, _ = _planted_gradient_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    res = dedup_images(images, SigConfig(phash_hamming=6),
+                       enable_lanes=("dhash",))
+    return res["assignments"]
+
+
 def q_caption_conflicts_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal caption-conflict audit (operators/dedup.
     caption_conflicts): pixel-dup clusters from the pHash lane, then per
@@ -2796,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
         "photometric_dedup_planted": q_photometric_dedup_planted,
         "ssim_gated_dedup_planted": q_ssim_gated_dedup_planted,
+        "gradient_dedup_planted": q_gradient_dedup_planted,
         "caption_conflicts_planted": q_caption_conflicts_planted,
         "tar_shard_ingest": q_tar_shard_ingest,
         "canonical_text_dedup": q_canonical_text_dedup,
@@ -3359,6 +3425,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ssim_gated_dedup_planted": _planted_truth_sql(
             _planted_ssim_rows()[1]
+        ),
+        "gradient_dedup_planted": _planted_truth_sql(
+            _planted_gradient_rows()[1]
         ),
         "caption_conflicts_planted": _caption_conflicts_oracle_sql(),
         "canonical_text_dedup": _canonical_text_dedup_oracle_sql(),

@@ -157,6 +157,42 @@ def with_content_phash(
     ).mapInPandas(run, "image_id string, phash long")
 
 
+def with_dhash(
+    images: DataFrame,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id, bytes, w, h, fmt) → (id, dhash): the 8×9 gradient-sign
+    difference hash (sigkernel.dhash64_batch) — bit-exactly invariant
+    to any per-pixel-row constant edit (smooth vertical lighting ramps,
+    scanline gain), which flips ~20 block-mean pHash bits. Feed to
+    phash_pairs(phash_col="dhash") for the complementary lane; same
+    ONE-narrow-mapInPandas shape as with_content_phash (decode batched
+    per uniform shape group, 16 bytes/row out, no shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import _decode_block, _shape_groups
+    from .sigkernel import dhash64_batch, gray_sum_batch
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for idx, w, h, fmt in _shape_groups(pdf):
+                px = _decode_block(pdf["bytes"].iloc[idx].tolist(), w, h, fmt)
+                dh = dhash64_batch(gray_sum_batch(px, w, h))
+                yield pd.DataFrame(
+                    {
+                        "image_id": pdf[id_col].iloc[idx].to_numpy(),
+                        "dhash": dh.view(np.int64),
+                    }
+                )
+
+    return images.select(
+        F.col(id_col).alias(id_col), "bytes", "w", "h", "fmt"
+    ).mapInPandas(run, "image_id string, dhash long")
+
+
 def phash_pairs(
     images: DataFrame,
     cfg: SigConfig,
@@ -299,6 +335,20 @@ def dedup_images(
         ph_ver = _bar("phash_pairs", phash_pairs(ph_src, cfg, max_pairs_group=max_pairs_group, hot_policy=hot_policy))
         out["phash_pairs"] = ph_ver
         edge_parts.append(("phash", ph_ver.select("a", "b")))
+
+    if "dhash" in enable_lanes:
+        # gradient-sign lane: catches smooth-lighting edits the block-mean
+        # pHash misses (see with_dhash); same fused band machinery, the
+        # 64-bit dhash rides the shuffle as the verify payload
+        dh_ver = _bar(
+            "dhash_pairs",
+            phash_pairs(
+                with_dhash(images), cfg, phash_col="dhash",
+                max_pairs_group=max_pairs_group, hot_policy=hot_policy,
+            ),
+        )
+        out["dhash_pairs"] = dh_ver
+        edge_parts.append(("dhash", dh_ver.select("a", "b")))
 
     if "substring" in enable_lanes:
         sub = _bar("substring_pairs", substring_pairs(images, "image_id", "caption", cfg))

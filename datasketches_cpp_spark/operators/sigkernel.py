@@ -560,3 +560,35 @@ def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Lane-agreement Jaccard estimate for aligned MinHash matrices
     (n, k) × (n, k) → (n,) — the batched S7 verification kernel."""
     return (sig_a == sig_b).mean(axis=1)
+
+
+def dhash64_batch(gray: np.ndarray) -> np.ndarray:
+    """(m, h, w) grayscale (channel-sum ints from gray_sum_batch) →
+    (m,) uint64 difference hashes: 8×9 grid of block means (integral
+    image, same machinery as phash64_box_batch), bit (r, c) set iff
+    mean[r, c+1] > mean[r, c] — the classic dHash gradient-sign hash.
+
+    The signal is complementary to the block-mean pHash: any edit that
+    adds a CONSTANT PER PIXEL ROW (smooth vertical lighting ramp,
+    vignette band, scanline gain) shifts every column's mean within a
+    row band by the same amount, so all 64 horizontal comparisons — and
+    the hash — are preserved EXACTLY (integer sums stay exact in
+    float64 below 2^53), while the pHash's block-vs-median bits flip
+    with the band offsets. tests/test_imagededup pins both laws.
+    Requires h ≥ 8, w ≥ 9."""
+    m, h, w = gray.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash64 needs h >= 8 and w >= 9, got {h}x{w}")
+    S = np.zeros((m, h + 1, w + 1), dtype=np.float64)
+    S[:, 1:, 1:] = gray.cumsum(axis=1).cumsum(axis=2)
+    ry = (np.arange(9, dtype=np.int64) * h) // 8
+    rx = (np.arange(10, dtype=np.int64) * w) // 9
+    G = S[:, ry][:, :, rx]                                    # (m, 9, 10)
+    sums = G[:, 1:, 1:] - G[:, :-1, 1:] - G[:, 1:, :-1] + G[:, :-1, :-1]
+    hh = (ry[1:] - ry[:-1])[None, :, None].astype(np.float64)
+    ww = (rx[1:] - rx[:-1])[None, None, :].astype(np.float64)
+    means = sums / (hh * ww)                                  # (m, 8, 9)
+    bits = np.ascontiguousarray(
+        (means[:, :, 1:] > means[:, :, :-1]).astype(np.uint8).reshape(m, 64)
+    )
+    return np.packbits(bits, axis=1, bitorder="little").view("<u8").ravel()
