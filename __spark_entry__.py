@@ -1484,14 +1484,16 @@ def q_audio_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _planted_codec_video_rows():
     """Planted video corpus where each noisy twin ships in a DIFFERENT
-    container/codec than its original: originals are rawv, twins
-    alternate between uncompressed-DIB AVI and MJPEG AVI (DHT-less
-    baseline JPEG frames, operators/avicodec + jpegcodec). Truth is known
-    by construction, so the oracle hash gates the whole codec stack →
-    frame pHash → band lane → CC chain."""
+    container/codec than its original: originals are rawv, twins rotate
+    through MJPEG AVI (DHT-less baseline JPEG frames), uncompressed-DIB
+    AVI, motion-JPEG MP4, and 'raw ' MP4 (operators/avicodec +
+    mp4codec + jpegcodec). Truth is known by construction, so the
+    oracle hash gates the whole codec stack → frame pHash → band lane →
+    CC chain."""
     import numpy as np
 
     from datasketches_cpp_spark.operators.avicodec import encode_avi
+    from datasketches_cpp_spark.operators.mp4codec import encode_mp4
 
     w = h = 16
     frames = 8
@@ -1511,12 +1513,17 @@ def _planted_codec_video_rows():
         return b"".join(out)
 
     rows, truth = [], {}
-    for i in range(12):
+    twin_codecs = ("avi:mjpg", "avi:dib", "mp4:jpeg", "mp4:raw")
+    for i in range(16):
         vid = f"cv{i:05d}"
         if i % 4 == 3:
-            codec = "mjpg" if (i // 4) % 2 == 0 else "dib"
-            avi = encode_avi(make(i - 1, True), w, h, frames, codec=codec)
-            rows.append((vid, avi, w, h, "avi"))
+            container, codec = twin_codecs[(i // 4) % 4].split(":")
+            twin = make(i - 1, True)
+            if container == "avi":
+                buf = encode_avi(twin, w, h, frames, codec=codec)
+            else:
+                buf = encode_mp4(twin, w, h, frames, codec=codec)
+            rows.append((vid, buf, w, h, container))
             truth[vid] = f"cv{i - 1:05d}"
         else:
             rows.append((vid, make(i, False), w, h, "rawv"))

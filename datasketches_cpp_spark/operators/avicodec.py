@@ -214,6 +214,11 @@ def to_rawv(buf: bytes, fmt: str) -> tuple[bytes, int | None, int | None]:
     if fmt == "avi":
         raw, w, h, _n = decode_avi(buf)
         return raw, w, h
+    if fmt in ("mp4", "mov", "m4v"):
+        from .mp4codec import decode_mp4
+
+        raw, w, h, _n = decode_mp4(buf)
+        return raw, w, h
     if fmt == "gif":
         from .gifcodec import decode_gif_frames
 
@@ -222,6 +227,6 @@ def to_rawv(buf: bytes, fmt: str) -> tuple[bytes, int | None, int | None]:
     raise NotImplementedError(
         f"video decode for fmt={fmt!r} requires a codec not present in this "
         "environment; supported here: 'rawv' (concatenated raw RGB frames), "
-        "'avi' (uncompressed 24-bit DIB or MJPEG), 'gif' (animated, "
-        "composited frames)"
+        "'avi' (uncompressed 24-bit DIB or MJPEG), 'mp4'/'mov' (motion-JPEG "
+        "or 'raw ' ISO-BMFF tracks), 'gif' (animated, composited frames)"
     )
