@@ -1549,11 +1549,13 @@ def q_codec_video_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _planted_codec_audio_rows():
     """Planted audio corpus where twins ship as compressed/containered
-    WAV: originals are raw pcm16, twins rotate through G.711 mu-law,
-    A-law, and IMA ADPCM RIFF files (operators/audiocodec)."""
+    files: originals are raw pcm16, twins rotate through G.711 mu-law,
+    A-law, IMA ADPCM RIFF files (operators/audiocodec) and lossless
+    FLAC (operators/flaccodec)."""
     import numpy as np
 
     from datasketches_cpp_spark.operators.audiocodec import encode_wav
+    from datasketches_cpp_spark.operators.flaccodec import encode_flac
 
     window, frames = 1024, 8
 
@@ -1565,15 +1567,19 @@ def _planted_codec_audio_rows():
         )
         return (np.clip(x, -1, 1) * 20000).astype("<i2")
 
-    codecs = ("mulaw", "alaw", "ima_adpcm")
+    codecs = ("mulaw", "alaw", "ima_adpcm", "flac", "flac_lpc")
     rows, truth = [], {}
-    for i in range(12):
+    for i in range(15):
         aid = f"ca{i:05d}"
         if i % 3 == 2:
             base = 40 + 17 * (i - 1)
             pcm = make((base, base + 70, base + 160))
-            wav = encode_wav(pcm, 16000, codec=codecs[(i // 3) % 3])
-            rows.append((aid, wav, "wav"))
+            codec = codecs[(i // 3) % 5]
+            if codec.startswith("flac"):
+                buf = encode_flac(pcm, 16000, lpc=codec.endswith("lpc"))
+                rows.append((aid, buf, "flac"))
+            else:
+                rows.append((aid, encode_wav(pcm, 16000, codec=codec), "wav"))
             truth[aid] = f"ca{i - 1:05d}"
         else:
             base = 40 + 17 * i

@@ -449,8 +449,12 @@ def to_pcm16(buf: bytes, fmt: str) -> bytes:
         return buf
     if fmt == "wav":
         return decode_wav(buf)[0].tobytes()
+    if fmt == "flac":
+        from .flaccodec import decode_flac
+
+        return decode_flac(buf)[0].tobytes()
     raise NotImplementedError(
         f"audio decode for fmt={fmt!r} requires a codec not present in this "
         "environment; supported here: 'pcm16' (raw mono), 'wav' (RIFF: "
-        "integer/float PCM, G.711, IMA ADPCM)"
+        "integer/float PCM, G.711, IMA ADPCM), 'flac' (lossless)"
     )
