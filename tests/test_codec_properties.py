@@ -185,3 +185,82 @@ def test_gif_roundtrip_property(w, h, ncolors, interlace, seed):
     back, dw, dh = decode_gif(encode_gif(px, w, h, interlace=interlace))
     assert (dw, dh) == (w, h)
     assert np.array_equal(back, px)
+
+
+# -- FLAC ---------------------------------------------------------------------
+
+from datasketches_cpp_spark.operators.flaccodec import decode_flac, encode_flac
+
+
+@settings(max_examples=30, deadline=None)
+@given(_pcm, st.booleans(), st.sampled_from([192, 576, 4096]))
+def test_flac_mono_lossless_properties(samples, lpc, blocksize):
+    pcm = np.asarray(samples, "<i2")
+    back, rate = decode_flac(
+        encode_flac(pcm, 8000, blocksize=blocksize, lpc=lpc)
+    )
+    assert rate == 8000
+    assert np.array_equal(back, pcm)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-32768, max_value=32767),
+            st.integers(min_value=-32768, max_value=32767),
+        ),
+        min_size=1,
+        max_size=2000,
+    ),
+    st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    st.booleans(),
+)
+def test_flac_stereo_lossless_properties(pairs, mode, lpc):
+    st2 = np.asarray(pairs, "<i2")
+    back, _ = decode_flac(
+        encode_flac(st2, 8000, channels=2, stereo_mode=mode, lpc=lpc)
+    )
+    exp = np.clip(
+        np.round(np.mean(st2.astype(np.int64), axis=1)), -32768, 32767
+    ).astype("<i2")
+    assert np.array_equal(back, exp)
+
+
+# -- MP4 ----------------------------------------------------------------------
+
+from datasketches_cpp_spark.operators.mp4codec import decode_mp4, encode_mp4
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_mp4_raw_roundtrip_properties(n, w, h, seed):
+    g = np.random.default_rng(seed)
+    rawv = g.integers(0, 256, n * h * w * 3, dtype=np.uint8).tobytes()
+    out, ow, oh, on = decode_mp4(encode_mp4(rawv, w, h, n, codec="raw"))
+    assert (ow, oh, on) == (w, h, n)
+    assert out == rawv
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_mp4_jpeg_roundtrip_properties(n, seed):
+    w = h = 16
+    g = np.random.default_rng(seed)
+    base = g.integers(0, 256, (n, h // 4, w // 4, 3), dtype=np.uint8)
+    rawv = np.repeat(np.repeat(base, 4, axis=1), 4, axis=2).tobytes()
+    out, ow, oh, on = decode_mp4(
+        encode_mp4(rawv, w, h, n, codec="jpeg", quality=97)
+    )
+    assert (ow, oh, on) == (w, h, n)
+    assert _snr(
+        np.frombuffer(rawv, np.uint8), np.frombuffer(out, np.uint8)
+    ) >= 30.0
