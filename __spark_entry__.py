@@ -1600,6 +1600,107 @@ def q_codec_audio_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_audio(audio, min_shared=8)["assignments"]
 
 
+def _planted_video_containment_rows():
+    """Planted excerpt corpus: two 24-frame containers, one 8-frame clip
+    cut from frames 8..15 of the first (with seeded pixel noise), one
+    unrelated 8-frame decoy. Truth — (clip, container, offset, lengths)
+    — is known by construction."""
+    import numpy as np
+
+    w = h = 16
+
+    def vid(seeds, noise_seed=None):
+        gn = (
+            np.random.default_rng(noise_seed)
+            if noise_seed is not None
+            else None
+        )
+        out = []
+        for s in seeds:
+            g = np.random.default_rng(s)
+            base = g.integers(0, 256, (h // 4, w // 4, 3), dtype=np.uint8)
+            f = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+            if gn is not None:
+                f = np.clip(
+                    f.astype(np.int16) + gn.integers(-2, 3, f.shape), 0, 255
+                ).astype(np.uint8)
+            out.append(f.tobytes())
+        return b"".join(out)
+
+    rows = [
+        ("vc_long_a", vid(range(300, 324)), w, h, "rawv"),
+        ("vc_clip_a", vid(range(308, 316), noise_seed=5), w, h, "rawv"),
+        ("vc_long_b", vid(range(700, 724)), w, h, "rawv"),
+        ("vc_decoy", vid(range(950, 958)), w, h, "rawv"),
+    ]
+    truth = [("vc_clip_a", "vc_long_a", 8, 8, 24)]
+    return rows, truth
+
+
+def q_video_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-in-video excerpt detection (videodedup.video_containment,
+    Wang-2003 offset voting over frame pHashes): the planted 8-frame
+    clip must be found inside its 24-frame container at frame offset 8,
+    with no false containments among decoys — truth by construction."""
+    from datasketches_cpp_spark.operators.videodedup import video_containment
+
+    rows, _ = _planted_video_containment_rows()
+    videos = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    res = video_containment(videos, SigConfig(phash_hamming=6))
+    return res.select(
+        "clip_id", "container_id", "frame_offset", "clip_frames",
+        "container_frames",
+    )
+
+
+def _planted_audio_containment_rows():
+    """Planted excerpt corpus: a 24-frame track with per-frame distinct
+    spectra, an 8-frame clip = track frames 10..17 (window-aligned, so
+    landmarks recur at one offset), and an unrelated decoy."""
+    import numpy as np
+
+    window = 1024
+
+    def tone_frames(bins_per_frame) -> bytes:
+        t = np.arange(window)
+        out = []
+        for bins in bins_per_frame:
+            x = sum(
+                a * np.sin(2 * np.pi * b * t / window)
+                for b, a in zip(bins, (1.0, 0.8, 0.6))
+            )
+            out.append((np.clip(x, -1, 1) * 20000).astype("<i2").tobytes())
+        return b"".join(out)
+
+    track_bins = [(30 + 11 * i, 130 + 7 * i, 260 + 5 * i) for i in range(24)]
+    rows = [
+        ("ac_track", tone_frames(track_bins), "pcm16"),
+        ("ac_clip", tone_frames(track_bins[10:18]), "pcm16"),
+        ("ac_decoy", tone_frames(
+            [(37 + 13 * i, 171 + 9 * i, 301 + 3 * i) for i in range(8)]
+        ), "pcm16"),
+    ]
+    truth = [("ac_clip", "ac_track", 10)]
+    return rows, truth
+
+
+def q_audio_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-in-track excerpt detection (audiodedup.audio_containment —
+    the Shazam/Wang-2003 time-offset histogram over constellation
+    landmarks): the planted window-aligned excerpt must be localized at
+    frame offset 10 with no false hits — truth by construction."""
+    from datasketches_cpp_spark.operators.audiodedup import audio_containment
+
+    rows, _ = _planted_audio_containment_rows()
+    audio = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, fmt string"
+    )
+    res = audio_containment(audio, min_aligned=5)
+    return res.select("clip_id", "track_id", "frame_offset")
+
+
 _SEM_N = 48
 
 
@@ -2862,6 +2963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_planted": q_audio_dedup_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
         "codec_video_dedup_planted": q_codec_video_dedup_planted,
+        "video_containment_planted": q_video_containment_planted,
+        "audio_containment_planted": q_audio_containment_planted,
         "codec_audio_dedup_planted": q_codec_audio_dedup_planted,
         "line_dedup_planted": q_line_dedup_planted,
         "pii_redaction_planted": q_pii_redaction_planted,
@@ -3385,6 +3488,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "codec_audio_dedup_planted": _planted_truth_sql(
             _planted_codec_audio_rows()[1]
+        ),
+        "video_containment_planted": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{c}', '{t}', {o}, {cf}, {tf})"
+                for c, t, o, cf, tf in _planted_video_containment_rows()[1]
+            )
+            + ") AS t(clip_id, container_id, frame_offset, clip_frames,"
+            " container_frames)"
+        ),
+        "audio_containment_planted": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{c}', '{t}', {o})"
+                for c, t, o in _planted_audio_containment_rows()[1]
+            )
+            + ") AS t(clip_id, track_id, frame_offset)"
         ),
         "line_dedup_planted": (
             "WITH lines AS ("

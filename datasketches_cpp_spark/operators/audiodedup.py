@@ -176,3 +176,176 @@ def dedup_audio(
     edges = pairs.select(F.col("audio_a").alias("a"), F.col("audio_b").alias("b"))
     assignments = assign_clusters(audio.select(F.col(id_col).alias("id")), edges)
     return {"assignments": assignments, "pairs": pairs, "landmarks": lm}
+
+
+def audio_landmarks_timed(
+    audio: DataFrame,
+    id_col: str = "audio_id",
+    window: int = 1024,
+    peaks_per_frame: int = 3,
+    fan_dt: int = 3,
+) -> DataFrame:
+    """(id, landmark:long, t:int) — spectral landmarks WITH their anchor
+    frame index, keeping every distinct (landmark, t) occurrence per
+    clip (audio_landmarks collapses to the distinct landmark set, which
+    is what near-twin scoring needs; offset voting needs the times).
+    Same batch-vectorized kernel: one rFFT per buffer-length group, the
+    per-clip dedup is one lexsort-segment pass over a packed
+    (landmark << 20 | t) composite — no per-row Python."""
+    schema = f"{id_col} string, landmark long, t int"
+    cols = [id_col, "bytes", "fmt"]
+    k = peaks_per_frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audiocodec import to_pcm16
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.assign(
+                bytes=[
+                    to_pcm16(bytes(b), f)
+                    for b, f in zip(pdf["bytes"], pdf["fmt"])
+                ]
+            )
+            lens = pdf["bytes"].map(len)
+            for blen, idx in pdf.groupby(lens, sort=False).indices.items():
+                idx = np.asarray(idx)
+                n_frames = (int(blen) // 2) // window
+                if n_frames < 2 or n_frames >= (1 << 20):
+                    if n_frames >= (1 << 20):
+                        raise ValueError(
+                            "clip too long for the packed (landmark, t) "
+                            f"composite: {n_frames} frames >= 2^20"
+                        )
+                    continue
+                ids = pdf[id_col].iloc[idx].to_numpy()
+                pcm = np.frombuffer(
+                    b"".join(pdf["bytes"].iloc[idx].tolist()), dtype="<i2"
+                ).astype(np.float32)
+                frames = pcm.reshape(len(idx), -1)[
+                    :, : n_frames * window
+                ].reshape(len(idx), n_frames, window)
+                mag = np.abs(np.fft.rfft(frames, axis=2))
+                mag[:, :, 0] = 0.0
+                peaks = np.sort(
+                    np.argpartition(mag, -k, axis=2)[:, :, -k:], axis=2
+                ).astype(np.int64)
+                packed = []
+                for d in range(1, min(fan_dt, n_frames - 1) + 1):
+                    f1 = peaks[:, :-d, :, None]
+                    f2 = peaks[:, d:, None, :]
+                    h = (f1 << 24) | (f2 << 8) | d       # (m, T-d, k, k)
+                    t = np.broadcast_to(
+                        np.arange(n_frames - d, dtype=np.int64)[
+                            None, :, None, None
+                        ],
+                        h.shape,
+                    )
+                    packed.append(
+                        ((h << 20) | t).reshape(len(idx), -1)
+                    )
+                allp = np.concatenate(packed, axis=1)
+                sh = np.sort(allp, axis=1)
+                keep = np.ones(sh.shape, dtype=bool)
+                keep[:, 1:] = sh[:, 1:] != sh[:, :-1]
+                vals = sh[keep]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(ids, keep.sum(axis=1)),
+                        "landmark": vals >> 20,
+                        "t": (vals & ((1 << 20) - 1)).astype(np.int32),
+                    }
+                )
+
+    return audio.select(cols).mapInPandas(run, schema)
+
+
+def audio_containment(
+    audio: DataFrame,
+    id_col: str = "audio_id",
+    window: int = 1024,
+    peaks_per_frame: int = 3,
+    fan_dt: int = 3,
+    min_aligned: int = 6,
+    max_entries_per_landmark: int = 64,
+) -> DataFrame:
+    """Clip-in-track (excerpt / sample) detection: (clip_id, track_id,
+    aligned_anchors, frame_offset) for oriented pairs where landmarks
+    anchored at ≥ ``min_aligned`` DISTINCT clip frames recur in the
+    track AT ONE CONSISTENT frame offset — the Wang 2003 time-offset histogram that
+    makes constellation fingerprints excerpt-robust, which shared-count
+    scoring (audio_pairs) approximates but cannot localize.
+
+    Plan shape: one groupBy(landmark) shuffle (entries capped at
+    ``max_entries_per_landmark`` — a landmark that common is spectral
+    boilerplate, the same deterministic hot rule as audio_pairs), ordered
+    within-group pair expansion in JVM array algebra, then two narrow
+    aggs (offset votes via countDistinct(clip anchor time), best offset
+    via max(struct)) and a per-clip span join. The track must be at
+    least as long (in landmark span) as the clip.
+
+    Frames are non-overlapping ``window``-sample slices, so detection is
+    at window granularity: excerpts cut mid-window shift every rFFT
+    frame and won't vote coherently (the standard fix is overlapping
+    frames at 2-4x the row count; this lane keeps the near-twin kernel's
+    framing and documents the trade)."""
+    lm = audio_landmarks_timed(
+        audio,
+        id_col=id_col,
+        window=window,
+        peaks_per_frame=peaks_per_frame,
+        fan_dt=fan_dt,
+    )
+    span = lm.groupBy(F.col(id_col).alias("sid")).agg(
+        F.max("t").alias("t_span")
+    )
+    grouped = (
+        lm.groupBy("landmark")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "t")).alias("es"))
+        .where(
+            (F.size("es") >= 2) & (F.size("es") <= max_entries_per_landmark)
+        )
+    )
+    pairs = (
+        grouped.select(F.explode("es").alias("ea"), "es")
+        .select("ea", F.explode("es").alias("eb"))
+        .where(F.col("ea.id") != F.col("eb.id"))
+    )
+    votes = pairs.select(
+        F.col("ea.id").alias("clip_id"),
+        F.col("eb.id").alias("track_id"),
+        (F.col("eb.t") - F.col("ea.t")).alias("dt"),
+        F.col("ea.t").alias("clip_t"),
+    ).groupBy("clip_id", "track_id", "dt").agg(
+        F.countDistinct("clip_t").alias("aligned")
+    )
+    best = (
+        votes.groupBy("clip_id", "track_id")
+        .agg(F.max(F.struct("aligned", "dt")).alias("best"))
+        .select(
+            "clip_id",
+            "track_id",
+            F.col("best.aligned").alias("aligned_anchors"),
+            F.col("best.dt").alias("frame_offset"),
+        )
+    )
+    out = (
+        best.join(
+            span.select(
+                F.col("sid").alias("clip_id"), F.col("t_span").alias("clip_span")
+            ),
+            "clip_id",
+        )
+        .join(
+            span.select(
+                F.col("sid").alias("track_id"),
+                F.col("t_span").alias("track_span"),
+            ),
+            "track_id",
+        )
+    )
+    return out.where(
+        (F.col("aligned_anchors") >= min_aligned)
+        & (F.col("track_span") >= F.col("clip_span"))
+    ).select("clip_id", "track_id", "aligned_anchors", "frame_offset")

@@ -179,11 +179,12 @@ def sample_frames(
 ) -> DataFrame:
     """(video_id, frame_idx, bytes, w, h, fmt) — every k-th frame.
     fmt='rawv' means concatenated raw RGB frames (n_frames × h × w × 3);
-    fmt='avi' parses uncompressed 24-bit DIB AVI containers
-    (operators/avicodec.py) into the same layout; fmt='gif' composites
-    animated GIFs (operators/gifcodec.py); compressed container
-    codecs (mp4 etc.) raise NotImplementedError at the decode seam,
-    exactly like image codecs. Frame extraction is one buffer slice per
+    fmt='avi' parses uncompressed 24-bit DIB or MJPEG AVI containers
+    (operators/avicodec.py) into the same layout; fmt='mp4'/'mov' parses
+    ISO-BMFF motion-JPEG and 'raw ' tracks (operators/mp4codec.py);
+    fmt='gif' composites animated GIFs (operators/gifcodec.py);
+    compressed bitstream codecs (avc1 etc.) raise NotImplementedError at
+    the decode seam, exactly like image codecs. Frame extraction is one buffer slice per
     emitted frame (inherently per-output-row: each frame is its own
     binary payload)."""
     schema = f"{id_col} string, frame_idx int, bytes binary, w int, h int, fmt string"

@@ -145,3 +145,122 @@ def dedup_videos(
         videos.select(F.col(id_col).alias("id")), edges
     )
     return {"assignments": assignments, "pairs": pairs, "frame_phashes": ph}
+
+
+def video_containment(
+    videos: DataFrame,
+    cfg: SigConfig | None = None,
+    id_col: str = "video_id",
+    every_k: int = 1,
+    min_match_frac: float = 0.8,
+    min_aligned_frames: int = 2,
+    max_pairs_group: int = 256,
+    hot_policy: str = "chain_hub",
+) -> DataFrame:
+    """Clip-in-video (excerpt) detection: (clip_id, container_id,
+    aligned_frames, clip_frames, match_frac, frame_offset) for every
+    oriented pair where ≥ ``min_match_frac`` of the clip's sampled
+    frames match the container's frames (within cfg.phash_hamming) AT A
+    SINGLE CONSISTENT temporal offset — the Wang-2003 offset-voting
+    histogram applied to frame pHashes, which near-twin pair scoring
+    (video_pairs) cannot express: a 30 s clip inside a 2 h video shares
+    a tiny fraction of the long video's frames but 100% of its own, all
+    at one offset.
+
+    Plan shape: the SAME fused one-shuffle band lane as video_pairs
+    (frame pHashes ride the band shuffle as 8-byte payloads), then two
+    narrow aggs: offset votes = countDistinct(clip frame) per (clip,
+    container, dt), best offset per oriented pair via max(struct), and
+    a per-video frame-count join (video-cardinality, not
+    frame-cardinality). Nothing materializes on the driver.
+
+    Containment is frame-index alignment, so the default every_k=1
+    hashes every frame (pHash rows are 8 bytes — frames never leave the
+    signature stage); a stride samples both sides on the same lattice
+    and misses excerpts whose offset is not a multiple of the stride.
+    Self-pairs are excluded; equal-length twins qualify in both
+    orientations (containment is reflexive on duplicates) — callers
+    wanting strict excerpts filter clip_frames < container_frames."""
+    cfg = cfg or SigConfig()
+    frames = sample_frames(videos, every_k=every_k, id_col=id_col)
+    ph = with_frame_phash(frames, id_col=id_col)
+    n_frames = ph.groupBy(F.col(id_col).alias("vid")).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+
+    fid = F.concat_ws(_SEP, F.col(id_col), F.col("frame_idx"))
+    frame_pairs = phash_pairs(
+        ph.select(fid.alias("fid"), "phash"),
+        cfg,
+        id_col="fid",
+        phash_col="phash",
+        max_pairs_group=max_pairs_group,
+        hot_policy=hot_policy,
+    )
+    strip = lambda c: F.regexp_replace(c, r"#[0-9]+$", "")  # noqa: E731
+    frame = lambda c: F.substring_index(c, _SEP, -1).cast("int")  # noqa: E731
+    base = frame_pairs.select(
+        strip(F.col("a")).alias("va"),
+        frame(F.col("a")).alias("fa"),
+        strip(F.col("b")).alias("vb"),
+        frame(F.col("b")).alias("fb"),
+    ).where(F.col("va") != F.col("vb"))
+    oriented = base.select(
+        F.col("va").alias("clip_id"),
+        F.col("vb").alias("container_id"),
+        (F.col("fb") - F.col("fa")).alias("dt"),
+        F.col("fa").alias("clip_frame"),
+    ).unionByName(
+        base.select(
+            F.col("vb").alias("clip_id"),
+            F.col("va").alias("container_id"),
+            (F.col("fa") - F.col("fb")).alias("dt"),
+            F.col("fb").alias("clip_frame"),
+        )
+    )
+    votes = oriented.groupBy("clip_id", "container_id", "dt").agg(
+        F.countDistinct("clip_frame").alias("aligned")
+    )
+    best = (
+        votes.groupBy("clip_id", "container_id")
+        .agg(F.max(F.struct("aligned", "dt")).alias("best"))
+        .select(
+            "clip_id",
+            "container_id",
+            F.col("best.aligned").alias("aligned_frames"),
+            F.col("best.dt").alias("frame_offset"),
+        )
+    )
+    out = (
+        best.join(
+            n_frames.select(
+                F.col("vid").alias("clip_id"),
+                F.col("n_frames").alias("clip_frames"),
+            ),
+            "clip_id",
+        )
+        .join(
+            n_frames.select(
+                F.col("vid").alias("container_id"),
+                F.col("n_frames").alias("container_frames"),
+            ),
+            "container_id",
+        )
+        .withColumn(
+            "match_frac",
+            F.col("aligned_frames") / F.col("clip_frames"),
+        )
+    )
+    return out.where(
+        (F.col("aligned_frames") >= min_aligned_frames)
+        & (F.col("match_frac") >= min_match_frac)
+        & (F.col("container_frames") >= F.col("clip_frames"))
+    ).select(
+        "clip_id",
+        "container_id",
+        "aligned_frames",
+        "clip_frames",
+        "container_frames",
+        "match_frac",
+        "frame_offset",
+    )

@@ -1,0 +1,158 @@
+"""Excerpt/containment detection tests: video clip-in-video
+(operators/videodedup.video_containment) and audio clip-in-track
+(operators/audiodedup.audio_containment), both on planted corpora with
+truth known by construction."""
+
+import numpy as np
+import pytest
+
+from datasketches_cpp_spark.operators.minhash import SigConfig
+
+
+def _frame(seed: int, w: int, h: int) -> np.ndarray:
+    g = np.random.default_rng(seed)
+    base = g.integers(0, 256, (h // 4, w // 4, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+
+
+def _video(seeds, w, h, noise_seed=None) -> bytes:
+    out = []
+    gn = np.random.default_rng(noise_seed) if noise_seed is not None else None
+    for s in seeds:
+        f = _frame(s, w, h)
+        if gn is not None:
+            f = np.clip(
+                f.astype(np.int16) + gn.integers(-2, 3, f.shape), 0, 255
+            ).astype(np.uint8)
+        out.append(f.tobytes())
+    return b"".join(out)
+
+
+@pytest.fixture(scope="module")
+def video_corpus(spark):
+    w = h = 16
+    rows = [
+        # container A: frames 0..23 (seeds 100..123)
+        ("long_a", _video(range(100, 124), w, h), w, h, "rawv"),
+        # clip of A: frames 8..15 with pixel noise
+        ("clip_a", _video(range(108, 116), w, h, noise_seed=1), w, h, "rawv"),
+        # container B and an unrelated clip
+        ("long_b", _video(range(500, 524), w, h), w, h, "rawv"),
+        ("clip_x", _video(range(900, 908), w, h), w, h, "rawv"),
+    ]
+    return spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def test_video_containment_finds_planted_clip(spark, video_corpus):
+    from datasketches_cpp_spark.operators.videodedup import video_containment
+
+    res = video_containment(
+        video_corpus, SigConfig(phash_hamming=6), min_match_frac=0.8
+    ).collect()
+    found = {(r["clip_id"], r["container_id"]): r for r in res}
+    assert ("clip_a", "long_a") in found
+    hit = found[("clip_a", "long_a")]
+    assert hit["frame_offset"] == 8
+    assert hit["aligned_frames"] >= 7  # 8 frames, noise may cost one
+    assert hit["match_frac"] >= 0.8
+    # no false containment: clip_x matches nothing, long_b contains nothing
+    assert all(
+        k in (("clip_a", "long_a"),) or k[0] not in ("clip_x",)
+        for k in found
+    )
+    assert ("clip_x", "long_a") not in found
+    assert ("clip_x", "long_b") not in found
+    # a 24-frame container is never "contained" in an 8-frame clip
+    assert ("long_a", "clip_a") not in found
+
+
+def test_video_containment_twins_both_orientations(spark):
+    from datasketches_cpp_spark.operators.videodedup import video_containment
+
+    w = h = 16
+    rows = [
+        ("t1", _video(range(10, 18), w, h), w, h, "rawv"),
+        ("t2", _video(range(10, 18), w, h, noise_seed=2), w, h, "rawv"),
+    ]
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    res = video_containment(df, SigConfig(phash_hamming=6)).collect()
+    keys = {(r["clip_id"], r["container_id"]) for r in res}
+    assert keys == {("t1", "t2"), ("t2", "t1")}
+    assert all(r["frame_offset"] == 0 for r in res)
+
+
+def _tone_frames(bins_per_frame, window=1024) -> bytes:
+    """One deterministic tone mix per frame (bin-exact, so landmarks are
+    hand-predictable across excerpt offsets)."""
+    out = []
+    t = np.arange(window)
+    for bins in bins_per_frame:
+        x = sum(
+            a * np.sin(2 * np.pi * b * t / window)
+            for b, a in zip(bins, (1.0, 0.8, 0.6))
+        )
+        out.append((np.clip(x, -1, 1) * 20000).astype("<i2").tobytes())
+    return b"".join(out)
+
+
+@pytest.fixture(scope="module")
+def audio_corpus(spark):
+    # 24-frame track with per-frame distinct spectra; clip = frames 10..17
+    frame_bins = [(30 + 11 * i, 130 + 7 * i, 260 + 5 * i) for i in range(24)]
+    rows = [
+        ("track", _tone_frames(frame_bins), "pcm16"),
+        ("clip", _tone_frames(frame_bins[10:18]), "pcm16"),
+        ("other", _tone_frames([(37 + 13 * i, 171 + 9 * i, 301 + 3 * i)
+                                for i in range(8)]), "pcm16"),
+    ]
+    return spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+
+
+def test_audio_containment_finds_planted_excerpt(spark, audio_corpus):
+    from datasketches_cpp_spark.operators.audiodedup import audio_containment
+
+    res = audio_containment(audio_corpus, min_aligned=5).collect()
+    found = {(r["clip_id"], r["track_id"]): r for r in res}
+    assert ("clip", "track") in found
+    assert found[("clip", "track")]["frame_offset"] == 10
+    assert ("other", "track") not in found
+    assert ("track", "clip") not in found  # track is longer than the clip
+
+
+def test_audio_landmarks_timed_matches_untimed_sets(spark, audio_corpus):
+    """Collapsing the timed landmarks to distinct sets must reproduce
+    audio_landmarks exactly (same kernel, same hashes)."""
+    from datasketches_cpp_spark.operators.audiodedup import (
+        audio_landmarks,
+        audio_landmarks_timed,
+    )
+
+    plain = {
+        (r["audio_id"], r["landmark"])
+        for r in audio_landmarks(audio_corpus).collect()
+    }
+    timed = {
+        (r["audio_id"], r["landmark"])
+        for r in audio_landmarks_timed(audio_corpus).collect()
+    }
+    assert plain == timed
+
+
+def test_video_containment_layout_invariance(spark, video_corpus):
+    from datasketches_cpp_spark.operators.videodedup import video_containment
+
+    a = sorted(
+        map(tuple, video_containment(
+            video_corpus, SigConfig(phash_hamming=6)
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, video_containment(
+            video_corpus.repartition(7), SigConfig(phash_hamming=6)
+        ).collect())
+    )
+    assert a == b
