@@ -297,6 +297,11 @@ def audio_containment(
         peaks_per_frame=peaks_per_frame,
         fan_dt=fan_dt,
     )
+    # the landmark table fans out to three consumers (vote grouping +
+    # clip/track span joins); without a checkpoint Spark re-runs the
+    # decode+rFFT kernel per consumer — the imagededup signature-reuse
+    # idiom (imagededup.py localCheckpoint) applies verbatim
+    lm = lm.localCheckpoint(eager=False)
     span = lm.groupBy(F.col(id_col).alias("sid")).agg(
         F.max("t").alias("t_span")
     )

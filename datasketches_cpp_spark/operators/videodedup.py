@@ -183,7 +183,10 @@ def video_containment(
     wanting strict excerpts filter clip_frames < container_frames."""
     cfg = cfg or SigConfig()
     frames = sample_frames(videos, every_k=every_k, id_col=id_col)
-    ph = with_frame_phash(frames, id_col=id_col)
+    # frame pHashes fan out to the band lane AND two frame-count joins;
+    # checkpoint so the decode+pHash kernel runs once (the imagededup
+    # signature-reuse idiom)
+    ph = with_frame_phash(frames, id_col=id_col).localCheckpoint(eager=False)
     n_frames = ph.groupBy(F.col(id_col).alias("vid")).agg(
         F.count(F.lit(1)).alias("n_frames")
     )

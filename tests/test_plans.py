@@ -165,3 +165,56 @@ def test_classic_quantiles_agg_shuffles_sketches_not_rows(spark, sf_dir):
     i_final = plan.find("FlatMapGroupsInPandas")
     assert -1 not in (i_partial, i_exchange, i_final)
     assert i_final < i_exchange < i_partial, plan
+
+
+def test_video_containment_plan_shape(spark):
+    """The containment lane must keep the twin lane's discipline: no
+    cartesian product anywhere, the offset-vote aggregation partial
+    (map-side combined) before its exchange, and the pHash payload
+    riding the band shuffle (no join back to a frame-level table — the
+    only joins are against the video-cardinality frame-count side)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.minhash import SigConfig
+    from datasketches_cpp_spark.operators.videodedup import video_containment
+
+    g = np.random.default_rng(3)
+    rows = [
+        (f"v{i}", g.integers(0, 256, 16 * 16 * 3 * 4, dtype=np.uint8).tobytes(),
+         16, 16, "rawv")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    plan = video_containment(df, SigConfig(phash_hamming=6))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # countDistinct(clip_frame) per (clip, container, dt) must partial-agg
+    # below its exchange (HashAggregate appears on both sides)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_audio_containment_plan_shape(spark):
+    """Audio containment: one wide groupBy(landmark) with map-side
+    combine feeding JVM array algebra — no cartesian join, no Python
+    stage after the landmark kernel."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.audiodedup import audio_containment
+
+    g = np.random.default_rng(5)
+    rows = [
+        (f"a{i}", (g.integers(-2000, 2000, 4096)).astype("<i2").tobytes(),
+         "pcm16")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    plan = audio_containment(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the timed-landmark kernel must NOT be replayed per consumer: the
+    # landmark table is localCheckpointed, so the executed plan contains
+    # zero MapInPandas stages (all three consumers scan the checkpoint)
+    assert plan.count("MapInPandas") == 0, plan
