@@ -184,6 +184,7 @@ def audio_landmarks_timed(
     window: int = 1024,
     peaks_per_frame: int = 3,
     fan_dt: int = 3,
+    hop: int | None = None,
 ) -> DataFrame:
     """(id, landmark:long, t:int) — spectral landmarks WITH their anchor
     frame index, keeping every distinct (landmark, t) occurrence per
@@ -191,10 +192,18 @@ def audio_landmarks_timed(
     is what near-twin scoring needs; offset voting needs the times).
     Same batch-vectorized kernel: one rFFT per buffer-length group, the
     per-clip dedup is one lexsort-segment pass over a packed
-    (landmark << 20 | t) composite — no per-row Python."""
+    (landmark << 20 | t) composite — no per-row Python.
+
+    ``hop`` (default = window, non-overlapping) strides the analysis
+    frames: hop = window//2 doubles the rFFT work but makes offset
+    voting coherent for excerpts aligned to any half-window boundary —
+    the standard overlapping-STFT trade. ``t`` is in hop units."""
     schema = f"{id_col} string, landmark long, t int"
     cols = [id_col, "bytes", "fmt"]
     k = peaks_per_frame
+    hop = window if hop is None else hop
+    if not (1 <= hop <= window):
+        raise ValueError(f"hop must be in [1, window], got {hop}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .audiocodec import to_pcm16
@@ -211,7 +220,10 @@ def audio_landmarks_timed(
             lens = pdf["bytes"].map(len)
             for blen, idx in pdf.groupby(lens, sort=False).indices.items():
                 idx = np.asarray(idx)
-                n_frames = (int(blen) // 2) // window
+                n_samples = int(blen) // 2
+                n_frames = (
+                    (n_samples - window) // hop + 1 if n_samples >= window else 0
+                )
                 if n_frames < 2 or n_frames >= (1 << 20):
                     if n_frames >= (1 << 20):
                         raise ValueError(
@@ -222,10 +234,10 @@ def audio_landmarks_timed(
                 ids = pdf[id_col].iloc[idx].to_numpy()
                 pcm = np.frombuffer(
                     b"".join(pdf["bytes"].iloc[idx].tolist()), dtype="<i2"
-                ).astype(np.float32)
-                frames = pcm.reshape(len(idx), -1)[
-                    :, : n_frames * window
-                ].reshape(len(idx), n_frames, window)
+                ).astype(np.float32).reshape(len(idx), -1)
+                frames = np.lib.stride_tricks.sliding_window_view(
+                    pcm, window, axis=1
+                )[:, ::hop][:, :n_frames]
                 mag = np.abs(np.fft.rfft(frames, axis=2))
                 mag[:, :, 0] = 0.0
                 peaks = np.sort(
@@ -267,6 +279,7 @@ def audio_containment(
     window: int = 1024,
     peaks_per_frame: int = 3,
     fan_dt: int = 3,
+    hop: int | None = None,
     min_aligned: int = 6,
     max_entries_per_landmark: int = 64,
 ) -> DataFrame:
@@ -285,17 +298,19 @@ def audio_containment(
     via max(struct)) and a per-clip span join. The track must be at
     least as long (in landmark span) as the clip.
 
-    Frames are non-overlapping ``window``-sample slices, so detection is
-    at window granularity: excerpts cut mid-window shift every rFFT
-    frame and won't vote coherently (the standard fix is overlapping
-    frames at 2-4x the row count; this lane keeps the near-twin kernel's
-    framing and documents the trade)."""
+    By default frames are non-overlapping ``window``-sample slices, so
+    detection is at window granularity: excerpts cut mid-window shift
+    every rFFT frame and won't vote coherently. Passing ``hop`` (e.g.
+    window//2 or window//4) analyzes overlapping frames — hop-granular
+    localization for window/hop× the rFFT work, the standard
+    overlapping-STFT trade; ``frame_offset`` is then in hop units."""
     lm = audio_landmarks_timed(
         audio,
         id_col=id_col,
         window=window,
         peaks_per_frame=peaks_per_frame,
         fan_dt=fan_dt,
+        hop=hop,
     )
     # the landmark table fans out to three consumers (vote grouping +
     # clip/track span joins); without a checkpoint Spark re-runs the
@@ -327,12 +342,19 @@ def audio_containment(
     )
     best = (
         votes.groupBy("clip_id", "track_id")
-        .agg(F.max(F.struct("aligned", "dt")).alias("best"))
+        .agg(
+            # ties on vote count break toward the SMALLEST offset (max on
+            # (aligned, -dt)), so equally-supported alignments — common in
+            # self-similar/stationary content — resolve deterministically
+            # to the earliest one
+            F.max(F.struct(F.col("aligned"), (-F.col("dt")).alias("ndt")))
+            .alias("best")
+        )
         .select(
             "clip_id",
             "track_id",
             F.col("best.aligned").alias("aligned_anchors"),
-            F.col("best.dt").alias("frame_offset"),
+            (-F.col("best.ndt")).alias("frame_offset"),
         )
     )
     out = (

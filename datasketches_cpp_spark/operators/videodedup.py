@@ -226,12 +226,19 @@ def video_containment(
     )
     best = (
         votes.groupBy("clip_id", "container_id")
-        .agg(F.max(F.struct("aligned", "dt")).alias("best"))
+        .agg(
+            # ties on vote count break toward the SMALLEST offset (max on
+            # (aligned, -dt)), so equally-supported alignments — common in
+            # self-similar/stationary content — resolve deterministically
+            # to the earliest one
+            F.max(F.struct(F.col("aligned"), (-F.col("dt")).alias("ndt")))
+            .alias("best")
+        )
         .select(
             "clip_id",
             "container_id",
             F.col("best.aligned").alias("aligned_frames"),
-            F.col("best.dt").alias("frame_offset"),
+            (-F.col("best.ndt")).alias("frame_offset"),
         )
     )
     out = (

@@ -156,3 +156,51 @@ def test_video_containment_layout_invariance(spark, video_corpus):
         ).collect())
     )
     assert a == b
+
+
+def test_audio_containment_half_window_offset_with_hop(spark):
+    """An excerpt cut at a HALF-window boundary cannot be localized by
+    non-overlapping frames (the true offset, 10.5 windows, is not an
+    integer frame count — any whole-frame vote is wrong) but localizes
+    exactly with hop=window//2 — the overlapping-STFT option."""
+    from datasketches_cpp_spark.operators.audiodedup import audio_containment
+
+    window = 1024
+    # distinct white noise per half-window segment: dense spectra make
+    # every hop position's peak set unique, so the true offset is the
+    # ONLY coherent vote (tone fixtures are degenerate — a stationary
+    # spectrum recurs at adjacent positions and ties the histogram;
+    # verified offline: this fixture votes (14, dt=21) and nothing else)
+    g = np.random.default_rng(99)
+    hop = window // 2
+    pcm = np.concatenate([g.normal(size=hop) for _ in range(48)])
+    track = (np.clip(pcm / 4, -1, 1) * 20000).astype("<i2").tobytes()
+    # clip = samples [10.5 windows, 18.5 windows) — half-window aligned
+    half = window  # int16 bytes per half window = window (2 bytes/sample)
+    clip = track[21 * half : 37 * half]
+    rows = [("track", track, "pcm16"), ("clip", clip, "pcm16")]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+
+    hopped = audio_containment(
+        df, hop=window // 2, min_aligned=5
+    ).collect()
+    found = {(r["clip_id"], r["track_id"]): r for r in hopped}
+    assert ("clip", "track") in found
+    # offset is in hop units: 10.5 windows = 21 half-windows
+    assert found[("clip", "track")]["frame_offset"] == 21
+
+
+def test_audio_hop_default_matches_nonoverlapping(spark, audio_corpus):
+    """hop=None must reproduce the original non-overlapping framing
+    exactly (same landmark rows)."""
+    from datasketches_cpp_spark.operators.audiodedup import (
+        audio_landmarks_timed,
+    )
+
+    a = sorted(
+        map(tuple, audio_landmarks_timed(audio_corpus).collect())
+    )
+    b = sorted(
+        map(tuple, audio_landmarks_timed(audio_corpus, hop=1024).collect())
+    )
+    assert a == b and len(a) > 0
