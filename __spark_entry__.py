@@ -1701,6 +1701,51 @@ def q_audio_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("clip_id", "track_id", "frame_offset")
 
 
+def _planted_text_containment_rows():
+    """Planted quotation corpus: a long report that verbatim-includes a
+    short memo at a known character offset, plus decoys. Winnowing's
+    positional guarantee makes the expected (offset, match_frac=1.0)
+    exact by construction."""
+    memo = (
+        "the quarterly ingestion pipeline deduplicated four billion "
+        "image caption pairs with recall above target and no checkpoint "
+        "rollbacks recorded during the window"
+    )
+    prefix = (
+        "archived minutes of the infrastructure review follow in full "
+        "for the record "
+    )
+    report = prefix + memo + (
+        " subsequent discussion covered capacity planning for the next "
+        "two quarters and the retirement of the legacy scheduler"
+    )
+    rows = [
+        ("tc_memo", memo),
+        ("tc_report", report),
+        ("tc_decoy", (
+            "an entirely unrelated essay on the migratory patterns of "
+            "arctic terns and their navigation by polarized light across "
+            "two hemispheres every single year"
+        )),
+    ]
+    truth = [("tc_memo", "tc_report", len(prefix), 1.0)]
+    return rows, truth
+
+
+def q_text_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc quotation detection (textstats.text_containment —
+    winnowing fingerprints with positions + the offset-vote histogram):
+    the planted memo must be localized inside the report at the exact
+    character offset with match_frac 1.0, no false hits — truth by
+    construction."""
+    from datasketches_cpp_spark.operators.textstats import text_containment
+
+    rows, _ = _planted_text_containment_rows()
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    res = text_containment(docs, min_match_frac=0.8)
+    return res.select("clip_id", "container_id", "char_offset", "match_frac")
+
+
 _SEM_N = 48
 
 
@@ -2965,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_video_dedup_planted": q_codec_video_dedup_planted,
         "video_containment_planted": q_video_containment_planted,
         "audio_containment_planted": q_audio_containment_planted,
+        "text_containment_planted": q_text_containment_planted,
         "codec_audio_dedup_planted": q_codec_audio_dedup_planted,
         "line_dedup_planted": q_line_dedup_planted,
         "pii_redaction_planted": q_pii_redaction_planted,
@@ -3505,6 +3551,14 @@ def oracle_sql() -> dict[str, str]:
                 for c, t, o in _planted_audio_containment_rows()[1]
             )
             + ") AS t(clip_id, track_id, frame_offset)"
+        ),
+        "text_containment_planted": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{c}', '{t}', {o}, CAST({fr} AS DOUBLE))"
+                for c, t, o, fr in _planted_text_containment_rows()[1]
+            )
+            + ") AS t(clip_id, container_id, char_offset, match_frac)"
         ),
         "line_dedup_planted": (
             "WITH lines AS ("

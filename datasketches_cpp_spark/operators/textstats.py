@@ -283,3 +283,148 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
     )
     return totals.crossJoin(F.broadcast(fit))
+
+
+def winnow_fingerprints_positioned(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp, pos) — winnowing fingerprints WITH their 0-based char
+    positions (winnow_fingerprints collapses to the distinct value set,
+    which is what set-overlap scoring needs; offset voting needs
+    positions). Per window the minimum k-gram is selected by VALUE and
+    its position is the FIRST occurrence inside the window
+    (array_position), so the (fp, pos) set is deterministic and the
+    winnowing guarantee holds positionally: every window fully inside a
+    shared substring selects the same gram at the same relative offset.
+    Entirely Catalyst expressions — zero Python, zero shuffle."""
+    t = F.col(text_col)
+    grams_expr = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: t.substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = F.col("_grams")
+    nw = F.size(g) - (w - 1)
+
+    def pick(j):
+        m = F.array_min(F.slice(g, j, w))
+        return F.struct(
+            m.alias("fp"),
+            (F.array_position(F.slice(g, j, w), m) + j - 2)
+            .cast("int")
+            .alias("pos"),
+        )
+
+    selected = (
+        F.when(nw >= 1, F.transform(F.sequence(F.lit(1), nw), pick))
+        .when(F.size(g) > 0, F.array(pick(F.lit(1))))
+        .otherwise(F.array().cast("array<struct<fp:string,pos:int>>"))
+    )
+    return (
+        df.withColumn("_grams", grams_expr)
+        .select(
+            F.col(id_col), F.explode(F.array_distinct(selected)).alias("s")
+        )
+        .select(id_col, F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos"))
+    )
+
+
+def text_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_match_frac: float = 0.8,
+    min_aligned: int = 2,
+    max_entries_per_fp: int = 64,
+) -> DataFrame:
+    """Doc-in-doc (quotation / verbatim-inclusion) detection: (clip_id,
+    container_id, aligned_fps, clip_fps, match_frac, char_offset) for
+    oriented pairs where ≥ ``min_match_frac`` of the shorter document's
+    winnowing fingerprints recur in the longer one AT ONE CONSISTENT
+    character offset — the same offset-vote histogram as the audio/video
+    containment lanes, in text space. A verbatim inclusion scores
+    match_frac 1.0 at the exact insertion offset (winnowing's positional
+    guarantee); local edits lower it locally.
+
+    Plan shape: one groupBy(fp) shuffle (hot fingerprints above
+    ``max_entries_per_fp`` dropped — boilerplate, the audio lane's hot
+    rule), JVM pair expansion, two narrow aggs (votes, best offset with
+    the earliest-offset tiebreak), and per-doc fingerprint-count joins.
+    Zero Python anywhere — the fingerprint stage is pure Catalyst."""
+    fps = winnow_fingerprints_positioned(
+        df, id_col=id_col, text_col=text_col, k=k, w=w
+    ).localCheckpoint(eager=False)
+    counts = fps.groupBy(F.col(id_col).alias("did")).agg(
+        F.count(F.lit(1)).alias("n_fps")
+    )
+    grouped = (
+        fps.groupBy("fp")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), "pos")
+            ).alias("es")
+        )
+        .where((F.size("es") >= 2) & (F.size("es") <= max_entries_per_fp))
+    )
+    pairs = (
+        grouped.select(F.explode("es").alias("ea"), "es")
+        .select("ea", F.explode("es").alias("eb"))
+        .where(F.col("ea.id") != F.col("eb.id"))
+    )
+    votes = pairs.select(
+        F.col("ea.id").alias("clip_id"),
+        F.col("eb.id").alias("container_id"),
+        (F.col("eb.pos") - F.col("ea.pos")).alias("dt"),
+        F.col("ea.pos").alias("clip_pos"),
+    ).groupBy("clip_id", "container_id", "dt").agg(
+        F.countDistinct("clip_pos").alias("aligned")
+    )
+    best = (
+        votes.groupBy("clip_id", "container_id")
+        .agg(
+            F.max(F.struct(F.col("aligned"), (-F.col("dt")).alias("ndt")))
+            .alias("best")
+        )
+        .select(
+            "clip_id",
+            "container_id",
+            F.col("best.aligned").alias("aligned_fps"),
+            (-F.col("best.ndt")).alias("char_offset"),
+        )
+    )
+    out = (
+        best.join(
+            counts.select(
+                F.col("did").alias("clip_id"), F.col("n_fps").alias("clip_fps")
+            ),
+            "clip_id",
+        )
+        .join(
+            counts.select(
+                F.col("did").alias("container_id"),
+                F.col("n_fps").alias("container_fps"),
+            ),
+            "container_id",
+        )
+        .withColumn("match_frac", F.col("aligned_fps") / F.col("clip_fps"))
+    )
+    return out.where(
+        (F.col("aligned_fps") >= min_aligned)
+        & (F.col("match_frac") >= min_match_frac)
+        & (F.col("container_fps") >= F.col("clip_fps"))
+    ).select(
+        "clip_id",
+        "container_id",
+        "aligned_fps",
+        "clip_fps",
+        "match_frac",
+        "char_offset",
+    )

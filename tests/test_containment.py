@@ -204,3 +204,83 @@ def test_audio_hop_default_matches_nonoverlapping(spark, audio_corpus):
         map(tuple, audio_landmarks_timed(audio_corpus, hop=1024).collect())
     )
     assert a == b and len(a) > 0
+
+
+# -- text containment ---------------------------------------------------------
+
+
+def test_positioned_winnowing_matches_value_set(spark):
+    """Collapsing positioned fingerprints to values must reproduce
+    winnow_fingerprints exactly, and each pos must point at its fp."""
+    from datasketches_cpp_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_positioned,
+    )
+
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("d2", "pack my box with five dozen liquor jugs"),
+        ("d3", "short"),
+        ("d4", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    plain = {
+        (r["doc_id"], r["fp"]) for r in winnow_fingerprints(df).collect()
+    }
+    positioned = winnow_fingerprints_positioned(df).collect()
+    assert {(r["doc_id"], r["fp"]) for r in positioned} == plain
+    texts = dict(rows)
+    for r in positioned:
+        assert texts[r["doc_id"]][r["pos"] : r["pos"] + 8] == r["fp"]
+
+
+def test_text_containment_finds_verbatim_inclusion(spark):
+    from datasketches_cpp_spark.operators.textstats import text_containment
+
+    quote = (
+        "we hold these truths to be self evident that all models are "
+        "wrong but some are useful in practice"
+    )
+    prefix = "as the committee report observed at length before concluding "
+    container = prefix + quote + " which settled the matter for everyone"
+    rows = [
+        ("quote", quote),
+        ("container", container),
+        ("decoy", "completely unrelated text about marmalade recipes and "
+                  "the correct ratio of sugar to fruit for a stable set"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    res = text_containment(df, min_match_frac=0.8).collect()
+    found = {(r["clip_id"], r["container_id"]): r for r in res}
+    assert ("quote", "container") in found
+    hit = found[("quote", "container")]
+    assert hit["char_offset"] == len(prefix)
+    assert hit["match_frac"] == 1.0  # verbatim inclusion, positional guarantee
+    assert ("decoy", "container") not in found
+    assert ("container", "quote") not in found  # container is longer
+
+
+def test_text_containment_edited_copy_scores_below_verbatim(spark):
+    """A mid-quote edit breaks only the local fingerprints: the edited
+    copy still localizes at the right offset but with match_frac < 1."""
+    from datasketches_cpp_spark.operators.textstats import text_containment
+
+    quote = (
+        "the five boxing wizards jump quickly over seventeen lazy dogs "
+        "while the band plays on through the night"
+    )
+    # same-length edit: a length-changing edit legitimately splits the
+    # vote between the pre- and post-edit offsets (both are correct for
+    # their segment); equal length keeps one global offset
+    edited = quote.replace("seventeen", "eleventwo")
+    assert len(edited) == len(quote)
+    container = "intro section " + edited + " closing remarks"
+    df = spark.createDataFrame(
+        [("orig", quote), ("doc", container)], "doc_id string, text string"
+    )
+    res = text_containment(df, min_match_frac=0.5).collect()
+    found = {(r["clip_id"], r["container_id"]): r for r in res}
+    assert ("orig", "doc") in found
+    hit = found[("orig", "doc")]
+    assert 0.5 <= hit["match_frac"] < 1.0
+    assert hit["char_offset"] == len("intro section ")
