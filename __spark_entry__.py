@@ -1701,6 +1701,55 @@ def q_audio_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("clip_id", "track_id", "frame_offset")
 
 
+def _planted_image_containment_rows():
+    """Planted crop corpus: a 128x96 container, a 64x64 crop of it at
+    pixel (x=32, y=16) with seeded noise, an unrelated same-size image
+    and a decoy crop. Truth (ids + hop-lattice offset) by construction."""
+    import numpy as np
+
+    def img(seed, w, h, block=8):
+        g = np.random.default_rng(seed)
+        base = g.integers(0, 256, (h // block, w // block, 3), dtype=np.uint8)
+        return np.repeat(np.repeat(base, block, axis=0), block, axis=1)
+
+    big = img(11, 128, 96)
+    crop = big[16:80, 32:96]
+    gn = np.random.default_rng(12)
+    noisy = np.clip(
+        crop.astype(np.int16) + gn.integers(-2, 3, crop.shape), 0, 255
+    ).astype(np.uint8)
+    rows = [
+        ("ic_big", big.tobytes(), 128, 96, "raw"),
+        ("ic_crop", noisy.tobytes(), 64, 64, "raw"),
+        ("ic_other", img(19, 128, 96).tobytes(), 128, 96, "raw"),
+        ("ic_decoy", img(17, 64, 64).tobytes(), 64, 64, "raw"),
+    ]
+    # (x=32, y=16) on the hop=16 lattice → (dx, dy) = (2, 1)
+    truth = [("ic_crop", "ic_big", 2, 1)]
+    return rows, truth
+
+
+def q_image_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop-in-image detection (imagecontainment.image_containment —
+    tiled pHash through the fused band lane + a 2D offset-vote
+    histogram): the planted 64x64 crop must be localized inside its
+    128x96 container at hop offset (2, 1), no false hits — truth by
+    construction."""
+    from datasketches_cpp_spark.operators.imagecontainment import (
+        image_containment,
+    )
+
+    rows, _ = _planted_image_containment_rows()
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    res = image_containment(
+        images, SigConfig(phash_hamming=6), tile=32, hop=16,
+        min_match_frac=0.8,
+    )
+    return res.select("clip_id", "container_id", "dx_tiles", "dy_tiles")
+
+
 def _planted_text_containment_rows():
     """Planted quotation corpus: a long report that verbatim-includes a
     short memo at a known character offset, plus decoys. Winnowing's
@@ -3011,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_containment_planted": q_video_containment_planted,
         "audio_containment_planted": q_audio_containment_planted,
         "text_containment_planted": q_text_containment_planted,
+        "image_containment_planted": q_image_containment_planted,
         "codec_audio_dedup_planted": q_codec_audio_dedup_planted,
         "line_dedup_planted": q_line_dedup_planted,
         "pii_redaction_planted": q_pii_redaction_planted,
@@ -3551,6 +3601,14 @@ def oracle_sql() -> dict[str, str]:
                 for c, t, o in _planted_audio_containment_rows()[1]
             )
             + ") AS t(clip_id, track_id, frame_offset)"
+        ),
+        "image_containment_planted": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{c}', '{t}', {dx}, {dy})"
+                for c, t, dx, dy in _planted_image_containment_rows()[1]
+            )
+            + ") AS t(clip_id, container_id, dx_tiles, dy_tiles)"
         ),
         "text_containment_planted": (
             "SELECT * FROM (VALUES "
