@@ -57,51 +57,29 @@ from ..operators.verify import verify_pairs
 from ..plans.fsio import HadoopFS
 
 
-class IncrementalDeduper:
-    """foreachBatch-driven incremental dedup with a parquet state store."""
+class _BucketedStateStore:
+    """Shared persistence machinery for foreachBatch-driven incremental
+    operators: a state_dir of parquet stores (optionally bucketed by a
+    key hash for partition-pruned probes), per-epoch overwrite-idempotent
+    writes with an atomic epoch manifest as the commit point, and a
+    manifest-gated compaction that keeps file counts O(num_buckets).
+    All bookkeeping routes through the Hadoop FileSystem facade, so
+    state_dir may be any URI with a registered FileSystem (same contract
+    as plans/checkpoint.py)."""
 
-    def __init__(
-        self,
-        spark: SparkSession,
-        state_dir: str,
-        cfg: SigConfig | None = None,
-        bytes_cfg: SigConfig | None = None,
-        byte_stride: int = 4,
-        max_fanout: int = 64,
-        enable_lanes: tuple = ("caption", "bytes", "phash"),
-        num_buckets: int = 64,
-        rotation_invariant: bool = False,
-        crop_invariant: bool = False,
-    ):
+    def __init__(self, spark: SparkSession, state_dir: str, num_buckets: int):
         self.spark = spark
         self.state_dir = state_dir
-        self.cfg = cfg or SigConfig()
-        self.bytes_cfg = bytes_cfg or SigConfig(
-            seed=self.cfg.seed, shingle_w=16, num_perm=self.cfg.num_perm,
-            kmv_k=self.cfg.kmv_k, bands=self.cfg.bands, jaccard_threshold=0.9,
-        )
-        self.byte_stride = byte_stride
-        self.max_fanout = max_fanout
-        self.enable_lanes = enable_lanes
         self.num_buckets = num_buckets
-        # streaming twins of the batch lane's invariance flags; like cfg,
-        # they shape the phash_keys store contents, so they must stay
-        # constant for the lifetime of a state_dir
-        self.rotation_invariant = rotation_invariant
-        self.crop_invariant = crop_invariant
-        # All store bookkeeping (epoch manifests, compaction swaps, done
-        # markers) routes through the Hadoop FileSystem facade, so state_dir
-        # may be any URI with a registered FileSystem — same contract as
-        # plans/checkpoint.py.
         self._hfs = HadoopFS(spark, state_dir)
         self._hfs.mkdirs(state_dir)
 
     def close(self) -> None:
         """Release the private Hadoop FileSystem (connections/thread pools
-        on remote stores). The deduper is unusable afterwards."""
+        on remote stores). The store is unusable afterwards."""
         self._hfs.close()
 
-    def __enter__(self) -> "IncrementalDeduper":
+    def __enter__(self) -> "_BucketedStateStore":
         return self
 
     def __exit__(self, *exc) -> None:
@@ -234,6 +212,38 @@ class IncrementalDeduper:
             state = json.loads(self._hfs.read_bytes(p).decode())
         state["done"][str(epoch_id)] = meta
         self._hfs.write_bytes_atomic(p, json.dumps(state).encode())
+
+
+class IncrementalDeduper(_BucketedStateStore):
+    """foreachBatch-driven incremental dedup with a parquet state store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        cfg: SigConfig | None = None,
+        bytes_cfg: SigConfig | None = None,
+        byte_stride: int = 4,
+        max_fanout: int = 64,
+        enable_lanes: tuple = ("caption", "bytes", "phash"),
+        num_buckets: int = 64,
+        rotation_invariant: bool = False,
+        crop_invariant: bool = False,
+    ):
+        super().__init__(spark, state_dir, num_buckets)
+        self.cfg = cfg or SigConfig()
+        self.bytes_cfg = bytes_cfg or SigConfig(
+            seed=self.cfg.seed, shingle_w=16, num_perm=self.cfg.num_perm,
+            kmv_k=self.cfg.kmv_k, bands=self.cfg.bands, jaccard_threshold=0.9,
+        )
+        self.byte_stride = byte_stride
+        self.max_fanout = max_fanout
+        self.enable_lanes = enable_lanes
+        # streaming twins of the batch lane's invariance flags; like cfg,
+        # they shape the phash_keys store contents, so they must stay
+        # constant for the lifetime of a state_dir
+        self.rotation_invariant = rotation_invariant
+        self.crop_invariant = crop_invariant
 
     # -- lane helpers ----------------------------------------------------------
     def _lane_pairs(
