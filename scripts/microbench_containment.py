@@ -27,7 +27,12 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--lanes", default="image,text,audio",
+        help="comma list from image,text,audio,video",
+    )
     args = ap.parse_args()
+    lanes = set(args.lanes.split(","))
 
     from datasketches_cpp_spark.operators.audiodedup import audio_containment
     from datasketches_cpp_spark.operators.imagecontainment import (
@@ -35,6 +40,7 @@ def main() -> None:
     )
     from datasketches_cpp_spark.operators.sigkernel import SigConfig
     from datasketches_cpp_spark.operators.textstats import text_containment
+    from datasketches_cpp_spark.operators.videodedup import video_containment
     from datasketches_cpp_spark.session import get_spark
 
     spark = get_spark(master=f"local[{args.cpus}]", app_name="containment-bench")
@@ -78,47 +84,87 @@ def main() -> None:
 
     timings, recalls = {}, {}
 
-    images = spark.createDataFrame(
-        irows, "image_id string, bytes binary, w int, h int, fmt string"
-    )
-    t0 = time.time()
-    hits = {
-        r["clip_id"]: (r["container_id"], r["dx_tiles"], r["dy_tiles"])
-        for r in image_containment(
-            images, SigConfig(phash_hamming=6), tile=32, hop=16
-        ).collect()
-        if r["clip_id"] in i_truth
-    }
-    timings["image"] = round(time.time() - t0, 3)
-    recalls["image"] = sum(
-        hits.get(c) == t for c, t in i_truth.items()
-    ) / len(i_truth)
+    if "video" in lanes:
+        vrows, v_truth = [], {}
+        for i in range(n):
+            frames = []
+            for _ in range(24):
+                b = g.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+                frames.append(
+                    np.repeat(np.repeat(b, 4, axis=0), 4, axis=1).tobytes()
+                )
+            vid = b"".join(frames)
+            vrows.append((f"vid{i:06d}", vid, 16, 16, "rawv"))
+            if i % 20 == 0:
+                fs = 16 * 16 * 3
+                clip = np.frombuffer(
+                    vid[9 * fs : 17 * fs], np.uint8
+                ).astype(np.int16)
+                noisy = np.clip(
+                    clip + g.integers(-2, 3, clip.shape), 0, 255
+                ).astype(np.uint8)
+                vrows.append((f"vcl{i:06d}", noisy.tobytes(), 16, 16, "rawv"))
+                v_truth[f"vcl{i:06d}"] = (f"vid{i:06d}", 9)
+        videos = spark.createDataFrame(
+            vrows, "video_id string, bytes binary, w int, h int, fmt string"
+        )
+        t0 = time.time()
+        hits = {
+            r["clip_id"]: (r["container_id"], r["frame_offset"])
+            for r in video_containment(
+                videos, SigConfig(phash_hamming=6), min_match_frac=0.8
+            ).collect()
+            if r["clip_id"] in v_truth
+        }
+        timings["video"] = round(time.time() - t0, 3)
+        recalls["video"] = sum(
+            hits.get(c) == t for c, t in v_truth.items()
+        ) / len(v_truth)
 
-    docs = spark.createDataFrame(trows, "doc_id string, text string")
-    t0 = time.time()
-    hits = {
-        r["clip_id"]: (r["container_id"], r["char_offset"])
-        for r in text_containment(docs, min_match_frac=0.8).collect()
-        if r["clip_id"] in t_truth
-    }
-    timings["text"] = round(time.time() - t0, 3)
-    recalls["text"] = sum(
-        hits.get(c) == t for c, t in t_truth.items()
-    ) / len(t_truth)
+    if "image" in lanes:
+        images = spark.createDataFrame(
+            irows, "image_id string, bytes binary, w int, h int, fmt string"
+        )
+        t0 = time.time()
+        hits = {
+            r["clip_id"]: (r["container_id"], r["dx_tiles"], r["dy_tiles"])
+            for r in image_containment(
+                images, SigConfig(phash_hamming=6), tile=32, hop=16
+            ).collect()
+            if r["clip_id"] in i_truth
+        }
+        timings["image"] = round(time.time() - t0, 3)
+        recalls["image"] = sum(
+            hits.get(c) == t for c, t in i_truth.items()
+        ) / len(i_truth)
 
-    audio = spark.createDataFrame(
-        arows, "audio_id string, bytes binary, fmt string"
-    )
-    t0 = time.time()
-    hits = {
-        r["clip_id"]: (r["track_id"], r["frame_offset"])
-        for r in audio_containment(audio, min_aligned=5).collect()
-        if r["clip_id"] in a_truth
-    }
-    timings["audio"] = round(time.time() - t0, 3)
-    recalls["audio"] = sum(
-        hits.get(c) == t for c, t in a_truth.items()
-    ) / len(a_truth)
+    if "text" in lanes:
+        docs = spark.createDataFrame(trows, "doc_id string, text string")
+        t0 = time.time()
+        hits = {
+            r["clip_id"]: (r["container_id"], r["char_offset"])
+            for r in text_containment(docs, min_match_frac=0.8).collect()
+            if r["clip_id"] in t_truth
+        }
+        timings["text"] = round(time.time() - t0, 3)
+        recalls["text"] = sum(
+            hits.get(c) == t for c, t in t_truth.items()
+        ) / len(t_truth)
+
+    if "audio" in lanes:
+        audio = spark.createDataFrame(
+            arows, "audio_id string, bytes binary, fmt string"
+        )
+        t0 = time.time()
+        hits = {
+            r["clip_id"]: (r["track_id"], r["frame_offset"])
+            for r in audio_containment(audio, min_aligned=5).collect()
+            if r["clip_id"] in a_truth
+        }
+        timings["audio"] = round(time.time() - t0, 3)
+        recalls["audio"] = sum(
+            hits.get(c) == t for c, t in a_truth.items()
+        ) / len(a_truth)
 
     line = json.dumps(
         {
