@@ -2212,13 +2212,13 @@ def q_jpeg_recompress_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _planted_crossformat_rows():
-    """Planted cross-codec corpus: each base image stored SIX ways —
-    raw plus the five lossless codecs (png, bmp, ppm, tiff, gif) — with
+    """Planted cross-codec corpus: each base image stored SEVEN ways —
+    raw plus the six lossless codecs (png, bmp, ppm, tiff, gif, webp) — with
     distinct captions, so only the pixel lane can cluster them. Pixels
     are drawn from a 64-color palette so the GIF's exact-palette
     contract holds; TIFF uses the default LZW + horizontal predictor
     path. The query runs crop_invariant=True, which re-hashes from
-    DECODED bytes: all five pure-numpy decoders (imagecodec.decode
+    DECODED bytes: all six pure-numpy decoders (imagecodec.decode
     dispatch incl. operators/tiffcodec.py, round 4) run executor-side
     inside the distributed pHash lane, and decode-identity makes every
     variant hash-equal to its raw original."""
@@ -2227,7 +2227,7 @@ def _planted_crossformat_rows():
     from datasketches_cpp_spark.operators.imagecodec import encode
     from datasketches_cpp_spark.sources.images import phash64
 
-    formats = ("raw", "png", "bmp", "ppm", "tiff", "gif")
+    formats = ("raw", "png", "bmp", "ppm", "tiff", "gif", "webp")
     rows, truth = [], {}
     for i in range(10):
         r = np.random.default_rng(8800 + i)
@@ -2251,9 +2251,9 @@ def _planted_crossformat_rows():
 
 def q_crossformat_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-invariant image dedup: the same pixels stored as raw /
-    png / bmp / ppm / tiff / gif cluster together through the pHash
+    png / bmp / ppm / tiff / gif / webp cluster together through the pHash
     lane with crop_invariant=True (hashes recomputed from decoded
-    bytes, so all five pure-numpy codecs run inside the distributed
+    bytes, so all six pure-numpy codecs run inside the distributed
     lane). Oracle = planted truth."""
     from datasketches_cpp_spark.operators.imagededup import dedup_images
 
@@ -2728,7 +2728,7 @@ def q_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata columns are returned. Oracle = the same corpus straight
     from the generator: ingest must be a pure re-representation —
     including hash-identical pHashes recomputed from the decoded
-    payloads of all five lossless codecs (png/bmp/ppm/tiff/gif rotate
+    payloads of all six lossless codecs (png/bmp/ppm/tiff/gif/webp rotate
     in 'mixed'). 120 rows — a bounded driver materialization by
     construction."""
     import shutil

@@ -381,6 +381,19 @@ def _decode_tiff(buf):
     return decode_tiff(buf)
 
 
+def _decode_webp(buf):
+    from .webpcodec import decode_webp
+
+    return decode_webp(buf)
+
+
+def _encode_webp(pixels, w, h):
+    # VP8L lossless — exact for arbitrary RGB (literal-coded twin)
+    from .webpcodec import encode_webp
+
+    return encode_webp(pixels, w, h)
+
+
 def _encode_tiff(pixels, w, h):
     # default LZW + horizontal predictor — lossless for arbitrary RGB
     from .tiffcodec import encode_tiff
@@ -391,10 +404,12 @@ def _encode_tiff(pixels, w, h):
 _ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp,
              "dct": encode_dct, "jpg": _encode_jpeg_gate,
              "jpeg": _encode_jpeg_gate, "gif": _encode_gif,
-             "tif": _encode_tiff, "tiff": _encode_tiff}
+             "tif": _encode_tiff, "tiff": _encode_tiff,
+             "webp": _encode_webp}
 _DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp,
              "dct": decode_dct, "jpg": _decode_jpeg, "jpeg": _decode_jpeg,
-             "gif": _decode_gif, "tif": _decode_tiff, "tiff": _decode_tiff}
+             "gif": _decode_gif, "tif": _decode_tiff, "tiff": _decode_tiff,
+             "webp": _decode_webp}
 
 LOSSY_FORMATS = ("dct", "jpg", "jpeg")
 # Indexed-color formats: EXACT (decode∘encode == id) for images with at
@@ -432,6 +447,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "jpeg"
     if b.startswith((b"II*\x00", b"MM\x00*")):
         return "tiff"
+    if b.startswith(b"RIFF") and b[8:12] == b"WEBP":
+        return "webp"
     if b.startswith(b"BM"):
         return "bmp"
     if b.startswith(b"P6"):
@@ -480,6 +497,10 @@ def sniff_dims(buf: bytes, fmt: str) -> tuple[int, int]:
                     return int(w), int(h)
                 pos += 2 + seglen
             raise ImageCodecError("no SOF marker found")
+        if fmt == "webp":
+            from .webpcodec import sniff_webp_dims
+
+            return sniff_webp_dims(buf)
         if fmt == "ppm":
             toks = buf[:64].split()
             if toks[0] != b"P6":

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 _IMAGE_EXTS = {
     "png": "png", "ppm": "ppm", "bmp": "bmp", "gif": "gif",
     "tif": "tiff", "tiff": "tiff", "jpg": "jpeg", "jpeg": "jpeg",
-    "dct": "dct", "raw": "raw",
+    "webp": "webp", "dct": "dct", "raw": "raw",
 }
 
 _SCHEMA = (

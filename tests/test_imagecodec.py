@@ -151,7 +151,7 @@ def test_ppm_header_comments():
 def test_error_paths():
     px = _px(8, 8)
     with pytest.raises(ImageCodecError, match="unsupported format"):
-        encode(px, 8, 8, "webp")  # 'jpeg' became REAL in round 4
+        encode(px, 8, 8, "heic")  # 'jpeg' and 'webp' became REAL in round 4
     with pytest.raises(ImageCodecError, match="not a PNG"):
         decode_png(b"\x00" * 20)
     with pytest.raises(ImageCodecError, match="metadata"):
