@@ -2268,6 +2268,68 @@ def q_crossformat_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["assignments"]
 
 
+def _planted_tiered_rows():
+    """Planted cascade corpus: 10 bases, each stored as original + two
+    byte+caption exact twins + one near-pixel copy with a fresh caption,
+    plus 8 uniques — the exact tier must collapse the twins (narrow
+    (id, md5-key) shuffle only), the near tier's content lanes must
+    attach the noisy copy, and the composed clustering equals the
+    planted truth."""
+    import numpy as np
+
+    from datasketches_cpp_spark.sources.images import phash64
+
+    rows, truth = [], {}
+    for i in range(10):
+        r = np.random.default_rng(7300 + i)
+        px = r.integers(0, 256, 32 * 32 * 3, np.int64).astype(np.uint8)
+        cap = f"tiered planted caption {i}"
+        ph = int(np.int64(np.uint64(phash64(px, 32, 32))))
+        for j in range(3):
+            iid = f"tp{i:02d}{chr(ord('a') + j)}"
+            rows.append((iid, bytearray(px.tobytes()), 32, 32, "raw", cap, ph))
+            truth[iid] = f"tp{i:02d}a"
+        noisy = np.clip(
+            px.astype(np.int16) + r.integers(-2, 3, px.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append(
+            (f"tp{i:02d}d", bytearray(noisy.tobytes()), 32, 32, "raw",
+             f"recaptioned copy {i}",
+             int(np.int64(np.uint64(phash64(noisy, 32, 32)))))
+        )
+        truth[f"tp{i:02d}d"] = f"tp{i:02d}a"
+    for i in range(8):
+        r = np.random.default_rng(7500 + i)
+        px = r.integers(0, 256, 32 * 32 * 3, np.int64).astype(np.uint8)
+        iid = f"tq{i:02d}"
+        rows.append(
+            (iid, bytearray(px.tobytes()), 32, 32, "raw",
+             f"tiered unique caption {i}",
+             int(np.int64(np.uint64(phash64(px, 32, 32)))))
+        )
+        truth[iid] = iid
+    return rows, truth
+
+
+def q_tiered_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup cascade (operators/tiered.py): byte+caption exact
+    tier (one narrow (id, md5-key) shuffle; bloom-broadcast survivor
+    filter — the corpus' bytes never shuffle) feeding the multi-lane
+    near tier over survivors only, clusters composed back through the
+    tiers. The cascade is provably lossless for content-derived lanes
+    (tests/test_tiered.py pins equality with a flat dedup_images run).
+    Oracle = planted truth."""
+    from datasketches_cpp_spark.operators.tiered import tiered_dedup_images
+
+    rows, _ = _planted_tiered_rows()
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    return tiered_dedup_images(images, SigConfig())["assignments"]
+
+
 def q_dedup_recall_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level recall per planted dup kind (operators/evaldedup.py —
     counting identities, no pair materialization): the full multi-lane
@@ -3071,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cropped_dedup_planted": q_cropped_dedup_planted,
         "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
+        "tiered_dedup_planted": q_tiered_dedup_planted,
         "photometric_dedup_planted": q_photometric_dedup_planted,
         "ssim_gated_dedup_planted": q_ssim_gated_dedup_planted,
         "gradient_dedup_planted": q_gradient_dedup_planted,
@@ -3663,6 +3726,9 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_recompress_dedup_planted": _planted_truth_sql(_planted_jpeg_rows()[1]),
         "crossformat_dedup_planted": _planted_truth_sql(
             _planted_crossformat_rows()[1]
+        ),
+        "tiered_dedup_planted": _planted_truth_sql(
+            _planted_tiered_rows()[1]
         ),
         "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
         "photometric_dedup_planted": _planted_truth_sql(

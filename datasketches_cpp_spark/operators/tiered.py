@@ -1,0 +1,221 @@
+"""Tiered (cascaded) dedup — exact tier, near tier, optional semantic tier.
+
+The 100 TB shape of deduplication is a CASCADE: web-scale image corpora
+are typically 30-50% byte-exact duplicates, and collapsing those first
+means the expensive machinery (multi-lane LSH banding, pHash verify,
+embedding cosine) runs over a corpus a fraction of the original size.
+Each tier's clusters are composed back through the cheaper tiers, so
+every input row still gets a final cluster id.
+
+Tiers:
+
+* **exact** — one narrow shuffle of ``(image_id, key)`` projections
+  where ``key = md5`` over length-framed ``exact_on`` columns (128-bit,
+  collision-safe at corpus scale; the corpus' ``bytes`` column never
+  enters this exchange). Representative = min image_id per key.
+* **near** — the full multi-lane ``dedup_images`` pipeline
+  (operators/imagededup.py) over exact-tier survivors only.
+* **semantic** — optional SemDeDup pass (operators/knn.py
+  ``semantic_dedup``) over the NEAR tier's representatives, for callers
+  that supply an embedding table; near-tier clusters whose reps are
+  semantic near-duplicates merge.
+
+Survivor selection never shuffles image payloads. With
+``survivor_filter="bloom"`` (default) the representative id set is
+folded into a broadcast bloom filter (functions/bloom.py) and the
+corpus is filtered MAP-SIDE — zero corpus shuffle. The bloom's false
+positives are harmless by construction: a false positive admits a
+non-representative row, which is byte-identical (and caption-identical)
+to its representative, so the near tier's content-derived lanes re-link
+it to that representative and the composed clustering is unchanged;
+final cluster ids also stay representative ids, because every admitted
+non-rep u has its rep r < u inside the same near component, so the
+component min is never u. ``survivor_filter="semi"`` is the exact
+left-semi join (one corpus shuffle) for callers that want the survivor
+frame itself duplicate-free.
+
+Lossless-collapse law: collapsing rows identical on ``exact_on`` is
+invisible to any lane that reads only those columns (or values derived
+from them, like the pHash of the bytes) — identical inputs yield
+identical signatures, so the near tier over representatives produces
+the same composed clustering as a flat run over everything
+(tests/test_tiered.py pins this equivalence against ``dedup_images``).
+The default ``exact_on=("bytes", "caption")`` covers every lane
+dedup_images offers; callers who key on bytes alone must restrict
+``near_lanes`` to content-derived lanes ("bytes", "phash", "dhash") or
+accept that caption-lane edges between byte-identical twins with
+different captions are collapsed by fiat.
+
+The reference repo (apache/datasketches-cpp) has no dedup pipeline;
+this module extends the engine's training-data surface, composing the
+round-2/3 lanes into the cascade a 1000-executor deployment would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .imagededup import dedup_images
+from .sigkernel import SigConfig
+
+
+def _exact_key(images: DataFrame, exact_on: tuple) -> "F.Column":
+    """128-bit content key over the exact_on columns. Each part is
+    length-framed before the concat so ("ab", "c") and ("a", "bc") can
+    never collide; md5 runs JVM-side in one projection pass."""
+    types = dict(images.dtypes)
+    framed = []
+    for c in exact_on:
+        if c not in types:
+            raise ValueError(f"exact_on column {c!r} not in the input frame")
+        part = (
+            F.col(c)
+            if types[c] == "binary"
+            else F.encode(F.coalesce(F.col(c).cast("string"), F.lit("")), "UTF-8")
+        )
+        framed.append(
+            F.concat(
+                F.encode(
+                    F.concat(F.length(part).cast("string"), F.lit(":")), "UTF-8"
+                ),
+                part,
+            )
+        )
+    return F.md5(F.concat(*framed))
+
+
+def _bloom_rep_filter(images: DataFrame, rep_ids: DataFrame,
+                      id_col: str, fpp: float) -> DataFrame:
+    from ..functions.bloom import (
+        bloom_filter_agg,
+        might_contain,
+        suggest_num_bits,
+        suggest_num_hashes_from,
+    )
+
+    n = max(int(rep_ids.count()), 1)
+    m = suggest_num_bits(n, fpp)
+    k = suggest_num_hashes_from(n, m)
+    filt = bloom_filter_agg(rep_ids, id_col, m, k)
+    return (
+        might_contain(images, filt, id_col, out_col="_is_rep_maybe")
+        .where(F.col("_is_rep_maybe"))
+        .drop("_is_rep_maybe")
+    )
+
+
+def tiered_dedup_images(
+    images: DataFrame,
+    cfg: SigConfig | None = None,
+    exact_on: tuple = ("bytes", "caption"),
+    near_lanes: tuple = ("bytes", "phash"),
+    embeddings: DataFrame | None = None,
+    id_col: str = "image_id",
+    vec_col: str = "embedding",
+    semantic_threshold: float = 0.9,
+    n_centroids: int = 16,
+    survivor_filter: str = "bloom",
+    bloom_fpp: float = 1e-3,
+    **near_kwargs,
+) -> dict:
+    """Cascaded dedup. Returns a dict with:
+
+    * ``assignments`` — (id, cluster_id) for EVERY input row (the
+      dedup_images column convention), the
+      composed exact→near[→semantic] clustering; cluster_id is the min
+      image_id of the final cluster (deterministic).
+    * ``exact_assignments`` — (image_id, rep1) the exact tier's map.
+    * ``near`` — the full dedup_images result dict over survivors.
+    * ``semantic`` — the semantic_dedup frame over near reps (or None).
+    * ``tier_stats`` — small DataFrame (tier, input_rows, survivors):
+      the funnel a capacity planner reads; lazy, aggregation-only.
+    """
+    if survivor_filter not in ("bloom", "semi"):
+        raise ValueError(
+            f"survivor_filter must be 'bloom' or 'semi', got {survivor_filter!r}"
+        )
+    cfg = cfg or SigConfig()
+
+    # ---- exact tier: narrow (id, key) shuffle only --------------------
+    keymap = images.select(
+        F.col(id_col), _exact_key(images, exact_on).alias("_tkey")
+    )
+    wspec = Window.partitionBy("_tkey")
+    # multiple consumers (rep set, compose join, stats) — checkpoint so
+    # the window shuffle runs once (house rule, tests/test_plans.py)
+    a1 = keymap.select(
+        F.col(id_col), F.min(id_col).over(wspec).alias("rep1")
+    ).localCheckpoint(eager=False)
+    rep_ids = a1.where(F.col(id_col) == F.col("rep1")).select(id_col)
+
+    if survivor_filter == "semi":
+        survivors = images.join(rep_ids, id_col, "left_semi")
+    else:
+        survivors = _bloom_rep_filter(images, rep_ids, id_col, bloom_fpp)
+
+    # ---- near tier: the multi-lane pipeline over survivors ------------
+    near = dedup_images(images=survivors, cfg=cfg,
+                        enable_lanes=near_lanes, **near_kwargs)
+    a2 = near["assignments"]  # (id, cluster_id) over survivors
+
+    # ---- optional semantic tier over near representatives -------------
+    sem = None
+    a2r = a2.withColumnRenamed("id", "_nid").withColumnRenamed(
+        "cluster_id", "_ncid"
+    )
+    final = a1.join(a2r, F.col("rep1") == F.col("_nid"), "left").select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col("_ncid"), F.col("rep1")).alias("cluster_id"),
+    )
+    if embeddings is not None:
+        from .knn import semantic_dedup
+
+        near_reps = a2.where(F.col("id") == F.col("cluster_id")).select("id")
+        rep_vecs = embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).join(near_reps, "id", "left_semi")
+        sem = semantic_dedup(
+            rep_vecs,
+            id_col="id",
+            vec_col="vec",
+            threshold=semantic_threshold,
+            n_centroids=n_centroids,
+        )
+        a3 = sem.select(
+            F.col("id").alias("_sid"), F.col("rep_id").alias("_srep")
+        )
+        final = final.join(
+            a3, F.col("cluster_id") == F.col("_sid"), "left"
+        ).select(
+            F.col("id"),
+            F.coalesce(F.col("_srep"), F.col("cluster_id")).alias("cluster_id"),
+        )
+
+    # ---- funnel stats (lazy; aggregation-only) -------------------------
+    stats = (
+        a1.agg(
+            F.count(F.lit(1)).alias("input_rows"),
+            F.count_distinct("rep1").alias("survivors"),
+        ).select(F.lit("exact").alias("tier"), "input_rows", "survivors")
+    ).union(
+        a2.agg(
+            F.count(F.lit(1)).alias("input_rows"),
+            F.count_distinct("cluster_id").alias("survivors"),
+        ).select(F.lit("near").alias("tier"), "input_rows", "survivors")
+    )
+    if sem is not None:
+        stats = stats.union(
+            sem.agg(
+                F.count(F.lit(1)).alias("input_rows"),
+                F.count_distinct("rep_id").alias("survivors"),
+            ).select(F.lit("semantic").alias("tier"), "input_rows", "survivors")
+        )
+
+    return {
+        "assignments": final,
+        "exact_assignments": a1,
+        "near": near,
+        "semantic": sem,
+        "tier_stats": stats,
+    }

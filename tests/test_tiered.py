@@ -1,0 +1,158 @@
+"""Tiered dedup cascade (operators/tiered.py).
+
+Pins the planted-truth clustering, the lossless-collapse equivalence
+against a flat dedup_images run, bloom-vs-semi survivor-filter
+identity, the semantic tier's merge behavior, and the length-framed
+exact-key non-collision.
+"""
+
+import numpy as np
+import pytest
+
+from datasketches_cpp_spark.operators.sigkernel import SigConfig
+from datasketches_cpp_spark.operators.tiered import tiered_dedup_images
+from datasketches_cpp_spark.sources.images import generate_images, phash64
+
+SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def _planted_rows():
+    """8 bases; per base: original + 2 byte+caption exact dups + 1
+    near-pixel copy (fresh caption), plus 6 uniques. Truth = min id."""
+    rows, truth = [], {}
+    for i in range(8):
+        r = np.random.default_rng(5200 + i)
+        px = r.integers(0, 256, 32 * 32 * 3, dtype=np.int64).astype(np.uint8)
+        cap = f"tiered base caption {i}"
+        base = f"td{i:02d}a"
+        ph = int(np.int64(np.uint64(phash64(px, 32, 32))))
+        for j in range(3):  # original + two exact dups
+            iid = f"td{i:02d}{chr(ord('a') + j)}"
+            rows.append((iid, bytearray(px.tobytes()), 32, 32, "raw", cap, ph))
+            truth[iid] = base
+        noisy = np.clip(
+            px.astype(np.int16) + r.integers(-2, 3, px.shape), 0, 255
+        ).astype(np.uint8)
+        nid = f"td{i:02d}d"
+        nph = int(np.int64(np.uint64(phash64(noisy, 32, 32))))
+        rows.append(
+            (nid, bytearray(noisy.tobytes()), 32, 32, "raw",
+             f"different caption {i}", nph)
+        )
+        truth[nid] = base
+    for i in range(6):
+        r = np.random.default_rng(5400 + i)
+        px = r.integers(0, 256, 32 * 32 * 3, dtype=np.int64).astype(np.uint8)
+        iid = f"tu{i:02d}"
+        rows.append(
+            (iid, bytearray(px.tobytes()), 32, 32, "raw",
+             f"unique caption {i}", int(np.int64(np.uint64(phash64(px, 32, 32)))))
+        )
+        truth[iid] = iid
+    return rows, truth
+
+
+@pytest.mark.parametrize("survivor_filter", ["bloom", "semi"])
+def test_planted_cascade(spark, survivor_filter):
+    rows, truth = _planted_rows()
+    images = spark.createDataFrame(rows, SCHEMA)
+    res = tiered_dedup_images(
+        images, SigConfig(), survivor_filter=survivor_filter
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in res["assignments"].collect()}
+    assert got == truth
+    stats = {r["tier"]: (r["input_rows"], r["survivors"])
+             for r in res["tier_stats"].collect()}
+    # exact tier: 38 rows in, 8*2+6 = 22 distinct content keys out
+    assert stats["exact"] == (38, 22)
+    # near tier: bloom may admit a few byte-twins; semi is exactly 22
+    assert stats["near"][0] >= 22
+    if survivor_filter == "semi":
+        assert stats["near"][0] == 22
+    assert stats["near"][1] == 14  # 8 clusters + 6 uniques
+
+
+def test_equivalence_with_flat_run(spark):
+    """Lossless-collapse law: the cascade equals a flat dedup_images run
+    over everything (content lanes; exact key covers bytes+caption)."""
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+
+    pdf, _ = generate_images(300, seed=41)
+    images = spark.createDataFrame(pdf)
+    flat = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_images(
+            images, SigConfig(), enable_lanes=("bytes", "phash")
+        )["assignments"].collect()
+    }
+    for filt in ("bloom", "semi"):
+        tiered = {
+            r["id"]: r["cluster_id"]
+            for r in tiered_dedup_images(
+                images, SigConfig(), survivor_filter=filt
+            )["assignments"].collect()
+        }
+        assert tiered == flat, f"cascade != flat under {filt}"
+
+
+def test_semantic_tier_merges_near_reps(spark):
+    """Two near-tier clusters whose representatives share an embedding
+    direction merge in the semantic tier; unrelated ones do not."""
+    rows, _ = _planted_rows()
+    images = spark.createDataFrame(rows, SCHEMA)
+    # embeddings: bases 0 and 1 point the same way, everything else
+    # orthogonal-ish (distinct axes)
+    emb_rows = []
+    axis = {}
+    for i, (iid, *_rest) in enumerate(rows):
+        base = iid[:4]
+        if base not in axis:
+            axis[base] = len(axis)
+        vec = [0.0] * 40
+        if iid.startswith(("td00", "td01")):
+            vec[0] = 1.0
+        else:
+            vec[2 + axis[base]] = 1.0
+        emb_rows.append((iid, vec))
+    emb = spark.createDataFrame(emb_rows, "image_id string, embedding array<double>")
+    res = tiered_dedup_images(
+        images, SigConfig(), embeddings=emb, semantic_threshold=0.95,
+        n_centroids=4,
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in res["assignments"].collect()}
+    # base 0 and base 1 collapse to one cluster (min id td00a)
+    for iid in ("td00a", "td00d", "td01a", "td01c", "td01d"):
+        assert got[iid] == "td00a"
+    # base 2 stays its own cluster
+    assert got["td02a"] == "td02a" and got["td02d"] == "td02a"
+    stats = {r["tier"]: (r["input_rows"], r["survivors"])
+             for r in res["tier_stats"].collect()}
+    assert stats["semantic"] == (14, 13)  # 14 near reps -> 13 semantic
+
+
+def test_exact_key_length_framing(spark):
+    """("ab", "c") and ("a", "bc") must not share an exact key."""
+    rows = [
+        ("k0", bytearray(b"ab"), 1, 1, "raw", "c", 0),
+        ("k1", bytearray(b"a"), 1, 1, "raw", "bc", 0),
+    ]
+    images = spark.createDataFrame(rows, SCHEMA)
+    a1 = tiered_dedup_images(
+        images, SigConfig(), near_lanes=("bytes",), survivor_filter="semi"
+    )["exact_assignments"]
+    reps = {r["image_id"]: r["rep1"] for r in a1.collect()}
+    assert reps == {"k0": "k0", "k1": "k1"}
+
+
+def test_errors(spark):
+    rows, _ = _planted_rows()
+    images = spark.createDataFrame(rows[:4], SCHEMA)
+    with pytest.raises(ValueError, match="survivor_filter"):
+        tiered_dedup_images(images, survivor_filter="exactly")
+    with pytest.raises(ValueError, match="exact_on"):
+        tiered_dedup_images(images, exact_on=("bytes", "nope"))
