@@ -87,9 +87,19 @@ def _exact_key(images: DataFrame, exact_on: tuple) -> "F.Column":
 
 def _bloom_rep_filter(images: DataFrame, rep_ids: DataFrame,
                       id_col: str, fpp: float) -> DataFrame:
+    """Map-side survivor filter: the rep-id bloom is folded distributed
+    (functions/bloom.py), its bit array broadcast, and the probe runs as
+    a SCALAR pandas UDF inside .filter() — only the id column crosses
+    the Arrow boundary; the corpus' bytes/caption payloads never leave
+    the JVM (the bloom.might_contain mapInPandas helper would round-trip
+    every column, which at image payload widths costs more than the
+    near-tier work it saves)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     from ..functions.bloom import (
+        _bit_positions,
         bloom_filter_agg,
-        might_contain,
         suggest_num_bits,
         suggest_num_hashes_from,
     )
@@ -97,12 +107,22 @@ def _bloom_rep_filter(images: DataFrame, rep_ids: DataFrame,
     n = max(int(rep_ids.count()), 1)
     m = suggest_num_bits(n, fpp)
     k = suggest_num_hashes_from(n, m)
-    filt = bloom_filter_agg(rep_ids, id_col, m, k)
-    return (
-        might_contain(images, filt, id_col, out_col="_is_rep_maybe")
-        .where(F.col("_is_rep_maybe"))
-        .drop("_is_rep_maybe")
-    )
+    row = bloom_filter_agg(rep_ids, id_col, m, k).collect()[0]
+    sc = images.sparkSession.sparkContext
+    bits_bc = sc.broadcast(bytes(row["bits"]))
+    m_, k_, seed = int(row["num_bits"]), int(row["num_hashes"]), int(row["seed"])
+    id_dtype = dict(images.dtypes)[id_col]
+
+    def _probe(ids):
+        import numpy as np
+
+        arr = np.frombuffer(bits_bc.value, dtype=np.uint8)
+        pos = _bit_positions(ids, id_dtype, m_, k_, seed)
+        hit = (arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    probe = pandas_udf(_probe, "boolean")
+    return images.filter(probe(F.col(id_col)))
 
 
 def tiered_dedup_images(
