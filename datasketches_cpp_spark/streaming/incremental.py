@@ -130,14 +130,24 @@ class _BucketedStateStore:
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(self._p(f"{name}/epoch_{epoch_id:012d}")))
 
-    def _read_bucketed(self, name: str, buckets: list[int] | None = None
-                       ) -> DataFrame | None:
+    def _read_bucketed(self, name: str, buckets: list[int] | None = None,
+                       exclude_epoch: int | None = None) -> DataFrame | None:
         """Union of the store's live epoch directories; with ``buckets``
         given, each read carries a partition filter — Spark prunes to the
-        matching bucket=Y directories and never lists the rest."""
+        matching bucket=Y directories and never lists the rest.
+        ``exclude_epoch`` drops that epoch's own slot from the read — for
+        probes that must see only PRIOR state even on an at-least-once
+        replay that already wrote this epoch's slot (safe because
+        compaction never folds a mid-flight epoch, per compact_store's
+        contract)."""
         dirs = self._live_epoch_dirs(name)
+        if exclude_epoch is not None:
+            tag = f"epoch_{exclude_epoch:012d}"
+            dirs = [d for d in dirs if not d.rstrip("/").endswith(tag)]
         out = None
         for d in dirs:
+            if not self._hfs.has_file_with_suffix(d, ".parquet"):
+                continue  # empty epoch slot (e.g. an all-duplicate batch)
             df = self.spark.read.parquet(d)
             if buckets is not None:
                 df = df.where(F.col("bucket").isin([int(b) for b in buckets]))
@@ -165,6 +175,8 @@ class _BucketedStateStore:
         if len(dirs) <= 1:
             return 0
         df = self._read_bucketed(name)
+        if df is None:
+            return 0  # every live slot is empty — nothing to fold
         tag = f"compacted_{int(time.time() * 1000):013d}"
         target = self._p(f"{name}/{tag}")
         (df.write.mode("overwrite").partitionBy("bucket").parquet(target))
@@ -229,6 +241,7 @@ class IncrementalDeduper(_BucketedStateStore):
         num_buckets: int = 64,
         rotation_invariant: bool = False,
         crop_invariant: bool = False,
+        exact_on: tuple | None = None,
     ):
         super().__init__(spark, state_dir, num_buckets)
         self.cfg = cfg or SigConfig()
@@ -244,6 +257,14 @@ class IncrementalDeduper(_BucketedStateStore):
         # constant for the lifetime of a state_dir
         self.rotation_invariant = rotation_invariant
         self.crop_invariant = crop_invariant
+        # streaming twin of the batch tiered cascade (operators/tiered.py):
+        # when set (e.g. ("bytes", "caption")), a persistent exact-key
+        # store gates the expensive lanes — only rows whose content key is
+        # NOVEL across the whole stream's history enter the band/signature
+        # stores, so state growth tracks novel content, not stream volume.
+        # Same lossless-collapse law as batch; same constancy contract as
+        # the invariance flags.
+        self.exact_on = exact_on
 
     # -- lane helpers ----------------------------------------------------------
     def _lane_pairs(
@@ -301,6 +322,65 @@ class IncrementalDeduper(_BucketedStateStore):
             "passed"
         ).select("a", "b")
 
+    def _exact_tier(self, batch_df: DataFrame, epoch_id: int
+                    ) -> tuple[DataFrame, DataFrame]:
+        """Streaming exact tier: collapse within-batch content twins
+        (window min over the 128-bit key — ids and keys only, payloads
+        never shuffle), probe the persistent exact-key store with
+        partition pruning for keys seen in PRIOR epochs, append edges
+        for both, and return (survivors, exact_edges) where survivors
+        are the rows whose key is novel stream-wide — the only rows the
+        band/signature lanes ever see or store."""
+        from pyspark.sql import Window
+
+        from ..operators.tiered import _exact_key
+
+        keyed = batch_df.select(
+            "image_id", _exact_key(batch_df, self.exact_on).alias("tkey")
+        )
+        wnd = Window.partitionBy("tkey")
+        a1 = keyed.select(
+            "image_id", "tkey", F.min("image_id").over(wnd).alias("rep")
+        ).localCheckpoint(eager=True)  # ids+keys only; three consumers
+        bk = a1.where(F.col("image_id") == F.col("rep")).select("tkey", "rep")
+        probe_buckets = self._touched_buckets(bk, "tkey")
+        store = self._read_bucketed(
+            "exact_keys", probe_buckets, exclude_epoch=epoch_id
+        )
+        if store is None:
+            hits = self.spark.createDataFrame(
+                [], "tkey string, rep string, store_rep string"
+            )
+        else:
+            # the store is the BIG side (grows with stream history): keep it
+            # streamed through two broadcast-hash joins against batch-sized
+            # builds — the batch keys here, the hit set below — so no probe
+            # ever shuffles or broadcasts stream-lifetime state
+            hits = (
+                store.select("tkey", F.col("rep").alias("store_rep"))
+                .join(F.broadcast(bk), "tkey")
+                .groupBy("tkey", "rep")
+                .agg(F.min("store_rep").alias("store_rep"))
+            )
+        hits = hits.localCheckpoint(eager=True)  # novel-anti + edges
+        novel = bk.join(
+            F.broadcast(hits.select("tkey")), "tkey", "left_anti"
+        ).localCheckpoint(eager=True)  # store write + survivor filter
+        self._write_epoch_bucketed("exact_keys", novel, epoch_id, ["tkey"])
+        within = a1.where(F.col("image_id") != F.col("rep")).select(
+            F.least("image_id", "rep").alias("a"),
+            F.greatest("image_id", "rep").alias("b"),
+        )
+        across = hits.where(F.col("rep") != F.col("store_rep")).select(
+            F.least("rep", "store_rep").alias("a"),
+            F.greatest("rep", "store_rep").alias("b"),
+        )
+        survivors = batch_df.join(
+            F.broadcast(novel.select(F.col("rep").alias("image_id"))),
+            "image_id", "left_semi",
+        )
+        return survivors, within.union(across)
+
     # -- the foreachBatch callback -----------------------------------------------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self._epoch_done(epoch_id):
@@ -312,6 +392,12 @@ class IncrementalDeduper(_BucketedStateStore):
             self._mark_epoch(epoch_id, {"rows": 0})
             return
         edges_parts = []
+        all_rows = batch_df
+        if self.exact_on:
+            batch_df, exact_edges = self._exact_tier(batch_df, epoch_id)
+            # the lanes see survivors only; the exact edges join the pool
+            batch_df = batch_df.localCheckpoint(eager=True)
+            edges_parts.append(exact_edges)
 
         if "caption" in self.enable_lanes:
             sig = compute_signatures(
@@ -336,7 +422,10 @@ class IncrementalDeduper(_BucketedStateStore):
         if "phash" in self.enable_lanes:
             edges_parts.append(self._phash_lane(batch_df, epoch_id))
 
-        ids_new = batch_df.select(F.col("image_id").alias("id"))
+        # ids must cover EVERY row of the batch (all_rows), not only the
+        # exact-tier survivors — collapsed twins reach their cluster through
+        # the exact edges, but only if they exist as vertices
+        ids_new = all_rows.select(F.col("image_id").alias("id"))
         self._write_epoch("ids", ids_new, epoch_id)
 
         new_edges = edges_parts[0]

@@ -234,3 +234,61 @@ def test_store_over_scheme_qualified_uri(spark, corpus_pdf, tmp_path):
         dd._read_bucketed(store), "id", "band_idx", "band_hash", "bucket"
     ) == before
     assert dd.assignments().count() == 160
+
+
+def test_exact_tier_gates_lanes_and_matches_flat(spark, corpus_pdf, tmp_path):
+    """Streaming exact tier (exact_on): assignments equal the flat batch
+    run (lossless-collapse law, streaming twin of operators/tiered.py),
+    while the lane stores hold only stream-wide NOVEL content — state
+    growth tracks novel content, not stream volume — and cross-epoch
+    exact twins link through the persistent exact-key store."""
+    import pandas as pd
+
+    base = corpus_pdf.iloc[0:150].reset_index(drop=True)
+    # cross-epoch exact twins: re-emit 20 epoch-0 rows in later epochs
+    # under fresh ids (identical bytes+caption => exact-tier store hits)
+    tw1 = base.iloc[0:10].copy()
+    tw1["image_id"] = ["xtw1_%02d" % i for i in range(10)]
+    tw2 = base.iloc[5:15].copy()
+    tw2["image_id"] = ["xtw2_%02d" % i for i in range(10)]
+    chunks = [base.iloc[0:80], pd.concat([base.iloc[80:150], tw1]), tw2]
+    full = spark.createDataFrame(pd.concat(chunks, ignore_index=True)).cache()
+
+    flat = dedup_images(
+        full, CFG, BYTES_CFG, byte_stride=4, enable_lanes=LANES
+    )
+    want = checksum(flat["assignments"], "id", "cluster_id")
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG, byte_stride=4,
+        max_fanout=512, enable_lanes=LANES, exact_on=("bytes", "caption"),
+    )
+    for epoch, chunk in enumerate(chunks):
+        dd.process_batch(spark.createDataFrame(chunk), epoch)
+    assert checksum(dd.assignments(), "id", "cluster_id") == want
+
+    # gating: every lane store holds one row per stream-wide novel key,
+    # strictly fewer than the rows streamed (20 planted twins + any
+    # generator-planted byte+caption twins collapse before the lanes)
+    n_total = full.count()
+    n_novel = dd._read_bucketed("exact_keys").count()
+    assert n_novel <= n_total - 20
+    assert dd._read_bucketed("sig_caption").count() == n_novel
+    assert dd._read_bucketed("sig_bytes").count() == n_novel
+
+    # replay idempotence through the exact tier: simulate a crash AFTER
+    # epoch 2's store writes but BEFORE its commit (unmark it), then
+    # redeliver — the probe must EXCLUDE epoch 2's own exact_keys slot
+    # (else its keys read as already-seen and the epoch collapses to
+    # nothing), rewriting identical state and assignments
+    import json as _json
+
+    epochs_p = str(tmp_path / "state" / "epochs.json")
+    st = _json.load(open(epochs_p))
+    del st["done"]["2"]
+    open(epochs_p, "w").write(_json.dumps(st))
+    dd.process_batch(spark.createDataFrame(chunks[2]), 2)
+    assert dd._epoch_done(2)
+    assert checksum(dd.assignments(), "id", "cluster_id") == want
+    assert dd._read_bucketed("exact_keys").count() == n_novel
+    assert dd._read_bucketed("sig_caption").count() == n_novel
