@@ -2330,6 +2330,36 @@ def q_tiered_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiered_dedup_images(images, SigConfig())["assignments"]
 
 
+def q_stream_tier_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the tiered cascade (streaming/incremental.py
+    IncrementalDeduper with exact_on): the SAME planted corpus arrives
+    as two micro-batch epochs with every exact twin in a LATER epoch
+    than its original, so collapsing them requires the persistent
+    bucket-pruned exact-key store (cross-epoch hits), and the noisy
+    copies attach through the phash lane's band store probes. Oracle =
+    planted truth — a hash match proves the streaming exact tier + lane
+    stores + accumulated-edge CC recover exactly the planted clustering
+    across epoch boundaries."""
+    import tempfile
+
+    from datasketches_cpp_spark.streaming.incremental import IncrementalDeduper
+
+    rows, _ = _planted_tiered_rows()
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+    ep0 = [r for r in rows if r[0].endswith("a") or r[0].startswith("tq")]
+    ep1 = [r for r in rows if not (r[0].endswith("a") or r[0].startswith("tq"))]
+    dd = IncrementalDeduper(
+        spark, tempfile.mkdtemp(prefix="stream_tier_q_"), SigConfig(),
+        enable_lanes=("bytes", "phash"), exact_on=("bytes", "caption"),
+    )
+    dd.process_batch(spark.createDataFrame(ep0, schema), 0)
+    dd.process_batch(spark.createDataFrame(ep1, schema), 1)
+    return dd.assignments()
+
+
 def q_dedup_recall_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level recall per planted dup kind (operators/evaldedup.py —
     counting identities, no pair materialization): the full multi-lane
@@ -3134,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_recompress_dedup_planted": q_jpeg_recompress_dedup_planted,
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
         "tiered_dedup_planted": q_tiered_dedup_planted,
+        "stream_tier_dedup_planted": q_stream_tier_dedup_planted,
         "photometric_dedup_planted": q_photometric_dedup_planted,
         "ssim_gated_dedup_planted": q_ssim_gated_dedup_planted,
         "gradient_dedup_planted": q_gradient_dedup_planted,
@@ -3728,6 +3759,9 @@ def oracle_sql() -> dict[str, str]:
             _planted_crossformat_rows()[1]
         ),
         "tiered_dedup_planted": _planted_truth_sql(
+            _planted_tiered_rows()[1]
+        ),
+        "stream_tier_dedup_planted": _planted_truth_sql(
             _planted_tiered_rows()[1]
         ),
         "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
