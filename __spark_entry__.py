@@ -2360,6 +2360,23 @@ def q_stream_tier_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.assignments()
 
 
+def q_dup_ratio_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven cascade planning (operators/tiered.plan_tiers):
+    theta-sketch duplicate-ratio estimate with binomial bounds over the
+    documents table's text key, recommending whether the exact tier
+    pays off. One narrow map-side-partial pass — the 10^12-row answer
+    to "should I run the exact tier?" without a full-corpus shuffle.
+    At this scale the sketch stays in exact mode (distinct <= 2^14), so
+    every column is EXACT and the oracle re-derives all of them
+    independently in SQL."""
+    from datasketches_cpp_spark.operators.tiered import plan_tiers
+
+    return plan_tiers(
+        _t(spark, sf_dir, "documents"), exact_on=("text",), lg_k=14,
+        min_dup_ratio=0.05,
+    )
+
+
 def q_dedup_recall_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level recall per planted dup kind (operators/evaldedup.py —
     counting identities, no pair materialization): the full multi-lane
@@ -3165,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossformat_dedup_planted": q_crossformat_dedup_planted,
         "tiered_dedup_planted": q_tiered_dedup_planted,
         "stream_tier_dedup_planted": q_stream_tier_dedup_planted,
+        "dup_ratio_plan": q_dup_ratio_plan,
         "photometric_dedup_planted": q_photometric_dedup_planted,
         "ssim_gated_dedup_planted": q_ssim_gated_dedup_planted,
         "gradient_dedup_planted": q_gradient_dedup_planted,
@@ -3763,6 +3781,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_tier_dedup_planted": _planted_truth_sql(
             _planted_tiered_rows()[1]
+        ),
+        "dup_ratio_plan": (
+            "SELECT CAST(count(*) AS BIGINT) AS total_rows, "
+            "CAST(count(DISTINCT text) AS DOUBLE) AS distinct_est, "
+            "CAST(count(DISTINCT text) AS DOUBLE) AS distinct_lb, "
+            "CAST(count(DISTINCT text) AS DOUBLE) AS distinct_ub, "
+            "GREATEST(0.0, 1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE)) AS dup_ratio_est, "
+            "GREATEST(0.0, 1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE)) AS dup_ratio_lb, "
+            "GREATEST(0.0, 1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE)) AS dup_ratio_ub, "
+            "GREATEST(0.0, 1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE)) >= 0.05 AS exact_tier "
+            "FROM documents"
         ),
         "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
         "photometric_dedup_planted": _planted_truth_sql(

@@ -239,3 +239,60 @@ def tiered_dedup_images(
         "semantic": sem,
         "tier_stats": stats,
     }
+
+
+def plan_tiers(
+    images: DataFrame,
+    exact_on: tuple = ("bytes", "caption"),
+    lg_k: int = 12,
+    num_std_devs: int = 2,
+    min_dup_ratio: float = 0.05,
+) -> DataFrame:
+    """Sketch-driven cascade planning: estimate the exact-duplicate
+    ratio in ONE narrow pass and recommend whether the exact tier pays
+    for itself, BEFORE any dedup machinery runs.
+
+    The decision input at 10^12 rows is "what fraction of this corpus
+    is byte-exact duplicate?" — exact `count_distinct` over a 128-bit
+    content key is itself a full-corpus shuffle, which defeats the
+    point of planning. A theta sketch (functions/theta.py — the
+    reference's theta distinct-count estimator,
+    theta_sketch.hpp / theta_update_sketch_base.hpp) answers it with
+    map-side lg_k-bounded partials: only 2^lg_k longs per partition
+    ever shuffle, and the binomial bounds make the recommendation
+    conservative (the exact tier is recommended only when even the
+    duplication LOWER bound clears ``min_dup_ratio``). The row count is
+    the one other action; on file sources it is footer-metadata only.
+
+    Returns a one-row DataFrame:
+      (total_rows, distinct_est, distinct_lb, distinct_ub,
+       dup_ratio_est, dup_ratio_lb, dup_ratio_ub, exact_tier)
+    where dup_ratio = 1 - distinct/total, the dup-ratio bounds come
+    from the opposite distinct bounds, and ``exact_tier`` is the
+    recommendation. Corpora with <= 2^lg_k distinct keys keep the
+    sketch in exact mode, so every column is then exact (pinned vs SQL
+    in the `dup_ratio_plan` oracle query)."""
+    from ..functions.theta import theta_sketch_agg, with_bounds
+
+    keyed = images.select(_exact_key(images, exact_on).alias("tkey"))
+    sk = with_bounds(theta_sketch_agg(keyed, [], "tkey", lg_k=lg_k),
+                     num_std_devs)
+    total = images.count()
+    t = F.lit(float(total))
+
+    def ratio(col):
+        if total == 0:
+            return F.lit(0.0)
+        return F.greatest(F.lit(0.0), F.lit(1.0) - col / t)
+
+    return sk.select(
+        F.lit(total).alias("total_rows"),
+        F.col("estimate").alias("distinct_est"),
+        F.col("lower_bound").alias("distinct_lb"),
+        F.col("upper_bound").alias("distinct_ub"),
+        ratio(F.col("estimate")).alias("dup_ratio_est"),
+        ratio(F.col("upper_bound")).alias("dup_ratio_lb"),
+        ratio(F.col("lower_bound")).alias("dup_ratio_ub"),
+        (ratio(F.col("upper_bound")) >= F.lit(float(min_dup_ratio))
+         ).alias("exact_tier"),
+    )

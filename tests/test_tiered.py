@@ -156,3 +156,48 @@ def test_errors(spark):
         tiered_dedup_images(images, survivor_filter="exactly")
     with pytest.raises(ValueError, match="exact_on"):
         tiered_dedup_images(images, exact_on=("bytes", "nope"))
+
+
+def test_plan_tiers_exact_mode(spark):
+    """<= 2^lg_k distinct keys keeps the planning sketch in exact mode:
+    every column is exact and the recommendation follows the true
+    duplication ratio (38 rows, 22 distinct => ratio 16/38)."""
+    from datasketches_cpp_spark.operators.tiered import plan_tiers
+
+    rows, _ = _planted_rows()
+    images = spark.createDataFrame(rows, SCHEMA)
+    got = plan_tiers(images, lg_k=12, min_dup_ratio=0.05).collect()[0]
+    assert got["total_rows"] == 38
+    assert got["distinct_est"] == got["distinct_lb"] == got["distinct_ub"] == 22.0
+    truth = 1.0 - 22.0 / 38.0
+    assert abs(got["dup_ratio_est"] - truth) < 1e-12
+    assert got["dup_ratio_lb"] == got["dup_ratio_ub"] == got["dup_ratio_est"]
+    assert got["exact_tier"] is True
+
+    # all-unique corpus: ratio exactly 0, tier not recommended
+    uniq = spark.createDataFrame(
+        [(r[0], r[1], 32, 32, "raw", f"only {i}", r[6])
+         for i, r in enumerate(rows[:10])], SCHEMA)
+    got = plan_tiers(uniq, exact_on=("caption",), lg_k=12).collect()[0]
+    assert got["dup_ratio_est"] == 0.0 and got["exact_tier"] is False
+
+
+def test_plan_tiers_estimation_mode_bounds_cover_truth(spark):
+    """Estimation mode (lg_k=5, 600 distinct keys, true dup ratio 0.7):
+    the binomial bounds bracket the truth and the conservative
+    recommendation (lower bound >= threshold) still fires."""
+    from datasketches_cpp_spark.operators.tiered import plan_tiers
+
+    rows = []
+    for i in range(2000):
+        key = i % 600  # 600 distinct captions, 2000 rows
+        rows.append((f"e{i:05d}", bytearray(b"x"), 1, 1, "raw",
+                     f"estimation caption {key}", 0))
+    images = spark.createDataFrame(rows, SCHEMA)
+    got = plan_tiers(images, exact_on=("caption",), lg_k=5,
+                     min_dup_ratio=0.05).collect()[0]
+    truth = 1.0 - 600.0 / 2000.0
+    assert got["distinct_lb"] <= 600.0 <= got["distinct_ub"]
+    assert got["dup_ratio_lb"] <= truth <= got["dup_ratio_ub"]
+    assert got["dup_ratio_lb"] < got["dup_ratio_est"] < got["dup_ratio_ub"]
+    assert got["exact_tier"] is True
