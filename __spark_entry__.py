@@ -2360,6 +2360,61 @@ def q_stream_tier_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.assignments()
 
 
+def _planted_stream_semantic_rows():
+    """Planted embedding stream: 6 bases each with two near-parallel
+    copies (cosine ≈ 0.9996 ≥ 0.9) + 6 unrelated unit vectors; truth =
+    min id per group. Deterministic: fixed rng AND fixed hyperplane
+    seed, so the LSH band recall is the same on every run."""
+    import numpy as np
+
+    rng = np.random.default_rng(424)
+    rows, truth = [], {}
+    dim = 16
+    for i in range(6):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for j in range(3):
+            v = base.copy()
+            if j:
+                v = v + 0.02 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            iid = f"sem{i:02d}{j}"
+            rows.append((iid, [float(x) for x in v]))
+            truth[iid] = f"sem{i:02d}0"
+    for i in range(6):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        iid = f"solo{i:02d}"
+        rows.append((iid, [float(x) for x in v]))
+        truth[iid] = iid
+    return rows, truth
+
+
+def q_stream_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup lane (streaming/incremental.py _embedding_lane):
+    hyperplane-LSH band keys into a persistent bucketed band store, exact
+    JVM cosine verify against a bucket-pruned vector store, epochs split
+    so every group spans the boundary. Oracle = planted truth — the
+    streaming tier-dedup cascade's semantic modality gets the same
+    ground-truth cluster gate as exact/near (tests pin streaming ==
+    one-shot batch LSH as well)."""
+    import tempfile
+
+    from datasketches_cpp_spark.streaming.incremental import IncrementalDeduper
+
+    rows, _ = _planted_stream_semantic_rows()
+    schema = "image_id string, embedding array<float>"
+    ep0 = [r for r in rows if r[0].endswith("0") or r[0].startswith("solo")]
+    ep1 = [r for r in rows if not (r[0].endswith("0") or r[0].startswith("solo"))]
+    dd = IncrementalDeduper(
+        spark, tempfile.mkdtemp(prefix="stream_sem_q_"),
+        enable_lanes=("embedding",), embedding_dim=16,
+    )
+    dd.process_batch(spark.createDataFrame(ep0, schema), 0)
+    dd.process_batch(spark.createDataFrame(ep1, schema), 1)
+    return dd.assignments()
+
+
 def q_dup_ratio_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven cascade planning (operators/tiered.plan_tiers):
     theta-sketch duplicate-ratio estimate with binomial bounds over the
@@ -3183,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_dedup_planted": q_tiered_dedup_planted,
         "stream_tier_dedup_planted": q_stream_tier_dedup_planted,
         "dup_ratio_plan": q_dup_ratio_plan,
+        "stream_semantic_dedup_planted": q_stream_semantic_dedup_planted,
         "photometric_dedup_planted": q_photometric_dedup_planted,
         "ssim_gated_dedup_planted": q_ssim_gated_dedup_planted,
         "gradient_dedup_planted": q_gradient_dedup_planted,
@@ -3781,6 +3837,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_tier_dedup_planted": _planted_truth_sql(
             _planted_tiered_rows()[1]
+        ),
+        "stream_semantic_dedup_planted": _planted_truth_sql(
+            _planted_stream_semantic_rows()[1]
         ),
         "dup_ratio_plan": (
             "SELECT CAST(count(*) AS BIGINT) AS total_rows, "

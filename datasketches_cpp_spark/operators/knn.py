@@ -260,24 +260,22 @@ def semantic_dedup(
     raise ValueError(f"unknown policy {policy!r}")
 
 
-def cosine_near_dup_pairs_lsh(
+def hyperplane_bucket_keys(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.9,
     n_tables: int = 16,
     n_bits: int = 10,
     seed: int = 9001,
-    max_bucket: int = 2048,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: random-hyperplane bucket
-    self-join + exact cosine verify. A pair at angle θ collides in one
-    table w.p. (1-θ/π)^n_bits; n_tables tables OR-ed ⇒ recall
-    1-(1-p)^T (≈0.98 for cosine 0.9 at 16×10). Buckets larger than
-    ``max_bucket`` are dropped (degenerate hubs — same cap discipline as
-    LSH banding; at web scale a bucket that big means a near-constant
-    embedding region better handled by exact clustering of that slice)."""
+    """Random-hyperplane (SimHash) band keys for an embedding column:
+    each vector emits one (band_idx=table, band_hash=sign pattern of
+    ``n_bits`` projections) row per table — the bucket shape shared by
+    the batch LSH self-join (cosine_near_dup_pairs_lsh) and the
+    streaming embedding lane's persistent band store. One mapInPandas
+    pass, vectorized matmul per Arrow batch, deterministic in ``seed``.
+    Returns DataFrame(id, band_idx long, band_hash long)."""
     import pandas as pd
     from typing import Iterator
 
@@ -305,8 +303,32 @@ def cosine_near_dup_pairs_lsh(
                 }
             )
 
-    buckets = df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         bucketize, f"id {id_type}, band_idx long, band_hash long"
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_tables: int = 16,
+    n_bits: int = 10,
+    seed: int = 9001,
+    max_bucket: int = 2048,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane bucket
+    self-join + exact cosine verify. A pair at angle θ collides in one
+    table w.p. (1-θ/π)^n_bits; n_tables tables OR-ed ⇒ recall
+    1-(1-p)^T (≈0.98 for cosine 0.9 at 16×10). Buckets larger than
+    ``max_bucket`` are dropped (degenerate hubs — same cap discipline as
+    LSH banding; at web scale a bucket that big means a near-constant
+    embedding region better handled by exact clustering of that slice)."""
+    buckets = hyperplane_bucket_keys(
+        df, dim, id_col=id_col, vec_col=vec_col,
+        n_tables=n_tables, n_bits=n_bits, seed=seed,
     )
     from .lsh import pairs_from_bands
 

@@ -242,6 +242,12 @@ class IncrementalDeduper(_BucketedStateStore):
         rotation_invariant: bool = False,
         crop_invariant: bool = False,
         exact_on: tuple | None = None,
+        embedding_col: str = "embedding",
+        embedding_dim: int | None = None,
+        cosine_threshold: float = 0.9,
+        emb_tables: int = 16,
+        emb_bits: int = 10,
+        emb_seed: int = 9001,
     ):
         super().__init__(spark, state_dir, num_buckets)
         self.cfg = cfg or SigConfig()
@@ -265,6 +271,21 @@ class IncrementalDeduper(_BucketedStateStore):
         # Same lossless-collapse law as batch; same constancy contract as
         # the invariance flags.
         self.exact_on = exact_on
+        # streaming SemDeDup lane ("embedding" in enable_lanes): rows must
+        # carry ``embedding_col`` (array<float>, content-derived so the
+        # exact tier's collapse stays lossless) and ``embedding_dim`` must
+        # be set. Hyperplane seed/tables/bits shape the band store — same
+        # lifetime-constancy contract as cfg.
+        if "embedding" in enable_lanes and embedding_dim is None:
+            raise ValueError(
+                "the embedding lane needs embedding_dim (hyperplane shape)"
+            )
+        self.embedding_col = embedding_col
+        self.embedding_dim = embedding_dim
+        self.cosine_threshold = cosine_threshold
+        self.emb_tables = emb_tables
+        self.emb_bits = emb_bits
+        self.emb_seed = emb_seed
 
     # -- lane helpers ----------------------------------------------------------
     def _lane_pairs(
@@ -393,11 +414,16 @@ class IncrementalDeduper(_BucketedStateStore):
             return
         edges_parts = []
         all_rows = batch_df
+        meta: dict = {"rows": n}
         if self.exact_on:
             batch_df, exact_edges = self._exact_tier(batch_df, epoch_id)
             # the lanes see survivors only; the exact edges join the pool
             batch_df = batch_df.localCheckpoint(eager=True)
             edges_parts.append(exact_edges)
+            # counter metrics on the (checkpointed) survivor frame: how
+            # much of this epoch was novel vs already-seen content
+            meta["novel_rows"] = batch_df.count()
+            meta["exact_collapsed"] = n - meta["novel_rows"]
 
         if "caption" in self.enable_lanes:
             sig = compute_signatures(
@@ -421,6 +447,8 @@ class IncrementalDeduper(_BucketedStateStore):
             )
         if "phash" in self.enable_lanes:
             edges_parts.append(self._phash_lane(batch_df, epoch_id))
+        if "embedding" in self.enable_lanes:
+            edges_parts.append(self._embedding_lane(batch_df, epoch_id))
 
         # ids must cover EVERY row of the batch (all_rows), not only the
         # exact-tier survivors — collapsed twins reach their cluster through
@@ -439,8 +467,68 @@ class IncrementalDeduper(_BucketedStateStore):
         all_edges = self._read("edges")
         assignments = assign_clusters(all_ids, all_edges)
         assignments.write.mode("overwrite").parquet(self._p("assignments"))
-        self._mark_epoch(
-            epoch_id, {"rows": n, "wall_sec": round(time.time() - t0, 3)}
+        meta["wall_sec"] = round(time.time() - t0, 3)
+        self._mark_epoch(epoch_id, meta)
+
+    def _embedding_lane(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """Streaming SemDeDup lane: random-hyperplane band keys of the
+        new batch's embeddings (knn.hyperplane_bucket_keys — the batch
+        LSH self-join's bucket shape) join the accumulated bucketed band
+        store with partition pruning (new×old and new×new in one join,
+        like the sig lanes), then exact cosine ≥ threshold verifies
+        against a bucket-pruned vector lookup — all JVM expressions
+        (knn._cosine). Recall is the batch law 1-(1-p)^T; union over
+        epochs covers every co-banded pair exactly once."""
+        from pyspark.sql import Window
+
+        from ..operators.knn import _cosine, hyperplane_bucket_keys
+
+        src = batch_df.select("image_id", self.embedding_col)
+        keys = hyperplane_bucket_keys(
+            src, self.embedding_dim, id_col="image_id",
+            vec_col=self.embedding_col, n_tables=self.emb_tables,
+            n_bits=self.emb_bits, seed=self.emb_seed,
+        ).localCheckpoint(eager=True)  # store write + probe: kernel runs once
+        self._write_epoch_bucketed(
+            "emb_bands", keys, epoch_id, ["band_idx", "band_hash"]
+        )
+        self._write_epoch_bucketed(
+            "emb_vecs",
+            src.select(F.col("image_id").alias("id"),
+                       F.col(self.embedding_col).alias("v")),
+            epoch_id, ["id"],
+        )
+        new_k = keys.select(F.col("id").alias("new_id"), "band_idx", "band_hash")
+        probe_buckets = self._touched_buckets(new_k, "band_idx", "band_hash")
+        all_k = self._read_bucketed("emb_bands", probe_buckets)
+        matched = all_k.join(
+            F.broadcast(new_k), ["band_idx", "band_hash"]
+        ).where(F.col("id") != F.col("new_id"))
+        wnd = Window.partitionBy("new_id", "band_idx").orderBy("id")
+        cand = (
+            matched.withColumn("_rn", F.row_number().over(wnd))
+            .where(F.col("_rn") <= self.max_fanout)
+            .select(
+                F.least("id", "new_id").alias("a"),
+                F.greatest("id", "new_id").alias("b"),
+            )
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)  # bucket calc + verify
+        )
+        id_buckets = sorted(
+            set(self._touched_buckets(cand, "a"))
+            | set(self._touched_buckets(cand, "b"))
+        )
+        vecs = self._read_bucketed("emb_vecs", id_buckets).drop("bucket")
+        return (
+            cand.join(
+                vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
+            )
+            .join(
+                vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b"
+            )
+            .where(_cosine(F.col("va"), F.col("vb")) >= self.cosine_threshold)
+            .select("a", "b")
         )
 
     def _phash_lane(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:

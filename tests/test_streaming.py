@@ -292,3 +292,61 @@ def test_exact_tier_gates_lanes_and_matches_flat(spark, corpus_pdf, tmp_path):
     assert checksum(dd.assignments(), "id", "cluster_id") == want
     assert dd._read_bucketed("exact_keys").count() == n_novel
     assert dd._read_bucketed("sig_caption").count() == n_novel
+
+    # epoch counter metrics: chunk 2 is ALL previously-seen content
+    meta = _json.load(open(epochs_p))["done"]["2"]
+    assert meta["rows"] == 10
+    assert meta["novel_rows"] == 0 and meta["exact_collapsed"] == 10
+
+
+def test_embedding_lane_matches_batch_lsh(spark, tmp_path):
+    """Streaming SemDeDup lane: micro-batched hyperplane-LSH + cosine
+    verify equals the one-shot batch LSH self-join (same planes, same
+    threshold) composed with CC — the union over epochs covers every
+    co-banded pair exactly once. Also pins that the planted
+    near-parallel groups actually cluster (recall sanity, determinstic
+    under the fixed seed)."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.cc import assign_clusters
+    from datasketches_cpp_spark.operators.knn import cosine_near_dup_pairs_lsh
+
+    dim = 16
+    rng = np.random.default_rng(99)
+    rows, truth = [], {}
+    for i in range(30):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        copies = 3 if i < 10 else 1
+        for j in range(copies):
+            v = base.copy()
+            if j:
+                v = v + 0.02 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            iid = f"e{i:03d}{j}"
+            rows.append((iid, [float(x) for x in v]))
+            truth[iid] = f"e{i:03d}0"
+    schema = "image_id string, embedding array<float>"
+    full = spark.createDataFrame(rows, schema).cache()
+
+    pairs = cosine_near_dup_pairs_lsh(
+        full, dim, id_col="image_id", vec_col="embedding", threshold=0.9
+    ).select("a", "b")
+    batch_assign = assign_clusters(
+        full.select(F.col("image_id").alias("id")), pairs
+    )
+    want = checksum(batch_assign, "id", "cluster_id")
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), max_fanout=512,
+        enable_lanes=("embedding",), embedding_dim=dim,
+    )
+    chunks = [rows[0:17], rows[17:35], rows[35:50]]
+    for epoch, chunk in enumerate(chunks):
+        dd.process_batch(spark.createDataFrame(chunk, schema), epoch)
+    assert checksum(dd.assignments(), "id", "cluster_id") == want
+
+    # planted recovery (deterministic under seed 9001 hyperplanes):
+    # every 3-copy group clusters to its base, singles stay alone
+    got = {r["id"]: r["cluster_id"] for r in dd.assignments().collect()}
+    assert got == truth
