@@ -248,6 +248,7 @@ class IncrementalDeduper(_BucketedStateStore):
         emb_tables: int = 16,
         emb_bits: int = 10,
         emb_seed: int = 9001,
+        edge_policy: str | int = "any",
     ):
         super().__init__(spark, state_dir, num_buckets)
         self.cfg = cfg or SigConfig()
@@ -286,6 +287,15 @@ class IncrementalDeduper(_BucketedStateStore):
         self.emb_tables = emb_tables
         self.emb_bits = emb_bits
         self.emb_seed = emb_seed
+        # streaming twin of dedup_images(edge_policy=...): "any" (OR),
+        # "all" (AND over enabled lanes) or k (k-of-n). Correct per epoch
+        # because every lane evaluates a candidate pair exactly once — in
+        # the arrival epoch of its LATER member (each lane probes all
+        # stored state there; old×old pairs never re-form) — so fusing
+        # within the epoch sees every lane's verdict, identical to batch
+        # fusion over the whole corpus. Exact-tier edges bypass fusion
+        # (identity evidence, not lane similarity), as in the cascade.
+        self.edge_policy = edge_policy
 
     # -- lane helpers ----------------------------------------------------------
     def _lane_pairs(
@@ -412,14 +422,14 @@ class IncrementalDeduper(_BucketedStateStore):
         if n == 0:
             self._mark_epoch(epoch_id, {"rows": 0})
             return
-        edges_parts = []
+        lane_parts: list[tuple[str, DataFrame]] = []
+        exact_edges = None
         all_rows = batch_df
         meta: dict = {"rows": n}
         if self.exact_on:
             batch_df, exact_edges = self._exact_tier(batch_df, epoch_id)
             # the lanes see survivors only; the exact edges join the pool
             batch_df = batch_df.localCheckpoint(eager=True)
-            edges_parts.append(exact_edges)
             # counter metrics on the (checkpointed) survivor frame: how
             # much of this epoch was novel vs already-seen content
             meta["novel_rows"] = batch_df.count()
@@ -429,26 +439,30 @@ class IncrementalDeduper(_BucketedStateStore):
             sig = compute_signatures(
                 batch_df, "image_id", "caption", self.cfg, kind="text"
             )
-            edges_parts.append(
+            lane_parts.append((
+                "caption",
                 self._lane_pairs(
                     sig, "sig_caption", self.cfg, use_simhash=True, epoch_id=epoch_id
-                )
-            )
+                ),
+            ))
         if "bytes" in self.enable_lanes:
             sig = compute_signatures(
                 batch_df, "image_id", "bytes", self.bytes_cfg,
                 kind="binary", byte_stride=self.byte_stride,
             )
-            edges_parts.append(
+            lane_parts.append((
+                "bytes",
                 self._lane_pairs(
                     sig, "sig_bytes", self.bytes_cfg, use_simhash=False,
                     epoch_id=epoch_id,
-                )
-            )
+                ),
+            ))
         if "phash" in self.enable_lanes:
-            edges_parts.append(self._phash_lane(batch_df, epoch_id))
+            lane_parts.append(("phash", self._phash_lane(batch_df, epoch_id)))
         if "embedding" in self.enable_lanes:
-            edges_parts.append(self._embedding_lane(batch_df, epoch_id))
+            lane_parts.append(
+                ("embedding", self._embedding_lane(batch_df, epoch_id))
+            )
 
         # ids must cover EVERY row of the batch (all_rows), not only the
         # exact-tier survivors — collapsed twins reach their cluster through
@@ -456,9 +470,37 @@ class IncrementalDeduper(_BucketedStateStore):
         ids_new = all_rows.select(F.col("image_id").alias("id"))
         self._write_epoch("ids", ids_new, epoch_id)
 
-        new_edges = edges_parts[0]
-        for e in edges_parts[1:]:
-            new_edges = new_edges.union(e)
+        # lane fusion (the batch dedup_images edge_policy semantics): a
+        # pair is evaluated by every enabled lane exactly once, in this
+        # epoch (the arrival epoch of its later member), so the per-epoch
+        # k-of-n vote equals the batch vote over the whole corpus
+        min_lanes = (
+            1 if self.edge_policy == "any"
+            else len(lane_parts) if self.edge_policy == "all"
+            else int(self.edge_policy)
+        )
+        if min_lanes <= 1 or len(lane_parts) <= 1:
+            new_edges = None
+            for _, e in lane_parts:
+                new_edges = e if new_edges is None else new_edges.union(e)
+        else:
+            tagged = None
+            for name, e in lane_parts:
+                t = e.withColumn("lane", F.lit(name))
+                tagged = t if tagged is None else tagged.union(t)
+            new_edges = (
+                tagged.groupBy("a", "b")
+                .agg(F.count_distinct("lane").alias("nlanes"))
+                .where(F.col("nlanes") >= min_lanes)
+                .select("a", "b")
+            )
+        if exact_edges is not None:  # identity evidence bypasses fusion
+            new_edges = (
+                exact_edges if new_edges is None
+                else new_edges.union(exact_edges)
+            )
+        if new_edges is None:
+            new_edges = self.spark.createDataFrame([], "a string, b string")
         new_edges = new_edges.dropDuplicates(["a", "b"])
         self._write_epoch("edges", new_edges, epoch_id)
 

@@ -350,3 +350,34 @@ def test_embedding_lane_matches_batch_lsh(spark, tmp_path):
     # every 3-copy group clusters to its base, singles stay alone
     got = {r["id"]: r["cluster_id"] for r in dd.assignments().collect()}
     assert got == truth
+
+
+def test_edge_policy_fusion_matches_batch(spark, corpus_pdf, tmp_path):
+    """Streaming k-of-n lane fusion equals the batch
+    dedup_images(edge_policy=2): every candidate pair is voted by every
+    enabled lane exactly once — in the arrival epoch of its later
+    member — so the per-epoch vote is the batch vote. AND-fusion must
+    also genuinely differ from OR on this corpus (precision semantics
+    have teeth)."""
+    pdf = corpus_pdf.iloc[0:200]
+    full = spark.createDataFrame(pdf).cache()
+    lanes = ("caption", "bytes")
+    want = checksum(
+        dedup_images(full, CFG, BYTES_CFG, byte_stride=4,
+                     enable_lanes=lanes, edge_policy=2)["assignments"],
+        "id", "cluster_id",
+    )
+    or_want = checksum(
+        dedup_images(full, CFG, BYTES_CFG, byte_stride=4,
+                     enable_lanes=lanes)["assignments"],
+        "id", "cluster_id",
+    )
+    assert want != or_want  # AND is stricter than OR here
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG, byte_stride=4,
+        max_fanout=512, enable_lanes=lanes, edge_policy=2,
+    )
+    for epoch, chunk in enumerate([pdf.iloc[0:90], pdf.iloc[90:200]]):
+        dd.process_batch(spark.createDataFrame(chunk), epoch)
+    assert checksum(dd.assignments(), "id", "cluster_id") == want
