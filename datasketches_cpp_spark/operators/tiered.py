@@ -137,6 +137,9 @@ def tiered_dedup_images(
     n_centroids: int = 16,
     survivor_filter: str = "bloom",
     bloom_fpp: float = 1e-3,
+    auto_plan: bool = False,
+    min_dup_ratio: float = 0.05,
+    plan_lg_k: int = 12,
     **near_kwargs,
 ) -> dict:
     """Cascaded dedup. Returns a dict with:
@@ -150,6 +153,11 @@ def tiered_dedup_images(
     * ``semantic`` — the semantic_dedup frame over near reps (or None).
     * ``tier_stats`` — small DataFrame (tier, input_rows, survivors):
       the funnel a capacity planner reads; lazy, aggregation-only.
+    * ``plan`` — the plan_tiers row as a dict when ``auto_plan=True``
+      (else None). With ``auto_plan`` the exact tier is SKIPPED when the
+      sketch-estimated duplication lower bound is under
+      ``min_dup_ratio`` — same final clustering either way (collapse is
+      lossless), minus the unprofitable (id, key) shuffle.
     """
     if survivor_filter not in ("bloom", "semi"):
         raise ValueError(
@@ -157,22 +165,39 @@ def tiered_dedup_images(
         )
     cfg = cfg or SigConfig()
 
-    # ---- exact tier: narrow (id, key) shuffle only --------------------
-    keymap = images.select(
-        F.col(id_col), _exact_key(images, exact_on).alias("_tkey")
-    )
-    wspec = Window.partitionBy("_tkey")
-    # multiple consumers (rep set, compose join, stats) — checkpoint so
-    # the window shuffle runs once (house rule, tests/test_plans.py)
-    a1 = keymap.select(
-        F.col(id_col), F.min(id_col).over(wspec).alias("rep1")
-    ).localCheckpoint(eager=False)
-    rep_ids = a1.where(F.col(id_col) == F.col("rep1")).select(id_col)
+    # ---- optional sketch-driven planning ------------------------------
+    plan_row = None
+    if auto_plan:
+        plan_row = plan_tiers(
+            images, exact_on=exact_on, lg_k=plan_lg_k,
+            min_dup_ratio=min_dup_ratio,
+        ).collect()[0]
 
-    if survivor_filter == "semi":
-        survivors = images.join(rep_ids, id_col, "left_semi")
+    if plan_row is not None and not plan_row["exact_tier"]:
+        # the sketch's duplication LOWER bound is under the threshold:
+        # the exact tier's (id, key) shuffle would not pay for itself.
+        # Identity exact map keeps the compose/stats path unchanged and
+        # the result equal to running the cascade anyway (collapse is
+        # lossless), minus the skipped shuffle.
+        a1 = images.select(F.col(id_col), F.col(id_col).alias("rep1"))
+        survivors = images
     else:
-        survivors = _bloom_rep_filter(images, rep_ids, id_col, bloom_fpp)
+        # ---- exact tier: narrow (id, key) shuffle only ----------------
+        keymap = images.select(
+            F.col(id_col), _exact_key(images, exact_on).alias("_tkey")
+        )
+        wspec = Window.partitionBy("_tkey")
+        # multiple consumers (rep set, compose join, stats) — checkpoint
+        # so the window shuffle runs once (house rule, tests/test_plans.py)
+        a1 = keymap.select(
+            F.col(id_col), F.min(id_col).over(wspec).alias("rep1")
+        ).localCheckpoint(eager=False)
+        rep_ids = a1.where(F.col(id_col) == F.col("rep1")).select(id_col)
+
+        if survivor_filter == "semi":
+            survivors = images.join(rep_ids, id_col, "left_semi")
+        else:
+            survivors = _bloom_rep_filter(images, rep_ids, id_col, bloom_fpp)
 
     # ---- near tier: the multi-lane pipeline over survivors ------------
     near = dedup_images(images=survivors, cfg=cfg,
@@ -238,6 +263,7 @@ def tiered_dedup_images(
         "near": near,
         "semantic": sem,
         "tier_stats": stats,
+        "plan": plan_row.asDict() if plan_row is not None else None,
     }
 
 

@@ -199,6 +199,33 @@ class _BucketedStateStore:
                 pass  # orphan stays excluded via the manifest
         return len(dirs)
 
+    def compact_all(self) -> dict[str, int]:
+        """Run compact_store over every bucketed store under state_dir
+        (any directory holding epoch_*/compacted_* children) — the
+        maintenance entrypoint a scheduler calls between micro-batches so
+        callers never enumerate lane-dependent store names. Same safety
+        contract as compact_store: must not interleave with
+        process_batch. Returns {store: directories folded}."""
+        out = {}
+        for d in self._hfs.list_dirs(self.state_dir):
+            store = HadoopFS.join(self.state_dir, d)
+            children = self._hfs.list_dirs(store)
+            slots = [c for c in children
+                     if c.startswith(("epoch_", "compacted_"))]
+            if not slots:
+                continue
+            # only BUCKETED stores compact (epoch slots partitioned by
+            # bucket=); plain epoch stores (ids/edges) are append-logs
+            # whose per-epoch identity the CC publish step relies on
+            if not any(
+                c.startswith("bucket=")
+                for s in slots
+                for c in self._hfs.list_dirs(HadoopFS.join(store, s))
+            ):
+                continue  # plain epoch store, or every slot empty
+            out[d] = self.compact_store(d)
+        return out
+
     # -- epoch-atomic store writes --------------------------------------------
     # foreachBatch is at-least-once: a crash AFTER a store write but BEFORE
     # _mark_epoch replays the whole epoch. Appending on replay would

@@ -381,3 +381,33 @@ def test_edge_policy_fusion_matches_batch(spark, corpus_pdf, tmp_path):
     for epoch, chunk in enumerate([pdf.iloc[0:90], pdf.iloc[90:200]]):
         dd.process_batch(spark.createDataFrame(chunk), epoch)
     assert checksum(dd.assignments(), "id", "cluster_id") == want
+
+
+def test_compact_all_folds_bucketed_stores_only(spark, corpus_pdf, tmp_path):
+    """compact_all: every bucketed store under state_dir folds to one
+    compacted dir; plain epoch stores (ids/edges) are left alone; reads
+    and published assignments are unchanged, and the next epoch still
+    lands correctly."""
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), exact_on=("bytes", "caption"),
+        num_buckets=8,
+    )
+    for epoch, sl in enumerate([slice(0, 60), slice(60, 120)]):
+        dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[sl]), epoch)
+    cs = checksum(dd.assignments(), "id", "cluster_id")
+    sig_rows = dd._read_bucketed("sig_caption").count()
+    key_rows = dd._read_bucketed("exact_keys").count()
+
+    folded = dd.compact_all()
+    assert folded.get("sig_caption") == 2
+    assert folded.get("sig_caption_bands") == 2
+    assert folded.get("exact_keys") == 2
+    assert "ids" not in folded and "edges" not in folded
+    assert os.path.isdir(str(tmp_path / "state" / "ids" / "epoch_000000000001"))
+    assert dd._read_bucketed("sig_caption").count() == sig_rows
+    assert dd._read_bucketed("exact_keys").count() == key_rows
+    assert checksum(dd.assignments(), "id", "cluster_id") == cs
+
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[120:180]), 2)
+    assert dd.assignments().count() == 180

@@ -201,3 +201,40 @@ def test_plan_tiers_estimation_mode_bounds_cover_truth(spark):
     assert got["dup_ratio_lb"] <= truth <= got["dup_ratio_ub"]
     assert got["dup_ratio_lb"] < got["dup_ratio_est"] < got["dup_ratio_ub"]
     assert got["exact_tier"] is True
+
+
+def test_auto_plan_skips_or_runs_exact_tier(spark):
+    """auto_plan consumes the sketch plan: dup-heavy corpus => exact
+    tier runs (plan recorded, clustering equals the unplanned cascade);
+    all-unique corpus => exact tier skipped (identity exact map, exact
+    funnel row (n, n)) with the same clustering as a flat run."""
+    rows, truth = _planted_rows()
+    images = spark.createDataFrame(rows, SCHEMA)
+    auto = tiered_dedup_images(images, SigConfig(), auto_plan=True)
+    assert auto["plan"]["exact_tier"] is True
+    got = {r["id"]: r["cluster_id"] for r in auto["assignments"].collect()}
+    assert got == truth
+
+    uniq_rows = [
+        (r[0], r[1], 32, 32, "raw", f"auto unique {i}", r[6])
+        for i, r in enumerate(rows)
+        if r[0] == f"td{int(r[0][2:4]):02d}a" or r[0].startswith("tu")
+    ]
+    uniq = spark.createDataFrame(uniq_rows, SCHEMA)
+    auto_u = tiered_dedup_images(uniq, SigConfig(), auto_plan=True)
+    assert auto_u["plan"]["exact_tier"] is False
+    n = len(uniq_rows)
+    stats = {r["tier"]: (r["input_rows"], r["survivors"])
+             for r in auto_u["tier_stats"].collect()}
+    assert stats["exact"] == (n, n)  # identity map: nothing collapsed
+    # identity exact map => every id is its own rep
+    a1 = auto_u["exact_assignments"]
+    assert a1.where("image_id != rep1").count() == 0
+    # same clustering as the always-exact cascade (collapse lossless)
+    plain = {
+        r["id"]: r["cluster_id"]
+        for r in tiered_dedup_images(uniq, SigConfig())["assignments"].collect()
+    }
+    got_u = {r["id"]: r["cluster_id"]
+             for r in auto_u["assignments"].collect()}
+    assert got_u == plain
