@@ -486,6 +486,8 @@ class IncrementalDeduper(_BucketedStateStore):
             ))
         if "phash" in self.enable_lanes:
             lane_parts.append(("phash", self._phash_lane(batch_df, epoch_id)))
+        if "dhash" in self.enable_lanes:
+            lane_parts.append(("dhash", self._dhash_lane(batch_df, epoch_id)))
         if "embedding" in self.enable_lanes:
             lane_parts.append(
                 ("embedding", self._embedding_lane(batch_df, epoch_id))
@@ -606,17 +608,9 @@ class IncrementalDeduper(_BucketedStateStore):
         pruning; verify with bit_count. Keys are materialized once at
         ingest — the store is never re-exploded on probe."""
         from ..operators.imagededup import (
-            phash_combo_keys_expr,
             with_content_phash,
             with_phash_orbit,
         )
-
-        def keys(df: DataFrame, idc: str) -> DataFrame:
-            arr = phash_combo_keys_expr("phash", self.cfg)
-            return df.select(
-                F.col("image_id").alias(idc), F.col("phash").alias(f"ph_{idc}"),
-                F.posexplode(arr).alias("band_idx", "band_hash"),
-            )
 
         # same invariance ladder as the batch lane (imagededup.dedup_images):
         # content-box hash first (needs bytes/w/h/fmt on the stream), then
@@ -627,16 +621,45 @@ class IncrementalDeduper(_BucketedStateStore):
             src = with_content_phash(batch_df)
         if self.rotation_invariant:
             src = with_phash_orbit(src)
-        new_k = keys(src, "new_id")
+        return self._hashkey_lane(src, "phash", "phash_keys", epoch_id)
+
+    def _dhash_lane(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """Streaming gradient-sign dHash lane (batch twin:
+        dedup_images enable_lanes "dhash"): the 8×9 difference hash is
+        computed from the streamed bytes in one narrow mapInPandas
+        (imagededup.with_dhash — lighting-profile-invariant where the
+        block-mean pHash is not), then rides the same slice-combo key
+        store machinery as the pHash lane under its own store."""
+        from ..operators.imagededup import with_dhash
+
+        return self._hashkey_lane(
+            with_dhash(batch_df), "dhash", "dhash_keys", epoch_id
+        )
+
+    def _hashkey_lane(self, src: DataFrame, hash_col: str, store: str,
+                      epoch_id: int) -> DataFrame:
+        """Shared 64-bit-hash lane kernel: slice-combo keys of the new
+        rows join the accumulated (bucketed, pre-exploded) key store
+        with partition pruning; verify with bit_count ≤ cfg hamming.
+        Keys are materialized once at ingest — the store is never
+        re-exploded on probe."""
+        from ..operators.imagededup import phash_combo_keys_expr
+
+        arr = phash_combo_keys_expr(hash_col, self.cfg)
+        new_k = src.select(
+            F.col("image_id").alias("new_id"),
+            F.col(hash_col).alias("ph_new_id"),
+            F.posexplode(arr).alias("band_idx", "band_hash"),
+        )
         self._write_epoch_bucketed(
-            "phash_keys",
+            store,
             new_k.select(F.col("new_id").alias("id"),
                          F.col("ph_new_id").alias("ph_id"),
                          "band_idx", "band_hash"),
             epoch_id, ["band_idx", "band_hash"],
         )
         probe_buckets = self._touched_buckets(new_k, "band_idx", "band_hash")
-        all_k = self._read_bucketed("phash_keys", probe_buckets)
+        all_k = self._read_bucketed(store, probe_buckets)
         cand = (
             all_k.join(F.broadcast(new_k), ["band_idx", "band_hash"])
             .where(F.col("id") != F.col("new_id"))

@@ -411,3 +411,26 @@ def test_compact_all_folds_bucketed_stores_only(spark, corpus_pdf, tmp_path):
 
     dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[120:180]), 2)
     assert dd.assignments().count() == 180
+
+
+def test_dhash_lane_matches_batch(spark, corpus_pdf, tmp_path):
+    """Streaming gradient-sign dHash lane: micro-batched epochs equal
+    the one-shot batch dedup_images(enable_lanes=("dhash",)) run —
+    completing streaming/batch lane parity (substring stays batch-only
+    by documented design)."""
+    pdf = corpus_pdf.iloc[0:160]
+    full = spark.createDataFrame(pdf).cache()
+    want = checksum(
+        dedup_images(full, CFG, BYTES_CFG, byte_stride=4,
+                     enable_lanes=("dhash",))["assignments"],
+        "id", "cluster_id",
+    )
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG, byte_stride=4,
+        max_fanout=512, enable_lanes=("dhash",),
+    )
+    for epoch, chunk in enumerate([pdf.iloc[0:70], pdf.iloc[70:160]]):
+        dd.process_batch(spark.createDataFrame(chunk), epoch)
+    assert checksum(dd.assignments(), "id", "cluster_id") == want
+    # the lane wrote its own store
+    assert dd._read_bucketed("dhash_keys").count() > 0
