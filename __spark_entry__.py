@@ -2432,6 +2432,21 @@ def q_dup_ratio_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication diagnostics (operators/tiered.
+    dup_ratio_by_group): one grouped theta-sketch pass over the
+    documents text key — the "which crawl sources are mostly
+    re-crawls?" reading for mixing/curation, without a per-group
+    count_distinct shuffle. Exact mode at this scale (≤ 2^14 distinct
+    per source), so the oracle re-derives every column in SQL."""
+    from datasketches_cpp_spark.operators.tiered import dup_ratio_by_group
+
+    return dup_ratio_by_group(
+        _t(spark, sf_dir, "documents"), ["source"], exact_on=("text",),
+        lg_k=14,
+    ).orderBy("source")
+
+
 def q_dedup_recall_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level recall per planted dup kind (operators/evaldedup.py —
     counting identities, no pair materialization): the full multi-lane
@@ -3238,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_dedup_planted": q_tiered_dedup_planted,
         "stream_tier_dedup_planted": q_stream_tier_dedup_planted,
         "dup_ratio_plan": q_dup_ratio_plan,
+        "dup_ratio_by_source": q_dup_ratio_by_source,
         "stream_semantic_dedup_planted": q_stream_semantic_dedup_planted,
         "photometric_dedup_planted": q_photometric_dedup_planted,
         "ssim_gated_dedup_planted": q_ssim_gated_dedup_planted,
@@ -3840,6 +3856,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_semantic_dedup_planted": _planted_truth_sql(
             _planted_stream_semantic_rows()[1]
+        ),
+        "dup_ratio_by_source": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS total_rows, "
+            "CAST(count(DISTINCT text) AS DOUBLE) AS distinct_est, "
+            "CAST(count(DISTINCT text) AS DOUBLE) AS distinct_lb, "
+            "CAST(count(DISTINCT text) AS DOUBLE) AS distinct_ub, "
+            "GREATEST(0.0, 1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE)) AS dup_ratio_est, "
+            "GREATEST(0.0, 1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE)) AS dup_ratio_lb, "
+            "GREATEST(0.0, 1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE)) AS dup_ratio_ub "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "dup_ratio_plan": (
             "SELECT CAST(count(*) AS BIGINT) AS total_rows, "

@@ -322,3 +322,51 @@ def plan_tiers(
         (ratio(F.col("upper_bound")) >= F.lit(float(min_dup_ratio))
          ).alias("exact_tier"),
     )
+
+
+def dup_ratio_by_group(
+    images: DataFrame,
+    group_cols: list[str],
+    exact_on: tuple = ("bytes", "caption"),
+    lg_k: int = 12,
+    num_std_devs: int = 2,
+) -> DataFrame:
+    """Per-group duplication diagnostics — the curation twin of
+    plan_tiers: one theta-sketch pass grouped by ``group_cols`` (e.g.
+    crawl source, language) yields each group's row count, estimated
+    distinct-content count with binomial bounds, and duplication ratio.
+    The reading a mixing/curation planner wants ("which sources are
+    mostly re-crawls?") without a per-group count_distinct shuffle of
+    the full corpus: rows carry only (group, key) into the partial
+    aggregation, per-group state is 2^lg_k longs, and the row counts
+    ride the same pass as a count aggregate. Groups with ≤ 2^lg_k
+    distinct keys are in exact mode — every column exact."""
+    from ..functions.theta import theta_sketch_agg, with_bounds
+
+    keyed = images.select(
+        *group_cols, _exact_key(images, exact_on).alias("tkey")
+    )
+    keyed = keyed.localCheckpoint(eager=False)  # sketch + count consumers
+    sk = with_bounds(
+        theta_sketch_agg(keyed, group_cols, "tkey", lg_k=lg_k), num_std_devs
+    )
+    counts = keyed.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("total_rows")
+    )
+    t = F.col("total_rows").cast("double")
+
+    def ratio(col):
+        return F.when(
+            t > 0, F.greatest(F.lit(0.0), F.lit(1.0) - col / t)
+        ).otherwise(F.lit(0.0))
+
+    return sk.join(counts, group_cols).select(
+        *group_cols,
+        "total_rows",
+        F.col("estimate").alias("distinct_est"),
+        F.col("lower_bound").alias("distinct_lb"),
+        F.col("upper_bound").alias("distinct_ub"),
+        ratio(F.col("estimate")).alias("dup_ratio_est"),
+        ratio(F.col("upper_bound")).alias("dup_ratio_lb"),
+        ratio(F.col("lower_bound")).alias("dup_ratio_ub"),
+    )

@@ -238,3 +238,31 @@ def test_auto_plan_skips_or_runs_exact_tier(spark):
     got_u = {r["id"]: r["cluster_id"]
              for r in auto_u["assignments"].collect()}
     assert got_u == plain
+
+
+def test_dup_ratio_by_group_exact_mode(spark):
+    """Grouped duplication diagnostics: per-group exact-mode columns
+    follow the planted per-source duplication exactly."""
+    from datasketches_cpp_spark.operators.tiered import dup_ratio_by_group
+
+    rows = []
+    px = b"\x01" * 48
+    for i in range(12):  # srcA: 12 rows, 4 distinct captions
+        rows.append((f"a{i:02d}", bytearray(px), 4, 4, "raw",
+                     f"dup cap {i % 4}", 0, "srcA"))
+    for i in range(8):   # srcB: 8 rows, all distinct
+        rows.append((f"b{i:02d}", bytearray(px), 4, 4, "raw",
+                     f"uniq cap {i}", 0, "srcB"))
+    images = spark.createDataFrame(rows, SCHEMA + ", source string")
+    got = {
+        r["source"]: r
+        for r in dup_ratio_by_group(
+            images, ["source"], exact_on=("caption",)
+        ).collect()
+    }
+    a, b = got["srcA"], got["srcB"]
+    assert a["total_rows"] == 12 and a["distinct_est"] == 4.0
+    assert abs(a["dup_ratio_est"] - (1 - 4 / 12)) < 1e-12
+    assert a["dup_ratio_lb"] == a["dup_ratio_ub"] == a["dup_ratio_est"]
+    assert b["total_rows"] == 8 and b["distinct_est"] == 8.0
+    assert b["dup_ratio_est"] == 0.0
