@@ -434,3 +434,31 @@ def test_dhash_lane_matches_batch(spark, corpus_pdf, tmp_path):
     assert checksum(dd.assignments(), "id", "cluster_id") == want
     # the lane wrote its own store
     assert dd._read_bucketed("dhash_keys").count() > 0
+
+
+def test_new_stores_probe_partition_pruned(spark, corpus_pdf, tmp_path):
+    """The 10^12-scale property extends to every round-4 store: the
+    exact-key, embedding-band, and dhash-key stores all read with a
+    bucket partition filter on probe (same assert as the sig band
+    store)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pdf = corpus_pdf.iloc[0:60].copy()
+    pdf["embedding"] = [
+        [float(x) for x in v / np.linalg.norm(v)]
+        for v in rng.standard_normal((60, 16))
+    ]
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("dhash", "embedding"), exact_on=("bytes", "caption"),
+        embedding_dim=16, num_buckets=16,
+    )
+    dd.process_batch(spark.createDataFrame(pdf), 0)
+    for store in ("exact_keys", "emb_bands", "dhash_keys", "emb_vecs"):
+        probe = dd._read_bucketed(store, [1, 5, 9])
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, store
+        assert "bucket" in plan.split("PartitionFilters", 1)[1][:200], store
+        got = {r["bucket"] for r in probe.select("bucket").distinct().collect()}
+        assert got <= {1, 5, 9}, store

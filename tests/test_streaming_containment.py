@@ -129,3 +129,33 @@ def test_readstream_available_now(spark, union_rows, tmp_path):
     got = sorted(map(tuple, probe.hits().collect()))
     assert got == _batch_truth(spark, union_rows)
     probe.close()
+
+
+def test_compact_all_preserves_tile_store_and_hits(spark, union_rows, tmp_path):
+    """The inherited maintenance entrypoint (_BucketedStateStore via
+    compact_all) folds the probe's tile store and leaves hits and a
+    subsequent epoch's probing unchanged."""
+    probe = IncrementalContainmentProbe(
+        spark, str(tmp_path / "state"), CFG, tile=32, hop=16
+    )
+    chunks = [
+        union_rows[0:1] + [union_rows[5]],
+        union_rows[1:2] + [union_rows[4]],
+    ]
+    for epoch, chunk in enumerate(chunks):
+        probe.process_batch(spark.createDataFrame(chunk, SCHEMA), epoch)
+    before = sorted(map(tuple, probe.hits().collect()))
+    rows_before = probe._read_bucketed("tile_keys").count()
+
+    folded = probe.compact_all()
+    assert folded.get("tile_keys") == 2
+    assert probe._read_bucketed("tile_keys").count() == rows_before
+    assert sorted(map(tuple, probe.hits().collect())) == before
+
+    probe.process_batch(
+        spark.createDataFrame(union_rows[2:4] + [union_rows[6]], SCHEMA), 2
+    )
+    assert sorted(map(tuple, probe.hits().collect())) == _batch_truth(
+        spark, union_rows
+    )
+    probe.close()
