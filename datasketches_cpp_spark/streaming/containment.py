@@ -66,6 +66,15 @@ class IncrementalContainmentProbe(_BucketedStateStore):
         self.min_match_frac = min_match_frac
         self.min_aligned_tiles = min_aligned_tiles
         self.max_fanout = max_fanout
+        self._assert_config({
+            "cfg": self.cfg.fingerprint(),
+            "tile": self.tile,
+            "hop": self.hop,
+            "min_match_frac": min_match_frac,
+            "min_aligned_tiles": min_aligned_tiles,
+            "max_fanout": max_fanout,
+            "num_buckets": num_buckets,
+        })
 
     # -- the foreachBatch callback --------------------------------------------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:

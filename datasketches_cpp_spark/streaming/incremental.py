@@ -57,6 +57,16 @@ from ..operators.verify import verify_pairs
 from ..plans.fsio import HadoopFS
 
 
+class StreamConfigMismatch(RuntimeError):
+    """A state_dir was reopened with a different operator configuration —
+    the streaming analog of plans/checkpoint.CheckpointConfigMismatch.
+    Signature/band/key stores are only meaningful under the EXACT config
+    that wrote them (seeds, banding, invariance flags, exact/embedding
+    tiers, fusion policy); silently continuing would mix incompatible
+    state into one edge pool. Start a fresh state_dir or restore the
+    original config."""
+
+
 class _BucketedStateStore:
     """Shared persistence machinery for foreachBatch-driven incremental
     operators: a state_dir of parquet stores (optionally bucketed by a
@@ -88,6 +98,25 @@ class _BucketedStateStore:
     # -- state paths ---------------------------------------------------------
     def _p(self, name: str) -> str:
         return HadoopFS.join(self.state_dir, name)
+
+    def _assert_config(self, fp: dict) -> None:
+        """Config-constancy fail-fast: subclasses call this at the end of
+        __init__ with every semantic knob that shapes store contents.
+        First open stamps <state_dir>/_CONFIG.json (atomic); any later
+        open with a different payload raises StreamConfigMismatch naming
+        both — the documented must-stay-constant contract, enforced."""
+        p = self._p("_CONFIG.json")
+        payload = json.dumps(fp, sort_keys=True, default=str)
+        if self._hfs.exists(p):
+            prior = self._hfs.read_bytes(p).decode()
+            if prior != payload:
+                raise StreamConfigMismatch(
+                    f"state_dir {self.state_dir} was written under a "
+                    f"different config.\n  stored: {prior}\n  given:  "
+                    f"{payload}"
+                )
+        else:
+            self._hfs.write_bytes_atomic(p, payload.encode())
 
     def _exists(self, name: str) -> bool:
         return self._hfs.has_file_with_suffix(self._p(name), ".parquet")
@@ -323,6 +352,24 @@ class IncrementalDeduper(_BucketedStateStore):
         # fusion over the whole corpus. Exact-tier edges bypass fusion
         # (identity evidence, not lane similarity), as in the cascade.
         self.edge_policy = edge_policy
+        self._assert_config({
+            "cfg": self.cfg.fingerprint(),
+            "bytes_cfg": self.bytes_cfg.fingerprint(),
+            "byte_stride": byte_stride,
+            "max_fanout": max_fanout,
+            "enable_lanes": sorted(enable_lanes),
+            "num_buckets": num_buckets,
+            "rotation_invariant": rotation_invariant,
+            "crop_invariant": crop_invariant,
+            "exact_on": list(exact_on) if exact_on else None,
+            "embedding_col": embedding_col,
+            "embedding_dim": embedding_dim,
+            "cosine_threshold": cosine_threshold,
+            "emb_tables": emb_tables,
+            "emb_bits": emb_bits,
+            "emb_seed": emb_seed,
+            "edge_policy": edge_policy,
+        })
 
     # -- lane helpers ----------------------------------------------------------
     def _lane_pairs(

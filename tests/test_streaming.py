@@ -462,3 +462,44 @@ def test_new_stores_probe_partition_pruned(spark, corpus_pdf, tmp_path):
         assert "bucket" in plan.split("PartitionFilters", 1)[1][:200], store
         got = {r["bucket"] for r in probe.select("bucket").distinct().collect()}
         assert got <= {1, 5, 9}, store
+
+
+def test_config_mismatch_fails_fast(spark, corpus_pdf, tmp_path):
+    """Reopening a state_dir under a different config must fail fast
+    with StreamConfigMismatch naming both configs (the streaming analog
+    of plans/checkpoint.CheckpointConfigMismatch), for the deduper AND
+    the containment probe; the same config reopens fine."""
+    from datasketches_cpp_spark.streaming.incremental import (
+        StreamConfigMismatch,
+    )
+
+    state = str(tmp_path / "state")
+    dd = IncrementalDeduper(spark, state, CFG, BYTES_CFG,
+                            enable_lanes=("caption",))
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[0:40]), 0)
+    # same config: fine
+    IncrementalDeduper(spark, state, CFG, BYTES_CFG,
+                       enable_lanes=("caption",))
+    # different banding config: refused, both fingerprints in the message
+    other = SigConfig(num_perm=32, bands=16, kmv_k=64, shingle_w=3,
+                      jaccard_threshold=0.5)
+    with pytest.raises(StreamConfigMismatch) as ei:
+        IncrementalDeduper(spark, state, other, BYTES_CFG,
+                           enable_lanes=("caption",))
+    assert "stored" in str(ei.value) and "given" in str(ei.value)
+    # different lane set / fusion policy: also refused
+    with pytest.raises(StreamConfigMismatch):
+        IncrementalDeduper(spark, state, CFG, BYTES_CFG,
+                           enable_lanes=("caption", "bytes"))
+    with pytest.raises(StreamConfigMismatch):
+        IncrementalDeduper(spark, state, CFG, BYTES_CFG,
+                           enable_lanes=("caption",), edge_policy="all")
+
+    from datasketches_cpp_spark.streaming.containment import (
+        IncrementalContainmentProbe,
+    )
+
+    cstate = str(tmp_path / "cstate")
+    IncrementalContainmentProbe(spark, cstate, CFG, tile=32, hop=16)
+    with pytest.raises(StreamConfigMismatch):
+        IncrementalContainmentProbe(spark, cstate, CFG, tile=16, hop=8)
