@@ -157,6 +157,42 @@ def with_content_phash(
     ).mapInPandas(run, "image_id string, phash long")
 
 
+def fuse_edges(edge_parts: list, edge_policy) -> tuple:
+    """The ONE implementation of edge_policy fusion, shared by the batch
+    pipeline (dedup_images) and the streaming deduper so their k-of-n
+    semantics can never drift: ``"any"`` ORs the lanes, ``"all"``
+    requires every enabled lane, an int k requires k distinct lanes —
+    and k larger than the enabled-lane count therefore yields NO edges.
+    Takes (lane_name, pairs_df) parts; returns (edges, raw_edges):
+    ``edges`` deduped/fused, ``raw_edges`` the pre-dedup OR union (CC's
+    _canonical() distinct already dedups, so clustering can take the raw
+    union and skip a second full pair-set shuffle; on fusion paths both
+    are the fused frame)."""
+    min_lanes = (
+        1 if edge_policy == "any"
+        else len(edge_parts) if edge_policy == "all"
+        else int(edge_policy)
+    )
+    if min_lanes <= 1:
+        raw_edges = edge_parts[0][1]
+        for _, e in edge_parts[1:]:
+            raw_edges = raw_edges.union(e)
+        return raw_edges.dropDuplicates(["a", "b"]), raw_edges
+    # precision fusion: one groupBy over the pair set counting the
+    # distinct lanes confirming each pair (a lane emits a pair at most
+    # once, so count(*) == countDistinct(lane) but cheaper)
+    tagged = edge_parts[0][1].withColumn("lane", F.lit(edge_parts[0][0]))
+    for name, e in edge_parts[1:]:
+        tagged = tagged.union(e.withColumn("lane", F.lit(name)))
+    edges = (
+        tagged.groupBy("a", "b")
+        .agg(F.count_distinct("lane").alias("nlanes"))
+        .where(F.col("nlanes") >= min_lanes)
+        .select("a", "b")
+    )
+    return edges, edges
+
+
 def with_dhash(
     images: DataFrame,
     id_col: str = "image_id",
@@ -355,34 +391,7 @@ def dedup_images(
         out["substring_pairs"] = sub
         edge_parts.append(("substring", sub))
 
-    min_lanes = (
-        1 if edge_policy == "any"
-        else len(edge_parts) if edge_policy == "all"
-        else int(edge_policy)
-    )
-    if min_lanes <= 1:
-        raw_edges = edge_parts[0][1]
-        for _, e in edge_parts[1:]:
-            raw_edges = raw_edges.union(e)
-        # the exposed edge table is deduped; the clustering path takes the
-        # RAW union — CC's _canonical() distinct already dedups, so a
-        # dropDuplicates here would be a second full shuffle of the pair
-        # set for nothing
-        edges = raw_edges.dropDuplicates(["a", "b"])
-    else:
-        # precision fusion: one groupBy over the pair set counting the
-        # distinct lanes confirming each pair (a lane emits a pair at most
-        # once, so count(*) == countDistinct(lane) but cheaper)
-        tagged = edge_parts[0][1].withColumn("lane", F.lit(edge_parts[0][0]))
-        for name, e in edge_parts[1:]:
-            tagged = tagged.union(e.withColumn("lane", F.lit(name)))
-        edges = (
-            tagged.groupBy("a", "b")
-            .agg(F.count_distinct("lane").alias("nlanes"))
-            .where(F.col("nlanes") >= min_lanes)
-            .select("a", "b")
-        )
-        raw_edges = edges
+    edges, raw_edges = fuse_edges(edge_parts, edge_policy)
     edges = _bar("edges", edges)
     out["edges"] = edges
     t_cc = _time.time()

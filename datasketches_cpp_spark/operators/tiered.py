@@ -63,7 +63,14 @@ from .sigkernel import SigConfig
 def _exact_key(images: DataFrame, exact_on: tuple) -> "F.Column":
     """128-bit content key over the exact_on columns. Each part is
     length-framed before the concat so ("ab", "c") and ("a", "bc") can
-    never collide; md5 runs JVM-side in one projection pass."""
+    never collide; md5 runs JVM-side in one projection pass.
+
+    NULL handling: each part carries an explicit nullity marker, so the
+    key itself is never NULL (an md5 over any NULL part would
+    null-propagate, and NULL keys would lump every such row into ONE
+    window partition — unrelated fetch-failure rows would read as exact
+    twins). NULLs compare equal to each other and unequal to the empty
+    value, i.e. GROUP-BY equality over the exact_on tuple."""
     types = dict(images.dtypes)
     framed = []
     for c in exact_on:
@@ -72,14 +79,15 @@ def _exact_key(images: DataFrame, exact_on: tuple) -> "F.Column":
         part = (
             F.col(c)
             if types[c] == "binary"
-            else F.encode(F.coalesce(F.col(c).cast("string"), F.lit("")), "UTF-8")
+            else F.encode(F.col(c).cast("string"), "UTF-8")
+        )
+        marker = F.when(part.isNull(), F.lit("n:")).otherwise(
+            F.concat(F.lit("v"), F.length(part).cast("string"), F.lit(":"))
         )
         framed.append(
             F.concat(
-                F.encode(
-                    F.concat(F.length(part).cast("string"), F.lit(":")), "UTF-8"
-                ),
-                part,
+                F.encode(marker, "UTF-8"),
+                F.coalesce(part, F.lit(b"")),
             )
         )
     return F.md5(F.concat(*framed))
@@ -157,7 +165,12 @@ def tiered_dedup_images(
       (else None). With ``auto_plan`` the exact tier is SKIPPED when the
       sketch-estimated duplication lower bound is under
       ``min_dup_ratio`` — same final clustering either way (collapse is
-      lossless), minus the unprofitable (id, key) shuffle.
+      lossless), minus the unprofitable (id, key) shuffle. NOTE: on the
+      skip path the survivor frame is the input UNCHANGED — the
+      ``survivor_filter="semi"`` duplicate-free-survivors guarantee
+      applies only when the exact tier actually runs (check
+      ``plan["exact_tier"]`` before consuming the near-tier frames as a
+      deduplicated dataset).
     """
     if survivor_filter not in ("bloom", "semi"):
         raise ValueError(
@@ -360,8 +373,15 @@ def dup_ratio_by_group(
             t > 0, F.greatest(F.lit(0.0), F.lit(1.0) - col / t)
         ).otherwise(F.lit(0.0))
 
-    return sk.join(counts, group_cols).select(
-        *group_cols,
+    # null-SAFE group join: groupBy emits a NULL-group row on both sides
+    # (e.g. documents with source IS NULL); plain equality would silently
+    # drop that slice from the report
+    cond = None
+    for c in group_cols:
+        eq = sk[c].eqNullSafe(counts[c])
+        cond = eq if cond is None else cond & eq
+    return sk.join(counts, cond).select(
+        *[sk[c].alias(c) for c in group_cols],
         "total_rows",
         F.col("estimate").alias("distinct_est"),
         F.col("lower_bound").alias("distinct_lb"),

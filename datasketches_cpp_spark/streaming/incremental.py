@@ -372,6 +372,9 @@ class IncrementalDeduper(_BucketedStateStore):
         })
 
     # -- lane helpers ----------------------------------------------------------
+    def _empty_edges(self) -> DataFrame:
+        return self.spark.createDataFrame([], "a string, b string")
+
     def _lane_pairs(
         self,
         sig_new: DataFrame,
@@ -401,6 +404,8 @@ class IncrementalDeduper(_BucketedStateStore):
         )
         probe_buckets = self._touched_buckets(new_b, "band_idx", "band_hash")
         all_b = self._read_bucketed(store_name + "_bands", probe_buckets)
+        if all_b is None:  # every live slot empty (e.g. all-degenerate batch)
+            return self._empty_edges()
         matched = all_b.join(F.broadcast(new_b), ["band_idx", "band_hash"]).where(
             F.col("id") != F.col("new_id")
         )
@@ -422,7 +427,10 @@ class IncrementalDeduper(_BucketedStateStore):
             set(self._touched_buckets(cand, "a"))
             | set(self._touched_buckets(cand, "b"))
         )
-        sig_lookup = self._read_bucketed(store_name, id_buckets).drop("bucket")
+        sig_lookup = self._read_bucketed(store_name, id_buckets)
+        if sig_lookup is None:  # no stored signatures -> nothing verifies
+            return self._empty_edges()
+        sig_lookup = sig_lookup.drop("bucket")
         return verify_pairs(cand, sig_lookup, cfg, use_simhash=use_simhash, include_mh=False).where(
             "passed"
         ).select("a", "b")
@@ -546,30 +554,18 @@ class IncrementalDeduper(_BucketedStateStore):
         ids_new = all_rows.select(F.col("image_id").alias("id"))
         self._write_epoch("ids", ids_new, epoch_id)
 
-        # lane fusion (the batch dedup_images edge_policy semantics): a
-        # pair is evaluated by every enabled lane exactly once, in this
-        # epoch (the arrival epoch of its later member), so the per-epoch
-        # k-of-n vote equals the batch vote over the whole corpus
-        min_lanes = (
-            1 if self.edge_policy == "any"
-            else len(lane_parts) if self.edge_policy == "all"
-            else int(self.edge_policy)
-        )
-        if min_lanes <= 1 or len(lane_parts) <= 1:
-            new_edges = None
-            for _, e in lane_parts:
-                new_edges = e if new_edges is None else new_edges.union(e)
+        # lane fusion (the batch dedup_images edge_policy semantics, via
+        # the SHARED imagededup.fuse_edges implementation so the two can
+        # never drift): a pair is evaluated by every enabled lane exactly
+        # once, in this epoch (the arrival epoch of its later member), so
+        # the per-epoch k-of-n vote equals the batch vote over the whole
+        # corpus — including k > n(lanes) yielding no edges
+        if lane_parts:
+            from ..operators.imagededup import fuse_edges
+
+            new_edges, _ = fuse_edges(lane_parts, self.edge_policy)
         else:
-            tagged = None
-            for name, e in lane_parts:
-                t = e.withColumn("lane", F.lit(name))
-                tagged = t if tagged is None else tagged.union(t)
-            new_edges = (
-                tagged.groupBy("a", "b")
-                .agg(F.count_distinct("lane").alias("nlanes"))
-                .where(F.col("nlanes") >= min_lanes)
-                .select("a", "b")
-            )
+            new_edges = None
         if exact_edges is not None:  # identity evidence bypasses fusion
             new_edges = (
                 exact_edges if new_edges is None
@@ -619,6 +615,8 @@ class IncrementalDeduper(_BucketedStateStore):
         new_k = keys.select(F.col("id").alias("new_id"), "band_idx", "band_hash")
         probe_buckets = self._touched_buckets(new_k, "band_idx", "band_hash")
         all_k = self._read_bucketed("emb_bands", probe_buckets)
+        if all_k is None:  # every live slot empty
+            return self._empty_edges()
         matched = all_k.join(
             F.broadcast(new_k), ["band_idx", "band_hash"]
         ).where(F.col("id") != F.col("new_id"))
@@ -637,7 +635,10 @@ class IncrementalDeduper(_BucketedStateStore):
             set(self._touched_buckets(cand, "a"))
             | set(self._touched_buckets(cand, "b"))
         )
-        vecs = self._read_bucketed("emb_vecs", id_buckets).drop("bucket")
+        vecs = self._read_bucketed("emb_vecs", id_buckets)
+        if vecs is None:  # no candidates can verify without stored vectors
+            return self._empty_edges()
+        vecs = vecs.drop("bucket")
         return (
             cand.join(
                 vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
@@ -697,7 +698,10 @@ class IncrementalDeduper(_BucketedStateStore):
             F.col("image_id").alias("new_id"),
             F.col(hash_col).alias("ph_new_id"),
             F.posexplode(arr).alias("band_idx", "band_hash"),
-        )
+        ).localCheckpoint(eager=True)
+        # ^ three consumers (store write, touched-buckets, probe) — without
+        # the checkpoint the upstream kernel (with_dhash's image decode, or
+        # the crop/orbit ladder) would run once per consumer
         self._write_epoch_bucketed(
             store,
             new_k.select(F.col("new_id").alias("id"),
@@ -707,6 +711,8 @@ class IncrementalDeduper(_BucketedStateStore):
         )
         probe_buckets = self._touched_buckets(new_k, "band_idx", "band_hash")
         all_k = self._read_bucketed(store, probe_buckets)
+        if all_k is None:  # every live slot empty
+            return self._empty_edges()
         cand = (
             all_k.join(F.broadcast(new_k), ["band_idx", "band_hash"])
             .where(F.col("id") != F.col("new_id"))

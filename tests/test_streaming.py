@@ -503,3 +503,44 @@ def test_config_mismatch_fails_fast(spark, corpus_pdf, tmp_path):
     IncrementalContainmentProbe(spark, cstate, CFG, tile=32, hop=16)
     with pytest.raises(StreamConfigMismatch):
         IncrementalContainmentProbe(spark, cstate, CFG, tile=16, hop=8)
+
+
+def test_degenerate_first_epoch_yields_singletons(spark, tmp_path):
+    """An epoch whose rows produce zero band keys (captions too short to
+    shingle) must not crash on the empty band-store read — every row
+    publishes as a singleton and later epochs proceed normally."""
+    rows = [(f"d{i}", bytearray(b"\x00" * 64), 4, 4, "raw", "", 0)
+            for i in range(5)]
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",),
+    )
+    dd.process_batch(spark.createDataFrame(rows, schema), 0)
+    a = dd.assignments()
+    assert a.count() == 5
+    assert a.where("id != cluster_id").count() == 0
+    rows2 = [(f"e{i}", bytearray(b"\x01" * 64), 4, 4, "raw",
+              f"real caption number {i} with words", 0) for i in range(4)]
+    dd.process_batch(spark.createDataFrame(rows2, schema), 1)
+    assert dd.assignments().count() == 9
+
+
+def test_fusion_k_above_lane_count_matches_batch(spark, corpus_pdf, tmp_path):
+    """edge_policy=2 with a single enabled lane must emit NO edges —
+    the batch semantics (count_distinct(lane) >= 2 can never hold), not
+    an OR fallback. Streaming and batch agree: all singletons."""
+    pdf = corpus_pdf.iloc[0:60]
+    full = spark.createDataFrame(pdf).cache()
+    batch = dedup_images(full, CFG, BYTES_CFG, byte_stride=4,
+                         enable_lanes=("bytes",), edge_policy=2)
+    assert batch["assignments"].where("id != cluster_id").count() == 0
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG, byte_stride=4,
+        enable_lanes=("bytes",), edge_policy=2,
+    )
+    dd.process_batch(spark.createDataFrame(pdf), 0)
+    got = dd.assignments()
+    assert got.count() == 60
+    assert got.where("id != cluster_id").count() == 0

@@ -266,3 +266,32 @@ def test_dup_ratio_by_group_exact_mode(spark):
     assert a["dup_ratio_lb"] == a["dup_ratio_ub"] == a["dup_ratio_est"]
     assert b["total_rows"] == 8 and b["distinct_est"] == 8.0
     assert b["dup_ratio_est"] == 0.0
+
+
+def test_exact_key_null_handling(spark):
+    """NULL exact_on parts must not null-propagate into the key (NULL
+    keys would lump unrelated fetch-failure rows into one window
+    partition): the key is never NULL, NULLs compare equal to each
+    other (GROUP BY law), and NULL != empty."""
+    from datasketches_cpp_spark.operators.tiered import _exact_key
+
+    rows = [
+        ("n0", None, 1, 1, "raw", "cap A", 0),
+        ("n1", None, 1, 1, "raw", "cap B", 0),
+        ("n2", None, 1, 1, "raw", "cap A", 0),
+        ("n3", bytearray(b""), 1, 1, "raw", "cap A", 0),
+        ("n4", bytearray(b"x"), 1, 1, "raw", None, 0),
+        ("n5", bytearray(b"x"), 1, 1, "raw", "", 0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    keys = {
+        r["image_id"]: r["k"]
+        for r in df.select(
+            "image_id", _exact_key(df, ("bytes", "caption")).alias("k")
+        ).collect()
+    }
+    assert all(v is not None for v in keys.values())
+    assert keys["n0"] != keys["n1"]   # different captions never lump
+    assert keys["n0"] == keys["n2"]   # NULL == NULL per part
+    assert keys["n0"] != keys["n3"]   # NULL bytes != empty bytes
+    assert keys["n4"] != keys["n5"]   # NULL caption != empty caption
