@@ -2948,6 +2948,65 @@ def _tar_shard_ingest_oracle_sql() -> str:
     )
 
 
+def q_iceberg_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-store lifecycle over the Iceberg fallback tier
+    (sources/iceberg.py): three append commits of a deterministic
+    image-id table, retention (`expire_snapshots` keep_last=2 — snapshot
+    1 becomes unreadable but its delta directory survives as a live
+    chain ancestor), then the three reads a crawl pipeline does — the
+    current table (union of the delta chain THROUGH the expired
+    ancestor), time travel to snapshot 2, and the incremental CDC read
+    `read_changes(from_id=2)` that feeds the streaming deduper one
+    micro-batch per crawl commit. Oracle = planted truth (literal
+    VALUES): a hash match proves append-chain resolution, time travel,
+    retention safety, and the incremental read all return exactly the
+    committed rows. 18 rows — bounded by construction."""
+    import shutil
+    import tempfile
+
+    from datasketches_cpp_spark.sources.iceberg import (
+        expire_snapshots,
+        read_changes,
+        read_table,
+        write_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="iceberg_cdc_q_")
+    try:
+        for b in (1, 2, 3):
+            rows = [(f"s{b}_{i:02d}", b) for i in range(b + 1)]
+            write_snapshot(
+                spark.createDataFrame(rows, "image_id string, batch int"), root
+            )
+        assert expire_snapshots(root, keep_last=2) == [1]
+        frames = [
+            read_table(spark, root).withColumn("src", F.lit("table")),
+            read_table(spark, root, snapshot_id=2).withColumn("src", F.lit("asof2")),
+            read_changes(spark, root, from_id=2).withColumn("src", F.lit("changes")),
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        pdf = out.select("src", "image_id", "batch").toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf.sort_values(["src", "image_id"], ignore_index=True)
+    )
+
+
+def _iceberg_snapshot_changes_oracle_sql() -> str:
+    vals = []
+    for src, batches in (("table", (1, 2, 3)), ("asof2", (1, 2)), ("changes", (3,))):
+        for b in batches:
+            vals += [f"('{src}', 's{b}_{i:02d}', {b})" for i in range(b + 1)]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(src, image_id, batch)"
+    )
+
+
 def _planted_watermark_rows():
     """Planted watermark corpus: originals + noisy copies with a bright
     8×8 block-aligned logo stamped in a corner. The overlay perturbs
@@ -3260,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gradient_dedup_planted": q_gradient_dedup_planted,
         "caption_conflicts_planted": q_caption_conflicts_planted,
         "tar_shard_ingest": q_tar_shard_ingest,
+        "iceberg_snapshot_changes": q_iceberg_snapshot_changes,
         "canonical_text_dedup": q_canonical_text_dedup,
         "dedup_policy_agreement": q_dedup_policy_agreement,
         "dedup_recall_by_kind": q_dedup_recall_by_kind,
@@ -3879,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "tar_shard_ingest": _tar_shard_ingest_oracle_sql(),
+        "iceberg_snapshot_changes": _iceberg_snapshot_changes_oracle_sql(),
         "photometric_dedup_planted": _planted_truth_sql(
             _planted_photometric_rows()[1]
         ),

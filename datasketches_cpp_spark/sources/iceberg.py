@@ -90,7 +90,7 @@ def _append_log(root: str, entry: dict) -> None:
 
 
 def current_snapshot_id(root: str) -> int | None:
-    snaps = _read_log(root)["snapshots"]
+    snaps = [s for s in _read_log(root)["snapshots"] if not s.get("expired")]
     return snaps[-1]["id"] if snaps else None
 
 
@@ -134,6 +134,102 @@ def write_snapshot(
     return new_id
 
 
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    from_id: int | None = None,
+    to_id: int | None = None,
+) -> DataFrame:
+    """Incremental (CDC-style) read: the rows APPENDED by snapshots in
+    ``(from_id, to_id]`` — the fallback-tier analog of Iceberg's
+    incremental append scan (`start-snapshot-id`/`end-snapshot-id` read
+    options). ``from_id=None`` starts before the first snapshot;
+    ``to_id=None`` ends at the current one. This is the natural feed for
+    the streaming deduper in the crawl regime: each new crawl commit is
+    a snapshot, and `read_changes(root, last_seen, None)` is exactly the
+    micro-batch to hand `IncrementalDeduper.process_batch`.
+
+    Raises ValueError if the range crosses an overwrite snapshot —
+    deltas across a table replacement are not well-defined, the same
+    restriction Iceberg's incremental scan enforces (it rejects ranges
+    containing REPLACE/OVERWRITE snapshots) — or an expired one."""
+    snaps = {s["id"]: s for s in _read_log(root)["snapshots"]}
+    if not snaps:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    live = {i for i, s in snaps.items() if not s.get("expired")}
+    hi = to_id if to_id is not None else (max(live) if live else max(snaps))
+    if hi not in snaps:
+        raise ValueError(f"unknown snapshot id {hi}; have {sorted(snaps)}")
+    lo = from_id if from_id is not None else 0
+    if lo and lo not in snaps:
+        raise ValueError(f"unknown snapshot id {lo}; have {sorted(snaps)}")
+    picked = [s for i, s in sorted(snaps.items()) if lo < i <= hi]
+    gone = [s["id"] for s in picked if s.get("expired")]
+    if gone or (lo and snaps[lo].get("expired")):
+        raise ValueError(
+            f"incremental read range ({lo}, {hi}] touches expired "
+            f"snapshot(s) {gone or [lo]}"
+        )
+    bad = [s["id"] for s in picked if s["mode"] != "append"]
+    if bad:
+        raise ValueError(
+            f"incremental read range ({lo}, {hi}] crosses overwrite "
+            f"snapshot(s) {bad}; deltas across a table replacement are "
+            "undefined — read_table the endpoint instead"
+        )
+    if not picked:
+        schema = read_table(spark, root, snapshot_id=hi).schema
+        return spark.createDataFrame([], schema)
+    df = None
+    for s in picked:
+        part = spark.read.parquet(os.path.join(root, f"snap_{s['id']:012d}"))
+        df = part if df is None else df.unionByName(part)
+    return df
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> list[int]:
+    """Retention maintenance — the fallback-tier analog of Iceberg's
+    `expireSnapshots`: drop all but the last ``keep_last`` snapshots from
+    the log and delete data directories no retained snapshot references.
+    Because append snapshots store only their delta, a retained
+    snapshot's read chain may run through expired ancestors — those
+    directories are REFERENCED and must survive (their log entries stay,
+    flagged ``expired``, so chain metadata survives too); only
+    directories reachable from no retained snapshot are removed. Returns
+    the newly expired snapshot ids. Time-traveling to an expired id
+    subsequently raises (Iceberg's behavior); retained reads are
+    byte-identical."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    state = _read_log(root)
+    snaps = sorted(state["snapshots"], key=lambda s: s["id"])
+    by_id = {s["id"]: s for s in snaps}
+    live = [s for s in snaps if not s.get("expired")]
+    if len(live) <= keep_last:
+        return []
+    retained = live[-keep_last:]
+    live_dirs: set[int] = set()
+    for s in retained:
+        cur: int | None = s["id"]
+        while cur is not None:
+            live_dirs.add(cur)
+            cur = by_id[cur]["parent"]
+    newly_expired = [s["id"] for s in live[:-keep_last]]
+    for s in snaps:
+        if s["id"] not in {r["id"] for r in retained}:
+            s["expired"] = True
+    tmp = _log_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"snapshots": snaps}, f)
+    os.replace(tmp, _log_path(root))  # commit point: log first, then GC
+    for sid in newly_expired:
+        if sid not in live_dirs:
+            shutil.rmtree(os.path.join(root, f"snap_{sid:012d}"), ignore_errors=True)
+    return newly_expired
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -141,13 +237,17 @@ def read_table(
 ) -> DataFrame:
     """Read the table as of ``snapshot_id`` (default: current). An
     append-mode snapshot resolves to the union of its delta chain —
-    Iceberg time travel over the fallback store."""
+    Iceberg time travel over the fallback store. Expired snapshots
+    (``expire_snapshots``) are no longer readable, matching Iceberg."""
     snaps = {s["id"]: s for s in _read_log(root)["snapshots"]}
     if not snaps:
         raise FileNotFoundError(f"no committed snapshots under {root}")
-    sid = snapshot_id if snapshot_id is not None else max(snaps)
+    live = {i for i, s in snaps.items() if not s.get("expired")}
+    sid = snapshot_id if snapshot_id is not None else max(live)
     if sid not in snaps:
         raise ValueError(f"unknown snapshot id {sid}; have {sorted(snaps)}")
+    if snaps[sid].get("expired"):
+        raise ValueError(f"snapshot {sid} is expired; live ids: {sorted(live)}")
     chain = []
     cur: int | None = sid
     while cur is not None:
