@@ -12,8 +12,12 @@ pipeline with a persistent signature store:
       batches that introduced them — the union over batches covers every
       co-banded pair exactly once)
     → verify (same UDF) → append edges
-    → connected components over the accumulated edge set → publish
-      assignments
+    → INCREMENTAL connected components: contract the new edges to their
+      current clusters, run CC on that contracted graph only (size =
+      touched clusters + new ids), and rewrite just the merged clusters'
+      members in a bucketed cluster store — O(frontier) per epoch, never
+      O(corpus); equal to batch assign_clusters over the accumulated
+      edge set at every epoch (pinned by checksum in tests)
 
 Wiring is ``readStream → foreachBatch(IncrementalDeduper.process_batch)``
 with a Spark checkpointLocation: exactly-once per micro-batch, and the
@@ -50,7 +54,7 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.cc import assign_clusters
+from ..operators.cc import connected_components
 from ..operators.minhash import compute_signatures
 from ..operators.sigkernel import SigConfig
 from ..operators.verify import verify_pairs
@@ -353,6 +357,11 @@ class IncrementalDeduper(_BucketedStateStore):
         # (identity evidence, not lane similarity), as in the cascade.
         self.edge_policy = edge_policy
         self._assert_config({
+            # format 2 = incremental cluster maintenance (clusters_by_id/
+            # clusters_by_cluster stores instead of a per-epoch full
+            # assignments publish); a format-1 state_dir resumed under
+            # this code would silently mis-cluster, so it fails fast here
+            "state_format": 2,
             "cfg": self.cfg.fingerprint(),
             "bytes_cfg": self.bytes_cfg.fingerprint(),
             "byte_stride": byte_stride,
@@ -574,15 +583,139 @@ class IncrementalDeduper(_BucketedStateStore):
         if new_edges is None:
             new_edges = self.spark.createDataFrame([], "a string, b string")
         new_edges = new_edges.dropDuplicates(["a", "b"])
+        # append-log of raw fused edges: audit + repair path (a full
+        # assign_clusters over ids+edges must always reproduce the
+        # incrementally maintained table — pinned in tests)
         self._write_epoch("edges", new_edges, epoch_id)
 
-        # publish assignments over everything seen so far
-        all_ids = self._read("ids")
-        all_edges = self._read("edges")
-        assignments = assign_clusters(all_ids, all_edges)
-        assignments.write.mode("overwrite").parquet(self._p("assignments"))
+        # incremental cluster maintenance: O(batch + touched clusters)
+        # per epoch, NOT O(corpus) — the north rule's "cluster frontier"
+        t_cc = time.time()
+        meta.update(self._apply_edges(ids_new, new_edges, epoch_id))
+        meta["cc_sec"] = round(time.time() - t_cc, 3)
         meta["wall_sec"] = round(time.time() - t0, 3)
         self._mark_epoch(epoch_id, meta)
+
+    # -- incremental connected components --------------------------------------
+    # The cluster table lives in TWO bucketed stores with epoch-delta
+    # writes and latest-asg_epoch-wins resolution:
+    #   clusters_by_id      (id, cluster_id, asg_epoch)  bucket(id)
+    #   clusters_by_cluster (id, cluster_id, asg_epoch)  bucket(cluster_id)
+    # by_id answers point lookups (edge-endpoint resolution); by_cluster
+    # answers "members of cluster c" (merge rewrites) with partition
+    # pruning. Canonical labels only ever DECREASE (min-id convention), so
+    # a retired label can never become canonical again — stale member rows
+    # under retired labels are therefore unreachable by probes (which only
+    # ever probe live labels) and get dropped at compaction. Per-epoch
+    # cost is O(|batch| + |new edges| + members of touched clusters): the
+    # cluster FRONTIER, independent of corpus size.
+    def _asg_lookup(self, ids_df: DataFrame, epoch_id: int) -> DataFrame:
+        """(id, cluster_id) for the subset of ``ids_df`` already assigned
+        in epochs BEFORE ``epoch_id`` (replay safety: a partially written
+        current slot is invisible). Store is the big side — streamed
+        through a broadcast join against the batch-bounded probe set."""
+        from pyspark.sql import Window
+
+        empty = self.spark.createDataFrame([], "id string, cluster_id string")
+        buckets = self._touched_buckets(ids_df, "id")
+        st = self._read_bucketed("clusters_by_id", buckets,
+                                 exclude_epoch=epoch_id)
+        if st is None:
+            return empty
+        wnd = Window.partitionBy("id").orderBy(F.desc("asg_epoch"))
+        return (
+            st.join(F.broadcast(ids_df.select("id")), "id")
+            .withColumn("_rn", F.row_number().over(wnd))
+            .where(F.col("_rn") == 1)
+            .select("id", "cluster_id")
+        )
+
+    def _apply_edges(self, ids_new: DataFrame, edges: DataFrame,
+                     epoch_id: int) -> dict:
+        """Fold this epoch's vertices + fused edges into the cluster
+        stores. Steps: (1) resolve edge endpoints and new ids against the
+        pre-epoch assignment state; (2) contract edges to their clusters
+        and run connected_components on the contracted graph — size
+        O(touched clusters + new ids), never the corpus; (3) rewrite the
+        members of merged-away clusters (bucket-pruned) and insert fresh
+        ids. Same min-label law as batch CC, so the maintained table
+        equals assign_clusters(all ids, all edges) at every epoch."""
+        ends = (
+            edges.select(F.col("a").alias("id"))
+            .union(edges.select(F.col("b").alias("id")))
+        )
+        lookup = ends.union(ids_new).distinct().localCheckpoint(eager=True)
+        asg_pre = self._asg_lookup(lookup, epoch_id).localCheckpoint(eager=True)
+
+        contracted = (
+            edges.join(
+                F.broadcast(asg_pre.select(F.col("id").alias("a"),
+                                           F.col("cluster_id").alias("ca"))),
+                "a", "left")
+            .join(
+                F.broadcast(asg_pre.select(F.col("id").alias("b"),
+                                           F.col("cluster_id").alias("cb"))),
+                "b", "left")
+            .select(F.coalesce("ca", F.col("a")).alias("a"),
+                    F.coalesce("cb", F.col("b")).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        comp = connected_components(contracted).localCheckpoint(eager=True)
+        merges = comp.where(F.col("id") != F.col("cluster_id"))
+        # labels needing member rewrite = merge keys that are live cluster
+        # canons (every contracted label is either a pre-epoch canon —
+        # hence appears among asg_pre.cluster_id values — or a fresh id,
+        # which has no members to move)
+        lbl = merges.join(
+            F.broadcast(asg_pre.select(F.col("cluster_id").alias("id"))
+                        .distinct()),
+            "id", "left_semi",
+        ).localCheckpoint(eager=True)
+
+        moved = self.spark.createDataFrame([], "id string, cluster_id string")
+        if lbl.limit(1).count():
+            mem_buckets = self._touched_buckets(lbl, "id")
+            mem = self._read_bucketed("clusters_by_cluster", mem_buckets,
+                                      exclude_epoch=epoch_id)
+            if mem is not None:
+                moved = (
+                    mem.join(
+                        F.broadcast(
+                            lbl.select(
+                                F.col("id").alias("cluster_id"),
+                                F.col("cluster_id").alias("_new_cluster"),
+                            )
+                        ),
+                        "cluster_id",
+                    )
+                    .select("id",
+                            F.col("_new_cluster").alias("cluster_id"))
+                )
+        fresh = ids_new.join(F.broadcast(asg_pre.select("id")),
+                             "id", "left_anti")
+        fresh_asg = fresh.join(F.broadcast(comp), "id", "left").select(
+            "id",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        delta = (
+            fresh_asg.withColumn("_src", F.lit("fresh"))
+            .union(moved.withColumn("_src", F.lit("moved")))
+            .dropDuplicates(["id"])
+            .withColumn("asg_epoch", F.lit(epoch_id))
+            .localCheckpoint(eager=True)  # two store writes + counters
+        )
+        out = delta.select("id", "cluster_id", "asg_epoch")
+        self._write_epoch_bucketed("clusters_by_id", out, epoch_id, ["id"])
+        self._write_epoch_bucketed("clusters_by_cluster", out, epoch_id,
+                                   ["cluster_id"])
+        counts = {
+            r["_src"]: r["n"]
+            for r in delta.groupBy("_src").agg(F.count("*").alias("n")).collect()
+        }
+        return {
+            "fresh_ids": int(counts.get("fresh", 0)),
+            "moved_members": int(counts.get("moved", 0)),
+        }
 
     def _embedding_lane(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
         """Streaming SemDeDup lane: random-hyperplane band keys of the
@@ -754,4 +887,20 @@ class IncrementalDeduper(_BucketedStateStore):
         return writer.start()
 
     def assignments(self) -> DataFrame | None:
-        return self._read("assignments")
+        """Current full assignment table (id, cluster_id), resolved from
+        the incrementally maintained cluster store (latest asg_epoch per
+        id wins — an id's row is superseded when its cluster merged).
+        One wide window over the store — an on-demand export, not a
+        per-epoch cost; `compact_all` keeps the underlying file count at
+        O(num_buckets)."""
+        from pyspark.sql import Window
+
+        st = self._read_bucketed("clusters_by_id")
+        if st is None:
+            return None
+        wnd = Window.partitionBy("id").orderBy(F.desc("asg_epoch"))
+        return (
+            st.withColumn("_rn", F.row_number().over(wnd))
+            .where(F.col("_rn") == 1)
+            .select("id", "cluster_id")
+        )

@@ -527,6 +527,65 @@ def test_degenerate_first_epoch_yields_singletons(spark, tmp_path):
     assert dd.assignments().count() == 9
 
 
+def test_incremental_cc_adversarial_merge_cascades(spark, tmp_path):
+    """Direct torture of the incremental cluster maintenance
+    (_apply_edges): canon takeover by a later-arriving smaller id,
+    multi-cluster merges through a single epoch's contracted graph,
+    a no-new-ids bridging epoch, a re-sent id that must NOT break out
+    of its cluster, replay idempotence, and compaction identity — each
+    epoch checked against batch assign_clusters over the accumulated
+    vertex/edge sets (the law the store maintains incrementally)."""
+    from datasketches_cpp_spark.operators.cc import assign_clusters
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), num_buckets=8,
+    )
+    epochs = [
+        # (new ids, edges): canon of {c,d} is c; of {x,y} is x; z single
+        (["c", "d", "x", "y", "z"], [("c", "d"), ("x", "y")]),
+        # smaller id b takes over cluster c -> members c,d move
+        (["b"], [("b", "d")]),
+        # one epoch: w joins x-cluster, (d,x) merges b- and x-clusters
+        # (contracted edge between two OLD canons), plus a fresh pair
+        (["a", "w"], [("a", "z"), ("w", "y"), ("d", "x")]),
+        # no new ids at all: bridge the two remaining clusters
+        ([], [("z", "w")]),
+        # re-sent id with no edges: must stay in its cluster
+        (["c"], []),
+    ]
+    seen_ids: list[str] = []
+    seen_edges: list[tuple] = []
+    for ep, (ids, edges) in enumerate(epochs):
+        seen_ids += [i for i in ids if i not in seen_ids]
+        seen_edges += edges
+        ids_df = spark.createDataFrame([(i,) for i in ids], "id string")
+        e_df = spark.createDataFrame(edges or [], "a string, b string")
+        dd._apply_edges(ids_df, e_df, ep)
+        want = checksum(
+            assign_clusters(
+                spark.createDataFrame([(i,) for i in seen_ids], "id string"),
+                spark.createDataFrame(seen_edges or [], "a string, b string"),
+            ),
+            "id", "cluster_id",
+        )
+        got = checksum(dd.assignments(), "id", "cluster_id")
+        assert got == want, f"epoch {ep}: incremental != batch"
+    final = {r["id"]: r["cluster_id"] for r in dd.assignments().collect()}
+    assert final == {i: "a" for i in "abcdwxyz"} | {"z": "a"}
+    # replay of the bridging epoch: recomputed from pre-epoch state only
+    dd._apply_edges(
+        spark.createDataFrame([], "id string"),
+        spark.createDataFrame([("z", "w")], "a string, b string"), 3,
+    )
+    cs = checksum(dd.assignments(), "id", "cluster_id")
+    # compaction folds both cluster stores, resolution unchanged
+    folded = dd.compact_all()
+    assert folded.get("clusters_by_id") >= 2
+    assert folded.get("clusters_by_cluster") >= 2
+    assert checksum(dd.assignments(), "id", "cluster_id") == cs
+
+
 def test_fusion_k_above_lane_count_matches_batch(spark, corpus_pdf, tmp_path):
     """edge_policy=2 with a single enabled lane must emit NO edges —
     the batch semantics (count_distinct(lane) >= 2 can never hold), not
