@@ -614,20 +614,16 @@ class IncrementalDeduper(_BucketedStateStore):
         in epochs BEFORE ``epoch_id`` (replay safety: a partially written
         current slot is invisible). Store is the big side — streamed
         through a broadcast join against the batch-bounded probe set."""
-        from pyspark.sql import Window
-
         empty = self.spark.createDataFrame([], "id string, cluster_id string")
         buckets = self._touched_buckets(ids_df, "id")
         st = self._read_bucketed("clusters_by_id", buckets,
                                  exclude_epoch=epoch_id)
         if st is None:
             return empty
-        wnd = Window.partitionBy("id").orderBy(F.desc("asg_epoch"))
         return (
             st.join(F.broadcast(ids_df.select("id")), "id")
-            .withColumn("_rn", F.row_number().over(wnd))
-            .where(F.col("_rn") == 1)
-            .select("id", "cluster_id")
+            .groupBy("id")
+            .agg(F.expr("max_by(cluster_id, asg_epoch)").alias("cluster_id"))
         )
 
     def _apply_edges(self, ids_new: DataFrame, edges: DataFrame,
@@ -890,17 +886,59 @@ class IncrementalDeduper(_BucketedStateStore):
         """Current full assignment table (id, cluster_id), resolved from
         the incrementally maintained cluster store (latest asg_epoch per
         id wins — an id's row is superseded when its cluster merged).
-        One wide window over the store — an on-demand export, not a
-        per-epoch cost; `compact_all` keeps the underlying file count at
-        O(num_buckets)."""
-        from pyspark.sql import Window
-
+        One max_by aggregation over the store (partial agg before the
+        exchange — cheaper than a sort window) — an on-demand export,
+        not a per-epoch cost; `compact_all`/`compact_clusters` keep the
+        underlying file and row counts bounded."""
         st = self._read_bucketed("clusters_by_id")
         if st is None:
             return None
-        wnd = Window.partitionBy("id").orderBy(F.desc("asg_epoch"))
-        return (
-            st.withColumn("_rn", F.row_number().over(wnd))
-            .where(F.col("_rn") == 1)
-            .select("id", "cluster_id")
+        return st.groupBy("id").agg(
+            F.expr("max_by(cluster_id, asg_epoch)").alias("cluster_id")
         )
+
+    def compact_clusters(self) -> int:
+        """Resolved compaction of the two cluster stores: rewrite both to
+        exactly ONE row per live id (the latest assignment) — dropping
+        superseded rows and stale member rows under retired labels — so
+        row count returns to O(live ids) no matter how much merge churn
+        has accumulated. Same manifest commit protocol as compact_store
+        (write resolved dir, swap _LIVE, delete superseded); resolution
+        is idempotent, so a crash between the two stores' swaps leaves
+        both readable and a re-run converges. Call between micro-batches
+        only (compact_store's contract). Returns directories folded."""
+        st = self._read_bucketed("clusters_by_id")
+        if st is None:
+            return 0
+        resolved = st.groupBy("id").agg(
+            F.expr("max_by(cluster_id, asg_epoch)").alias("cluster_id"),
+            F.max("asg_epoch").alias("asg_epoch"),
+        ).localCheckpoint(eager=True)  # two store rewrites
+        folded = 0
+        for name, key in (("clusters_by_id", ["id"]),
+                          ("clusters_by_cluster", ["cluster_id"])):
+            dirs = self._live_epoch_dirs(name)
+            tag = f"compacted_{int(time.time() * 1000):013d}"
+            target = self._p(f"{name}/{tag}")
+            (resolved.withColumn("bucket", self._bucket_expr(*key))
+             .write.mode("overwrite").partitionBy("bucket").parquet(target))
+            manifest = self._p(f"{name}/_LIVE.json")
+            prior: list[str] = []
+            if self._hfs.exists(manifest):
+                prior = json.loads(
+                    self._hfs.read_bytes(manifest).decode()
+                ).get("superseded", [])
+            superseded = sorted(
+                {d.rstrip("/").rsplit("/", 1)[-1] for d in dirs} | set(prior)
+            )
+            self._hfs.write_bytes_atomic(
+                manifest,
+                json.dumps({"live": [tag], "superseded": superseded}).encode(),
+            )
+            for d in dirs:
+                try:
+                    self._hfs.delete(d, recursive=True)
+                except Exception:
+                    pass  # orphan stays excluded via the manifest
+            folded += len(dirs)
+        return folded

@@ -584,6 +584,20 @@ def test_incremental_cc_adversarial_merge_cascades(spark, tmp_path):
     assert folded.get("clusters_by_id") >= 2
     assert folded.get("clusters_by_cluster") >= 2
     assert checksum(dd.assignments(), "id", "cluster_id") == cs
+    # resolved compaction: all superseded/stale rows drop — exactly one
+    # row per live id in BOTH stores (the churn above rewrote most ids
+    # 2-3 times) — and resolution is byte-identical before/after
+    assert dd.compact_clusters() == 2  # one compacted dir per store
+    assert dd._read_bucketed("clusters_by_id").count() == 8  # live ids only
+    assert dd._read_bucketed("clusters_by_cluster").count() == 8
+    assert checksum(dd.assignments(), "id", "cluster_id") == cs
+    # and the store still accepts later epochs after a resolved fold
+    dd._apply_edges(
+        spark.createDataFrame([("q",)], "id string"),
+        spark.createDataFrame([("q", "x")], "a string, b string"), 5,
+    )
+    final2 = {r["id"]: r["cluster_id"] for r in dd.assignments().collect()}
+    assert final2["q"] == "a" and len(final2) == 9
 
 
 def test_fusion_k_above_lane_count_matches_batch(spark, corpus_pdf, tmp_path):
