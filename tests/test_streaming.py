@@ -455,13 +455,23 @@ def test_new_stores_probe_partition_pruned(spark, corpus_pdf, tmp_path):
         embedding_dim=16, num_buckets=16,
     )
     dd.process_batch(spark.createDataFrame(pdf), 0)
-    for store in ("exact_keys", "emb_bands", "dhash_keys", "emb_vecs"):
+    for store in ("exact_keys", "emb_bands", "dhash_keys", "emb_vecs",
+                  "clusters_by_id", "clusters_by_cluster"):
         probe = dd._read_bucketed(store, [1, 5, 9])
         plan = probe._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan, store
         assert "bucket" in plan.split("PartitionFilters", 1)[1][:200], store
         got = {r["bucket"] for r in probe.select("bucket").distinct().collect()}
         assert got <= {1, 5, 9}, store
+    # assignments() resolution must partial-aggregate before the exchange
+    # (max_by agg, not a sort window): partial_max_by BELOW the Exchange
+    plan = dd.assignments()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    i_partial = plan.find("partial_max_by")
+    i_exchange = plan.find("Exchange")
+    assert -1 not in (i_partial, i_exchange), plan
+    # plan strings print top-down: exchange ≺ partial
+    assert i_exchange < i_partial, plan
 
 
 def test_config_mismatch_fails_fast(spark, corpus_pdf, tmp_path):
