@@ -1482,6 +1482,53 @@ def q_audio_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_audio(audio, min_shared=8)["assignments"]
 
 
+def q_stream_video_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming video lane (streaming/incremental.py _video_lane): the
+    SAME planted corpus as video_dedup_planted arrives as two epochs
+    with every noisy twin an epoch after its original, so clustering
+    requires the persistent frame-pHash key store (pinned equal to
+    batch dedup_videos in tests). Oracle = planted truth."""
+    import tempfile
+
+    from datasketches_cpp_spark.streaming.incremental import IncrementalDeduper
+
+    rows, _ = _planted_video_rows()
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+    dd = IncrementalDeduper(
+        spark, tempfile.mkdtemp(prefix="stream_video_q_"),
+        SigConfig(phash_hamming=6), enable_lanes=("video",),
+        video_every_k=2, video_min_frames=2,
+    )
+    ep0 = [r for r in rows if int(r[0][1:]) % 4 != 3]
+    ep1 = [r for r in rows if int(r[0][1:]) % 4 == 3]
+    dd.process_batch(spark.createDataFrame(ep0, schema), 0)
+    dd.process_batch(spark.createDataFrame(ep1, schema), 1)
+    return dd.assignments()
+
+
+def q_stream_audio_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming audio lane (streaming/incremental.py _audio_lane): the
+    planted constellation corpus split so every noisy twin arrives an
+    epoch after its original — cross-epoch clustering through the
+    persistent bucketed landmark store (pinned equal to batch
+    dedup_audio in tests). Oracle = planted truth."""
+    import tempfile
+
+    from datasketches_cpp_spark.streaming.incremental import IncrementalDeduper
+
+    rows, _ = _planted_audio_rows()
+    schema = "image_id string, bytes binary, fmt string"
+    dd = IncrementalDeduper(
+        spark, tempfile.mkdtemp(prefix="stream_audio_q_"),
+        enable_lanes=("audio",),
+    )
+    ep0 = [r for r in rows if int(r[0][1:]) % 3 != 2]
+    ep1 = [r for r in rows if int(r[0][1:]) % 3 == 2]
+    dd.process_batch(spark.createDataFrame(ep0, schema), 0)
+    dd.process_batch(spark.createDataFrame(ep1, schema), 1)
+    return dd.assignments()
+
+
 def _planted_codec_video_rows():
     """Planted video corpus where each noisy twin ships in a DIFFERENT
     container/codec than its original: originals are rawv, twins rotate
@@ -3293,6 +3340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "video_dedup_planted": q_video_dedup_planted,
         "audio_dedup_planted": q_audio_dedup_planted,
+        "stream_video_dedup_planted": q_stream_video_dedup_planted,
+        "stream_audio_dedup_planted": q_stream_audio_dedup_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
         "codec_video_dedup_planted": q_codec_video_dedup_planted,
         "video_containment_planted": q_video_containment_planted,
@@ -3822,6 +3871,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "video_dedup_planted": _planted_truth_sql(_planted_video_rows()[1]),
         "audio_dedup_planted": _planted_truth_sql(_planted_audio_rows()[1]),
+        "stream_video_dedup_planted": _planted_truth_sql(
+            _planted_video_rows()[1]),
+        "stream_audio_dedup_planted": _planted_truth_sql(
+            _planted_audio_rows()[1]),
         "semantic_dedup_planted": _planted_truth_sql(_planted_semantic_rows()[1]),
         "codec_video_dedup_planted": _planted_truth_sql(
             _planted_codec_video_rows()[1]

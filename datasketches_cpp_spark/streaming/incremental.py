@@ -309,6 +309,13 @@ class IncrementalDeduper(_BucketedStateStore):
         emb_bits: int = 10,
         emb_seed: int = 9001,
         edge_policy: str | int = "any",
+        video_every_k: int = 4,
+        video_min_frames: int = 2,
+        audio_window: int = 1024,
+        audio_peaks: int = 3,
+        audio_fan_dt: int = 3,
+        audio_min_shared: int = 8,
+        audio_max_ids_per_landmark: int = 64,
     ):
         super().__init__(spark, state_dir, num_buckets)
         self.cfg = cfg or SigConfig()
@@ -356,6 +363,17 @@ class IncrementalDeduper(_BucketedStateStore):
         # fusion over the whole corpus. Exact-tier edges bypass fusion
         # (identity evidence, not lane similarity), as in the cascade.
         self.edge_policy = edge_policy
+        # streaming twins of dedup_videos / dedup_audio ("video"/"audio"
+        # in enable_lanes): rows carry container payloads in `bytes` with
+        # `fmt` naming the codec. The knobs shape the frame-key and
+        # landmark stores — same lifetime-constancy contract as cfg.
+        self.video_every_k = video_every_k
+        self.video_min_frames = video_min_frames
+        self.audio_window = audio_window
+        self.audio_peaks = audio_peaks
+        self.audio_fan_dt = audio_fan_dt
+        self.audio_min_shared = audio_min_shared
+        self.audio_max_ids_per_landmark = audio_max_ids_per_landmark
         self._assert_config({
             # format 2 = incremental cluster maintenance (clusters_by_id/
             # clusters_by_cluster stores instead of a per-epoch full
@@ -378,6 +396,9 @@ class IncrementalDeduper(_BucketedStateStore):
             "emb_bits": emb_bits,
             "emb_seed": emb_seed,
             "edge_policy": edge_policy,
+            "video": [video_every_k, video_min_frames],
+            "audio": [audio_window, audio_peaks, audio_fan_dt,
+                      audio_min_shared, audio_max_ids_per_landmark],
         })
 
     # -- lane helpers ----------------------------------------------------------
@@ -552,6 +573,10 @@ class IncrementalDeduper(_BucketedStateStore):
             lane_parts.append(("phash", self._phash_lane(batch_df, epoch_id)))
         if "dhash" in self.enable_lanes:
             lane_parts.append(("dhash", self._dhash_lane(batch_df, epoch_id)))
+        if "video" in self.enable_lanes:
+            lane_parts.append(("video", self._video_lane(batch_df, epoch_id)))
+        if "audio" in self.enable_lanes:
+            lane_parts.append(("audio", self._audio_lane(batch_df, epoch_id)))
         if "embedding" in self.enable_lanes:
             lane_parts.append(
                 ("embedding", self._embedding_lane(batch_df, epoch_id))
@@ -811,6 +836,101 @@ class IncrementalDeduper(_BucketedStateStore):
 
         return self._hashkey_lane(
             with_dhash(batch_df), "dhash", "dhash_keys", epoch_id
+        )
+
+    def _video_lane(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """Streaming video near-dup lane (batch twin:
+        videodedup.dedup_videos): sampled-frame pHashes flow through the
+        SHARED 64-bit hash-key store under pseudo-ids ``video#frame``,
+        then the epoch's frame edges aggregate to video pairs scored by
+        countDistinct matched frames of the lexicographically smaller
+        video — exactly videodedup.video_pairs' law. Per-epoch equality
+        with batch holds because EVERY frame pair of a video pair forms
+        in the later video's arrival epoch (all its frames are new
+        then), so the within-epoch count is the whole-corpus count."""
+        from ..operators.multimodal import sample_frames
+        from ..operators.videodedup import _SEP, with_frame_phash
+
+        frames = sample_frames(
+            batch_df.select(F.col("image_id").alias("video_id"),
+                            "bytes", "w", "h", "fmt"),
+            every_k=self.video_every_k,
+        )
+        ph = with_frame_phash(frames)
+        fid = F.concat_ws(_SEP, F.col("video_id"), F.col("frame_idx"))
+        frame_edges = self._hashkey_lane(
+            ph.select(fid.alias("image_id"), "phash"),
+            "phash", "video_frame_keys", epoch_id,
+        )
+        strip = lambda c: F.regexp_replace(c, r"#[0-9]+$", "")  # noqa: E731
+        fr = lambda c: F.substring_index(c, _SEP, -1).cast("int")  # noqa: E731
+        va, vb = strip(F.col("a")), strip(F.col("b"))
+        fa, fb = fr(F.col("a")), fr(F.col("b"))
+        return (
+            frame_edges.where(va != vb)
+            .select(
+                F.least(va, vb).alias("va"),
+                F.greatest(va, vb).alias("vb"),
+                F.when(va < vb, fa).otherwise(fb).alias("frame_small"),
+            )
+            .groupBy("va", "vb")
+            .agg(F.countDistinct("frame_small").alias("mf"))
+            .where(F.col("mf") >= self.video_min_frames)
+            .select(F.col("va").alias("a"), F.col("vb").alias("b"))
+        )
+
+    def _audio_lane(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """Streaming audio near-dup lane (batch twin:
+        audiodedup.dedup_audio): spectral-landmark fingerprints of the
+        new clips land in a persistent landmark-bucketed store; pairs =
+        store ⋈ broadcast(new landmarks), scored by distinct shared
+        landmarks ≥ min_shared. The batch hot-landmark cap applies at
+        the CURRENT corpus: a landmark whose total membership exceeds
+        ``audio_max_ids_per_landmark`` emits no new pairs from this
+        epoch on (pairs formed before it went hot survive — the
+        documented monotone-ingestion deviation from a one-shot batch
+        over the final corpus; identical below the cap)."""
+        from ..operators.audiodedup import audio_landmarks
+
+        lm = audio_landmarks(
+            batch_df, id_col="image_id", window=self.audio_window,
+            peaks_per_frame=self.audio_peaks, fan_dt=self.audio_fan_dt,
+        ).localCheckpoint(eager=True)  # store write + touched + probe
+        self._write_epoch_bucketed(
+            "audio_landmarks",
+            lm.select(F.col("image_id").alias("id"), "landmark"),
+            epoch_id, ["landmark"],
+        )
+        new_lm = lm.select(F.col("image_id").alias("new_id"), "landmark")
+        probe_buckets = self._touched_buckets(new_lm, "landmark")
+        all_lm = self._read_bucketed("audio_landmarks", probe_buckets)
+        if all_lm is None:  # every live slot empty (all sub-window clips)
+            return self._empty_edges()
+        # hot-landmark cap over the landmark's TOTAL membership so far
+        # (pruned read = exactly the probed landmarks); store side stays
+        # streamed, the batch-bounded new side broadcasts
+        hot = (
+            all_lm.groupBy("landmark")
+            .agg(F.count_distinct("id").alias("nids"))
+            .where(F.col("nids") > self.audio_max_ids_per_landmark)
+            .select("landmark")
+        )
+        matched = (
+            all_lm.join(F.broadcast(new_lm), "landmark")
+            .join(F.broadcast(hot), "landmark", "left_anti")
+            .where(F.col("id") != F.col("new_id"))
+            .select(
+                F.least("id", "new_id").alias("a"),
+                F.greatest("id", "new_id").alias("b"),
+                "landmark",
+            )
+            .dropDuplicates(["a", "b", "landmark"])  # new×new forms twice
+        )
+        return (
+            matched.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= self.audio_min_shared)
+            .select("a", "b")
         )
 
     def _hashkey_lane(self, src: DataFrame, hash_col: str, store: str,

@@ -537,6 +537,97 @@ def test_degenerate_first_epoch_yields_singletons(spark, tmp_path):
     assert dd.assignments().count() == 9
 
 
+def _rawv(seed: int, noise: bool, w: int = 16, h: int = 16,
+          frames: int = 8) -> bytes:
+    """Deterministic rawv clip; noise=True perturbs each frame ±2 around
+    the same blocky base so the frame pHashes stay within radius."""
+    import numpy as np
+
+    g = np.random.default_rng(seed)
+    gn = np.random.default_rng(seed + 10**6)
+    out = []
+    for _ in range(frames):
+        base = g.integers(0, 256, (h // 4, w // 4, 3), dtype=np.uint8)
+        f = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+        if noise:
+            f = np.clip(
+                f.astype(np.int16) + gn.integers(-2, 3, f.shape), 0, 255
+            ).astype(np.uint8)
+        out.append(f.tobytes())
+    return b"".join(out)
+
+
+def test_video_lane_matches_batch(spark, tmp_path):
+    """Streaming video lane == one-shot dedup_videos: every noisy twin
+    arrives an epoch AFTER its original, so clustering them requires the
+    persistent frame-key store; same knobs, same assignments checksum."""
+    from datasketches_cpp_spark.operators.videodedup import dedup_videos
+
+    rows = []
+    for i in range(12):
+        vid = f"v{i:03d}"
+        if i % 4 == 3:
+            rows.append((vid, _rawv(i - 1, True), 16, 16, "rawv"))
+        else:
+            rows.append((vid, _rawv(i, False), 16, 16, "rawv"))
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+    full = spark.createDataFrame(rows, schema)
+    batch = dedup_videos(full, id_col="image_id")
+    want = checksum(batch["assignments"], "id", "cluster_id")
+    assert batch["assignments"].where("id != cluster_id").count() == 3
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), enable_lanes=("video",),
+    )
+    ep0 = [r for r in rows if int(r[0][1:]) % 4 != 3]
+    ep1 = [r for r in rows if int(r[0][1:]) % 4 == 3]
+    dd.process_batch(spark.createDataFrame(ep0, schema), 0)
+    dd.process_batch(spark.createDataFrame(ep1, schema), 1)
+    assert checksum(dd.assignments(), "id", "cluster_id") == want
+
+
+def test_audio_lane_matches_batch(spark, tmp_path):
+    """Streaming audio lane == one-shot dedup_audio: the noisy twin and
+    an exact re-render arrive after their originals; the landmark store
+    carries the constellation across the epoch boundary."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.audiodedup import dedup_audio
+
+    def pcm(bins, noise_seed=None) -> bytes:
+        t = np.arange(8 * 1024)
+        x = sum(a * np.sin(2 * np.pi * b * t / 1024)
+                for b, a in zip(bins, (1.0, 0.8, 0.6)))
+        if noise_seed is not None:
+            x = x + np.random.default_rng(noise_seed).normal(0, 0.002, x.shape)
+        return (np.clip(x, -1, 1) * 20000).astype("<i2").tobytes()
+
+    rows = [
+        ("a1", pcm([50, 120, 300]), "pcm16"),
+        ("a2", pcm([50, 120, 300], noise_seed=5), "pcm16"),
+        ("b1", pcm([60, 130, 310]), "pcm16"),
+        ("b2", pcm([60, 130, 310]), "pcm16"),
+        ("c1", pcm([70, 140, 320]), "pcm16"),
+    ]
+    schema = "image_id string, bytes binary, fmt string"
+    full = spark.createDataFrame(rows, schema)
+    batch = dedup_audio(full, id_col="image_id")
+    want = checksum(batch["assignments"], "id", "cluster_id")
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), enable_lanes=("audio",),
+    )
+    first = {"a1", "b1", "c1"}
+    dd.process_batch(
+        spark.createDataFrame([r for r in rows if r[0] in first], schema), 0)
+    dd.process_batch(
+        spark.createDataFrame([r for r in rows if r[0] not in first], schema), 1)
+    got = dd.assignments()
+    assert checksum(got, "id", "cluster_id") == want
+    a = {r["id"]: r["cluster_id"] for r in got.collect()}
+    assert a["a2"] == "a1" and a["b2"] == "b1" and a["c1"] == "c1"
+
+
 def test_incremental_cc_adversarial_merge_cascades(spark, tmp_path):
     """Direct torture of the incremental cluster maintenance
     (_apply_edges): canon takeover by a later-arriving smaller id,
