@@ -1002,19 +1002,57 @@ class IncrementalDeduper(_BucketedStateStore):
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def assignments(self) -> DataFrame | None:
-        """Current full assignment table (id, cluster_id), resolved from
-        the incrementally maintained cluster store (latest asg_epoch per
-        id wins — an id's row is superseded when its cluster merged).
-        One max_by aggregation over the store (partial agg before the
+    def assignments(self, as_of_epoch: int | None = None) -> DataFrame | None:
+        """Full assignment table (id, cluster_id), resolved from the
+        incrementally maintained cluster store (latest asg_epoch per id
+        wins — an id's row is superseded when its cluster merged). One
+        max_by aggregation over the store (partial agg before the
         exchange — cheaper than a sort window) — an on-demand export,
         not a per-epoch cost; `compact_all`/`compact_clusters` keep the
-        underlying file and row counts bounded."""
+        underlying file and row counts bounded.
+
+        ``as_of_epoch`` time-travels: the table as it stood after that
+        epoch (the epoch-delta rows ARE the cluster-frontier history).
+        Valid back to the last `compact_clusters` call — resolved
+        compaction collapses history to the current state (the generic
+        `compact_all` fold preserves it)."""
         st = self._read_bucketed("clusters_by_id")
         if st is None:
             return None
+        if as_of_epoch is not None:
+            st = st.where(F.col("asg_epoch") <= as_of_epoch)
         return st.groupBy("id").agg(
             F.expr("max_by(cluster_id, asg_epoch)").alias("cluster_id")
+        )
+
+    def metrics(self) -> DataFrame | None:
+        """Per-epoch counter metrics as a DataFrame: one row per
+        committed epoch with rows / novel_rows / exact_collapsed /
+        fresh_ids / moved_members / cc_sec / wall_sec (absent counters
+        null). The DataFrame form of the epochs.json manifest — the
+        north rule's lineage + counters surface."""
+        p = self._p("epochs.json")
+        if not self._hfs.exists(p):
+            return None
+        done = json.loads(self._hfs.read_bytes(p).decode())["done"]
+        rows = [
+            {
+                "epoch": int(ep),
+                "rows": m.get("rows"),
+                "novel_rows": m.get("novel_rows"),
+                "exact_collapsed": m.get("exact_collapsed"),
+                "fresh_ids": m.get("fresh_ids"),
+                "moved_members": m.get("moved_members"),
+                "cc_sec": m.get("cc_sec"),
+                "wall_sec": m.get("wall_sec"),
+            }
+            for ep, m in sorted(done.items(), key=lambda kv: int(kv[0]))
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "epoch int, rows bigint, novel_rows bigint, exact_collapsed "
+            "bigint, fresh_ids bigint, moved_members bigint, cc_sec "
+            "double, wall_sec double",
         )
 
     def compact_clusters(self) -> int:

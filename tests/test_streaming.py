@@ -537,6 +537,35 @@ def test_degenerate_first_epoch_yields_singletons(spark, tmp_path):
     assert dd.assignments().count() == 9
 
 
+def test_assignments_time_travel_and_metrics(spark, corpus_pdf, tmp_path):
+    """assignments(as_of_epoch=k) reproduces the table exactly as it
+    stood after epoch k (the epoch deltas ARE the frontier history, and
+    the generic compact_all fold preserves them); metrics() surfaces the
+    per-epoch counters as a DataFrame."""
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), exact_on=("bytes", "caption"),
+    )
+    snaps = []
+    for epoch, sl in enumerate([slice(0, 60), slice(60, 120), slice(120, 200)]):
+        dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[sl]), epoch)
+        snaps.append(checksum(dd.assignments(), "id", "cluster_id"))
+    for k, want in enumerate(snaps):
+        assert checksum(dd.assignments(as_of_epoch=k), "id", "cluster_id") == want
+    dd.compact_all()  # generic fold preserves the history rows
+    for k, want in enumerate(snaps):
+        assert checksum(dd.assignments(as_of_epoch=k), "id", "cluster_id") == want
+    m = {r["epoch"]: r for r in dd.metrics().collect()}
+    assert sorted(m) == [0, 1, 2]
+    assert [m[k]["rows"] for k in (0, 1, 2)] == [60, 60, 80]
+    assert sum(r["fresh_ids"] for r in m.values()) == 200
+    assert all(r["cc_sec"] is not None and r["wall_sec"] is not None
+               for r in m.values())
+    # resolved compaction collapses history to the current state
+    dd.compact_clusters()
+    assert checksum(dd.assignments(), "id", "cluster_id") == snaps[-1]
+
+
 def _rawv(seed: int, noise: bool, w: int = 16, h: int = 16,
           frames: int = 8) -> bytes:
     """Deterministic rawv clip; noise=True perturbs each frame ±2 around
