@@ -3271,6 +3271,51 @@ def _planted_truth_sql(truth: dict) -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t(id, cluster_id)"
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/curation.split_by_
+    cluster): every 4th document gets an exact twin; exact-text clusters
+    are the split KEY, so a twin can never land in a different split
+    than its base. Returns per-split doc/cluster counts plus the global
+    count of straddled clusters (clusters spanning >1 split — 0 by
+    construction, and the oracle re-derives the same md5-band assignment
+    in SQL to prove it, not just assert it)."""
+    from datasketches_cpp_spark.operators.curation import split_by_cluster
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    allv = docs.unionAll(twins)
+    clusters = allv.groupBy("text").agg(F.min("doc_id").alias("cluster_id"))
+    asg = allv.join(clusters, "text").select("doc_id", "cluster_id")
+    sp = split_by_cluster(asg, seed="r4", id_col="doc_id")
+    straddled = (
+        sp.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.sum((F.col("ns") > 1).cast("long")).alias("straddled_clusters"))
+    )
+    per_split = sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    return per_split.crossJoin(straddled)
+
+
+def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (operators/curation.
+    shuffle_corpus): seeded md5 total order materialized as shuffle_pos
+    via range partitioning + the two-level prefix pattern (never a
+    single-partition global window). The oracle is the naive SQL twin —
+    row_number() over the same md5 order — so every position hash-checks
+    exactly."""
+    from datasketches_cpp_spark.operators.curation import shuffle_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_corpus(docs, "doc_id", seed="r4shuffle").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
@@ -3374,6 +3419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_by_kind": q_dedup_recall_by_kind,
         "watermarked_dedup_planted": q_watermarked_dedup_planted,
         "multilane_precision_planted": q_multilane_precision_planted,
+        "leakage_safe_split": q_leakage_safe_split,
+        "corpus_shuffle_order": q_corpus_shuffle_order,
     }
 
 
@@ -4008,6 +4055,53 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall_by_kind": _dedup_recall_oracle_sql(),
         "watermarked_dedup_planted": _planted_truth_sql(_planted_watermark_rows()[1]),
         "multilane_precision_planted": _planted_truth_sql(_planted_multilane_rows()[1]),
+        # split bands replicate curation.split_by_cluster exactly: sorted
+        # split names ['test','train','validation'], cumulative md5-hex
+        # thresholds int(0.05*16^8)=0ccccccc, int(0.95*16^8)=f3333333
+        "leakage_safe_split": """
+            WITH allv AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 4 = 0
+            ),
+            cl AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY text) AS cluster_id
+                FROM allv
+            ),
+            sp AS (
+                SELECT doc_id, cluster_id,
+                       CASE WHEN substr(md5('r4' || ':' ||
+                                 CAST(cluster_id AS VARCHAR)), 1, 8)
+                                 < '0ccccccc' THEN 'test'
+                            WHEN substr(md5('r4' || ':' ||
+                                 CAST(cluster_id AS VARCHAR)), 1, 8)
+                                 < 'f3333333' THEN 'train'
+                            ELSE 'validation' END AS split
+                FROM cl
+            ),
+            straddle AS (
+                SELECT CAST(COALESCE(
+                           SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS straddled_clusters
+                FROM (SELECT cluster_id, COUNT(DISTINCT split) AS ns
+                      FROM sp GROUP BY cluster_id)
+            )
+            SELECT sp.split, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT sp.cluster_id) AS n_clusters,
+                   straddle.straddled_clusters
+            FROM sp CROSS JOIN straddle
+            GROUP BY sp.split, straddle.straddled_clusters
+        """,
+        "corpus_shuffle_order": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY substr(md5('r4shuffle' || ':' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
+        """,
         "image_quality_planted": (
             "SELECT * FROM (VALUES "
             + ", ".join(

@@ -676,3 +676,127 @@ def gopher_quality_flags(
         & F.col("g_stopwords")
     )
     return df.withColumn("gopher_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits and deterministic corpus shuffling (round-4 session 8)
+# ---------------------------------------------------------------------------
+
+def _md5_unit_hash(*cols):
+    """First 8 hex digits of md5 over the ':'-joined columns — a uniform
+    draw from [0, 16^8) expressed as a STRING, so the identical draw is
+    re-derivable in any engine with md5() (the DuckDB oracle compares the
+    same lowercase hex lexically). Lexical order on fixed-width lowercase
+    hex == numeric order, so threshold tests and sorts need no parse."""
+    return F.substring(
+        F.md5(F.concat_ws(":", *[F.col(c) if isinstance(c, str) else c for c in cols])),
+        1, 8,
+    )
+
+
+def split_by_cluster(
+    assignments: DataFrame,
+    fractions: dict[str, float] | None = None,
+    seed: str = "split-v1",
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe train/validation/test split: the split KEY is the dedup
+    ``cluster_col``, not the document id, so every member of a near-dup
+    cluster lands in the SAME split — the standard guard against
+    train→eval contamination through near-duplicates (a val doc whose
+    near-twin sits in train leaks the answer; splitting by cluster makes
+    that impossible by construction).
+
+    ``fractions`` maps split name → fraction (must sum to ~1; default
+    90/5/5 train/validation/test). Assignment is a pure deterministic
+    projection: u = md5(seed:cluster) ∈ [0,1), split = the band u falls
+    in, with bands laid out in sorted-split-name order for determinism.
+
+    Scale shape: ZERO shuffles and zero Python — one codegen expression
+    over the assignments frame, composable with any upstream dedup lane
+    (exact tier, LSH lane, tiered cascade, streaming cluster store). The
+    same row always lands in the same split across runs, epochs, and
+    partition layouts; changing ``seed`` re-rolls the entire split.
+    """
+    fractions = fractions or {"train": 0.90, "validation": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = _md5_unit_hash(F.lit(seed), cluster_col)
+    expr, acc = None, 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        thresh = format(min(int(acc * 16**8), 16**8 - 1), "08x")
+        cond = h < F.lit(thresh)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return assignments.withColumn("split", expr)
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "shuffle-v1",
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: adds ``shuffle_pos``
+    (0-based position in a seeded pseudo-random total order of the whole
+    corpus). Equivalent semantics to ``ORDER BY md5(seed:id)`` +
+    ``row_number()-1`` — but computed scale-correctly: the order key is
+    uniform, so ``repartitionByRange`` on it yields balanced range
+    partitions; positions come from the engine's two-level prefix pattern
+    (partition-local row_number + driver prefix over ≤P per-partition
+    counts), never a single-partition global window.
+
+    Ties are impossible (the sort key includes ``id_col``), so the order —
+    and therefore ``shuffle_pos`` — is bit-stable across runs, partition
+    layouts, and cluster sizes; changing ``seed`` produces an independent
+    permutation. This is the "shuffle once, stream in order" step before
+    sequence packing: feed the output (sorted by shuffle_pos) to
+    pack_training_sequences for shuffled fixed-budget batches.
+    """
+    from pyspark.sql import Window
+
+    P = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    key = _md5_unit_hash(F.lit(seed), id_col)
+    ranged = (
+        df.withColumn("_skey", key)
+        .repartitionByRange(int(P), F.col("_skey"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = {
+            r["_pid"]: r["c"]
+            for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_expr = F.coalesce(
+            F.element_at(
+                F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+        win = Window.partitionBy("_pid").orderBy("_skey", id_col)
+        out = (
+            ranged.withColumn(
+                "shuffle_pos",
+                (off_expr + F.row_number().over(win) - 1).cast("long"),
+            )
+            .drop("_pid", "_skey")
+        )
+        if materialize:
+            out = out.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            ranged.unpersist()
+    return out
