@@ -3288,7 +3288,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     allv = docs.unionAll(twins)
     clusters = allv.groupBy("text").agg(F.min("doc_id").alias("cluster_id"))
     asg = allv.join(clusters, "text").select("doc_id", "cluster_id")
-    sp = split_by_cluster(asg, seed="r4", id_col="doc_id")
+    sp = split_by_cluster(asg, seed="r4")
     straddled = (
         sp.groupBy("cluster_id")
         .agg(F.countDistinct("split").alias("ns"))

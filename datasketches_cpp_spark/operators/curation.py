@@ -698,7 +698,6 @@ def split_by_cluster(
     assignments: DataFrame,
     fractions: dict[str, float] | None = None,
     seed: str = "split-v1",
-    id_col: str = "id",
     cluster_col: str = "cluster_id",
 ) -> DataFrame:
     """Leakage-safe train/validation/test split: the split KEY is the dedup
@@ -757,6 +756,14 @@ def shuffle_corpus(
     permutation. This is the "shuffle once, stream in order" step before
     sequence packing: feed the output (sorted by shuffle_pos) to
     pack_training_sequences for shuffled fixed-budget batches.
+
+    ``materialize=False`` exposes the live plan (tests assert its shape);
+    the caller then owns the pin-before-action discipline, INCLUDING the
+    persisted range-partitioned frame backing the returned plan — it
+    stays cached until the caller releases it (e.g.
+    ``out.sparkSession.catalog.clearCache()``); with the default
+    ``materialize=True`` it is released here (same contract as
+    pack_training_sequences).
     """
     from pyspark.sql import Window
 
@@ -779,7 +786,9 @@ def shuffle_corpus(
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
-        off_expr = F.coalesce(
+        # empty input: create_map() with no children types as
+        # map<string,string> and element_at(_pid:int) fails analysis
+        off_expr = F.lit(0) if not offsets else F.coalesce(
             F.element_at(
                 F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
                 F.col("_pid"),

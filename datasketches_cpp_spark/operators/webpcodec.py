@@ -229,6 +229,11 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Tree:
             s0 = br.read(8)
         else:
             s0 = br.read1()
+        # validate BEFORE indexing: an out-of-alphabet symbol in a
+        # malformed stream must surface as WebpError (the codec's named
+        # error contract), not a bare IndexError from lengths[s]
+        if s0 >= alphabet_size:
+            raise WebpError("simple code symbol out of alphabet")
         lengths = [0] * alphabet_size
         if num_symbols == 2:
             s1 = br.read(8)
@@ -237,8 +242,6 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Tree:
             lengths[s0] = lengths[s1] = 1
         else:
             lengths[s0] = 1
-        if s0 >= alphabet_size:
-            raise WebpError("simple code symbol out of alphabet")
         return _Tree(lengths)
     return _Tree(_read_code_lengths(br, alphabet_size))
 

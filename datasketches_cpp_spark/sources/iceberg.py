@@ -224,9 +224,15 @@ def expire_snapshots(root: str, keep_last: int = 1) -> list[int]:
     with open(tmp, "w") as f:
         json.dump({"snapshots": snaps}, f)
     os.replace(tmp, _log_path(root))  # commit point: log first, then GC
-    for sid in newly_expired:
-        if sid not in live_dirs:
-            shutil.rmtree(os.path.join(root, f"snap_{sid:012d}"), ignore_errors=True)
+    # GC sweeps EVERY expired snapshot, not just newly-expired ones: a
+    # directory kept alive earlier as a chain ancestor loses its last
+    # reference when a later overwrite cuts the chain — it must be
+    # collectible on the next expire call, or it leaks forever.
+    for s in snaps:
+        if s.get("expired") and s["id"] not in live_dirs:
+            shutil.rmtree(
+                os.path.join(root, f"snap_{s['id']:012d}"), ignore_errors=True
+            )
     return newly_expired
 
 

@@ -157,6 +157,30 @@ class _BucketedStateStore:
             on_disk = [d for d in on_disk if d not in superseded]
         return [HadoopFS.join(root, d) for d in on_disk]
 
+    def _committed_epoch_dirs(self, name: str) -> list[str]:
+        """Live epoch directories that are safe to COMPACT: compacted_*
+        outputs plus epoch_* slots whose epoch is marked done in
+        epochs.json. A crash between a store write and _mark_epoch leaves
+        an uncommitted epoch_* dir on disk; folding it into compacted_*
+        would launder that mid-flight data into PRIOR state (replays
+        exclude their own epoch by directory name — exclude_epoch — which
+        can no longer see it once folded), silently double-seeding the
+        stores. Uncommitted dirs stay live untouched: the replay
+        overwrites them in place."""
+        done: set[int] = set()
+        p = self._p("epochs.json")
+        if self._hfs.exists(p):
+            done = {
+                int(k)
+                for k in json.loads(self._hfs.read_bytes(p).decode())["done"]
+            }
+        out = []
+        for d in self._live_epoch_dirs(name):
+            base = d.rstrip("/").rsplit("/", 1)[-1]
+            if not base.startswith("epoch_") or int(base[len("epoch_"):]) in done:
+                out.append(d)
+        return out
+
     def _write_epoch_bucketed(self, name: str, df: DataFrame, epoch_id: int,
                               key_cols: list[str]) -> None:
         (df.withColumn("bucket", self._bucket_expr(*key_cols))
@@ -164,16 +188,20 @@ class _BucketedStateStore:
            .parquet(self._p(f"{name}/epoch_{epoch_id:012d}")))
 
     def _read_bucketed(self, name: str, buckets: list[int] | None = None,
-                       exclude_epoch: int | None = None) -> DataFrame | None:
+                       exclude_epoch: int | None = None,
+                       dirs: list[str] | None = None) -> DataFrame | None:
         """Union of the store's live epoch directories; with ``buckets``
         given, each read carries a partition filter — Spark prunes to the
         matching bucket=Y directories and never lists the rest.
         ``exclude_epoch`` drops that epoch's own slot from the read — for
         probes that must see only PRIOR state even on an at-least-once
         replay that already wrote this epoch's slot (safe because
-        compaction never folds a mid-flight epoch, per compact_store's
-        contract)."""
-        dirs = self._live_epoch_dirs(name)
+        compaction folds only COMMITTED epochs — _committed_epoch_dirs —
+        so a mid-flight slot is always still excludable by name).
+        ``dirs`` overrides the directory list (compaction passes the
+        committed subset)."""
+        if dirs is None:
+            dirs = self._live_epoch_dirs(name)
         if exclude_epoch is not None:
             tag = f"epoch_{exclude_epoch:012d}"
             dirs = [d for d in dirs if not d.rstrip("/").endswith(tag)]
@@ -195,19 +223,21 @@ class _BucketedStateStore:
         return sorted(int(r["bucket"]) for r in rows)
 
     def compact_store(self, name: str) -> int:
-        """Fold all live epoch directories of a bucketed store into one
-        compacted directory (file count back to O(num_buckets)). Only safe
-        for epochs already marked done — which is every directory on disk
-        except a mid-flight epoch's, and process_batch never interleaves
-        with maintenance by contract. Commit protocol: write the merged
-        directory, atomically swap the _LIVE manifest to point at it, then
-        delete the superseded directories (crash between the last two steps
-        leaves harmless orphans that the manifest already excludes).
-        Returns the number of directories folded."""
-        dirs = self._live_epoch_dirs(name)
+        """Fold the COMMITTED live epoch directories of a bucketed store
+        into one compacted directory (file count back to O(num_buckets)).
+        Only epochs marked done in epochs.json fold — an uncommitted
+        epoch_* slot left by a crash before _mark_epoch stays live
+        untouched, so the redelivered epoch's exclude_epoch probe can
+        still see past it (folding it would launder mid-flight data into
+        prior state). Commit protocol: write the merged directory,
+        atomically swap the _LIVE manifest to point at it, then delete the
+        superseded directories (crash between the last two steps leaves
+        harmless orphans that the manifest already excludes). Returns the
+        number of directories folded."""
+        dirs = self._committed_epoch_dirs(name)
         if len(dirs) <= 1:
             return 0
-        df = self._read_bucketed(name)
+        df = self._read_bucketed(name, dirs=dirs)
         if df is None:
             return 0  # every live slot is empty — nothing to fold
         tag = f"compacted_{int(time.time() * 1000):013d}"
@@ -424,6 +454,10 @@ class IncrementalDeduper(_BucketedStateStore):
                 "id", F.posexplode("bands").alias("band_idx", "band_hash")
             )
 
+        # four consumers (two store writes, touched-bucket collect,
+        # broadcast probe join) — without the checkpoint the upstream
+        # minhash/shingle mapInPandas kernel would run once per consumer
+        sig_new = sig_new.localCheckpoint(eager=True)
         self._write_epoch_bucketed(store_name, sig_new, epoch_id, ["id"])
         self._write_epoch_bucketed(
             store_name + "_bands", bands_of(sig_new), epoch_id,
@@ -1064,8 +1098,12 @@ class IncrementalDeduper(_BucketedStateStore):
         (write resolved dir, swap _LIVE, delete superseded); resolution
         is idempotent, so a crash between the two stores' swaps leaves
         both readable and a re-run converges. Call between micro-batches
-        only (compact_store's contract). Returns directories folded."""
-        st = self._read_bucketed("clusters_by_id")
+        only (compact_store's contract). Like compact_store, only
+        COMMITTED epoch slots fold — an uncommitted slot from a crashed
+        epoch stays live for its replay's exclude_epoch probe. Returns
+        directories folded."""
+        by_id_dirs = self._committed_epoch_dirs("clusters_by_id")
+        st = self._read_bucketed("clusters_by_id", dirs=by_id_dirs)
         if st is None:
             return 0
         resolved = st.groupBy("id").agg(
@@ -1075,7 +1113,7 @@ class IncrementalDeduper(_BucketedStateStore):
         folded = 0
         for name, key in (("clusters_by_id", ["id"]),
                           ("clusters_by_cluster", ["cluster_id"])):
-            dirs = self._live_epoch_dirs(name)
+            dirs = self._committed_epoch_dirs(name)
             tag = f"compacted_{int(time.time() * 1000):013d}"
             target = self._p(f"{name}/{tag}")
             (resolved.withColumn("bucket", self._bucket_expr(*key))

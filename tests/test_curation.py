@@ -545,3 +545,12 @@ def test_shuffle_corpus_no_global_window(spark):
     # SinglePartition feeding the Window
     assert "SinglePartition" not in plan
     out.sparkSession.catalog.clearCache()
+
+
+def test_shuffle_corpus_empty_input(spark):
+    from datasketches_cpp_spark.operators.curation import shuffle_corpus
+
+    df = spark.createDataFrame([], "id long")
+    out = shuffle_corpus(df, "id", seed="e")
+    assert out.count() == 0
+    assert "shuffle_pos" in out.columns

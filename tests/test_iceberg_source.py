@@ -145,3 +145,22 @@ def test_expire_snapshots_gc_unreferenced_dirs(spark, tmp_path):
     # 1 and 2 unreferenced -> deleted; 3 is snapshot 4's parent -> kept
     assert dirs == ["snap_000000000003", "snap_000000000004"]
     assert sorted(r["id"] for r in read_table(spark, root).collect()) == [9, 10, 11]
+
+
+def test_expire_snapshots_collects_stale_ancestors(spark, tmp_path):
+    """GC regression: a directory kept alive as a chain ancestor must be
+    collectible on a LATER expire call once an overwrite cuts the chain —
+    the sweep covers every expired snapshot, not just newly-expired."""
+    root = str(tmp_path / "tbl")
+    _commit(spark, root, [1])
+    _commit(spark, root, [2])
+    # snap_1 expires but survives as snapshot 2's chain ancestor
+    assert expire_snapshots(root, keep_last=1) == [1]
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("snap_"))
+    assert dirs == ["snap_000000000001", "snap_000000000002"]
+    # an overwrite cuts the chain: nothing references snap_1 or snap_2 now
+    _commit(spark, root, [9], mode="overwrite")
+    assert expire_snapshots(root, keep_last=1) == [2]
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("snap_"))
+    assert dirs == ["snap_000000000003"]
+    assert sorted(r["id"] for r in read_table(spark, root).collect()) == [9]

@@ -692,6 +692,9 @@ def test_incremental_cc_adversarial_merge_cascades(spark, tmp_path):
         ids_df = spark.createDataFrame([(i,) for i in ids], "id string")
         e_df = spark.createDataFrame(edges or [], "a string, b string")
         dd._apply_edges(ids_df, e_df, ep)
+        # commit the epoch as process_batch would — compaction (below)
+        # folds only committed slots
+        dd._mark_epoch(ep, {"rows": len(ids)})
         want = checksum(
             assign_clusters(
                 spark.createDataFrame([(i,) for i in seen_ids], "id string"),
@@ -747,3 +750,51 @@ def test_fusion_k_above_lane_count_matches_batch(spark, corpus_pdf, tmp_path):
     got = dd.assignments()
     assert got.count() == 60
     assert got.where("id != cluster_id").count() == 0
+
+
+def test_compact_skips_uncommitted_epoch(spark, corpus_pdf, tmp_path):
+    """Replay-safety regression: a crash between a store write and
+    _mark_epoch leaves an uncommitted epoch dir; compaction must NOT fold
+    it (folding would launder mid-flight data into prior state, past the
+    replay's exclude_epoch probe). The uncommitted dir stays live and the
+    replayed epoch converges to the clean-run assignments."""
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), num_buckets=8,
+    )
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[0:60]), 0)
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[60:130]), 1)
+    store = "sig_caption_bands"
+    committed = checksum(
+        dd._read_bucketed(store, dirs=dd._committed_epoch_dirs(store)),
+        "id", "band_idx", "band_hash", "bucket",
+    )
+    # simulate the crash: epoch 2's store write lands (a synthetic slot —
+    # content is irrelevant, only its uncommitted status matters), but
+    # _mark_epoch never runs
+    uncommitted = spark.createDataFrame(
+        [("ghost", 0, 12345)], "id string, band_idx int, band_hash long"
+    )
+    dd._write_epoch_bucketed(store, uncommitted, 2, ["band_idx", "band_hash"])
+    assert not dd._epoch_done(2)
+    # compaction folds ONLY the two committed epochs
+    assert dd.compact_store(store) == 2
+    live = dd._live_epoch_dirs(store)
+    assert any(d.rstrip("/").endswith("epoch_000000000002") for d in live)
+    # the compacted output equals the committed state exactly — no ghost
+    compacted_dirs = [d for d in live if "compacted_" in d]
+    assert len(compacted_dirs) == 1
+    assert checksum(
+        dd._read_bucketed(store, dirs=compacted_dirs),
+        "id", "band_idx", "band_hash", "bucket",
+    ) == committed
+    # the replay overwrites the uncommitted slot and converges
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[130:200]), 2)
+    got = checksum(dd.assignments(), "id", "cluster_id")
+    clean = IncrementalDeduper(
+        spark, str(tmp_path / "clean"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), num_buckets=8,
+    )
+    for epoch, sl in enumerate([slice(0, 60), slice(60, 130), slice(130, 200)]):
+        clean.process_batch(spark.createDataFrame(corpus_pdf.iloc[sl]), epoch)
+    assert got == checksum(clean.assignments(), "id", "cluster_id")

@@ -464,3 +464,23 @@ def test_imagecodec_dispatch():
     assert sniff_format(buf) == "webp"
     assert sniff_dims(buf, "webp") == (16, 16)
     assert np.array_equal(decode(buf, 16, 16, "webp"), px)
+
+
+def test_simple_prefix_code_symbol_out_of_alphabet_raises_webperror():
+    """Malformed-stream hardening: an 8-bit simple-code symbol beyond the
+    alphabet must raise the codec's named error (crawl ingest filters by
+    it), never a bare IndexError."""
+    from datasketches_cpp_spark.operators.webpcodec import (
+        WebpError,
+        _BitReader,
+        _read_prefix_code,
+    )
+
+    # bits (LSB-first per byte): 1=simple code, 0=one symbol,
+    # 1=8-bit symbol, then symbol 200 — out of a 40-symbol alphabet
+    bits = [1, 0, 1] + [(200 >> i) & 1 for i in range(8)]
+    byts = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        byts[i // 8] |= b << (i % 8)
+    with pytest.raises(WebpError):
+        _read_prefix_code(_BitReader(bytes(byts)), 40)
