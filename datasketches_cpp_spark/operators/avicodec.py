@@ -57,8 +57,10 @@ def decode_avi(buf: bytes) -> tuple[bytes, int, int, int]:
         raise AviError("not a RIFF/AVI stream")
     w = h = None
     codec = None  # 'dib' | 'mjpg'
-    frames: list[bytes] = []
+    frames: list[tuple[int, bytes]] = []  # (stream ordinal, body)
     cur_stream = [b""]  # fccType of the most recent strh
+    stream_idx = [-1]  # strh ordinal — data chunks carry it as 'NN'
+    vid_idx = [None]  # ordinal of the FIRST vids stream
     topdown = [False]
 
     _MJPG = (b"MJPG", b"mjpg", b"dmb1")
@@ -68,10 +70,14 @@ def decode_avi(buf: bytes) -> tuple[bytes, int, int, int]:
         for cc, body, size in _walk_chunks(buf, pos, end):
             if cc == b"LIST":
                 kind = buf[body : body + 4]
-                if kind in (b"hdrl", b"strl", b"movi"):
+                # 'rec ' groups interleaved frames inside movi
+                if kind in (b"hdrl", b"strl", b"movi", b"rec "):
                     walk_list(body + 4, body + size)
             elif cc == b"strh":
+                stream_idx[0] += 1
                 cur_stream[0] = buf[body : body + 4]
+                if cur_stream[0] == b"vids" and vid_idx[0] is None:
+                    vid_idx[0] = stream_idx[0]
             elif cc == b"strf" and cur_stream[0] == b"vids" and w is None:
                 if size < 40:
                     raise AviError("strf BITMAPINFOHEADER too short")
@@ -96,12 +102,22 @@ def decode_avi(buf: bytes) -> tuple[bytes, int, int, int]:
                 w, h = int(biw), int(abs(bih))
                 # negative biHeight means top-down; remember the sign
                 topdown[0] = bih < 0
-            elif cc in (b"00db", b"00dc"):
-                frames.append(buf[body : body + size])
+            elif cc[2:4] in (b"db", b"dc") and cc[:2].isdigit():
+                # 'db'/'dc' suffixes are video-typed by definition; the
+                # 2-digit prefix is the stream ordinal (01db/01dc when
+                # the audio strl is declared first). Keep the ordinal so
+                # the right stream is selected below.
+                frames.append((int(cc[:2]), buf[body : body + size]))
 
     walk_list(12, len(buf))
     if w is None:
         raise AviError("AVI has no supported video stream header")
+    # prefer chunks whose ordinal matches the vids strl; tolerate legacy
+    # writers that label the only video stream's chunks 00db regardless
+    # of strl order (db/dc chunks are video-typed either way)
+    want = vid_idx[0] if vid_idx[0] is not None else 0
+    matched = [b for idx, b in frames if idx == want]
+    frames = matched if matched else [b for _, b in frames]
     if not frames:
         raise AviError("AVI has no frame data in movi")
 

@@ -34,8 +34,13 @@ from pyspark.sql import functions as F
 
 
 def _c2(col):
-    """C(n, 2) as a long expression."""
-    return (F.col(col) * (F.col(col) - F.lit(1)) / F.lit(2)).cast("long")
+    """C(n, 2) as a long expression — INTEGER arithmetic throughout
+    (n*(n-1) is even, so `div 2` is exact): `/` would route through a
+    double and lose exactness past 2^53 pairs, breaking the module's
+    exact-counting claim for giant clusters."""
+    return F.expr(
+        f"CAST({col} AS BIGINT) * (CAST({col} AS BIGINT) - 1) div 2"
+    )
 
 
 def pair_confusion(
@@ -68,6 +73,15 @@ def pair_confusion(
         F.sum(_c2("n")).alias("tp_pairs")
     )
     out = tru.crossJoin(pred).crossJoin(tp)  # three 1-row frames
+    # an empty id intersection sums to NULL — report 0 pairs (and the
+    # vacuous precision/recall of 1.0), never NULL counts that would
+    # read as a perfect score on a broken join
+    out = out.select(
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("truth_pairs", "predicted_pairs", "tp_pairs")
+        ]
+    )
     return out.select(
         "truth_pairs",
         "predicted_pairs",

@@ -310,7 +310,10 @@ def decode_flac(buf: bytes) -> tuple[np.ndarray, int]:
         raise FlacError("FLAC stream has no STREAMINFO")
     rate, channels, bps, total = info
 
-    chans: list[np.ndarray] = [np.empty(0, np.int64) for _ in range(channels)]
+    # per-frame chunks collected in lists, ONE concatenate at the end —
+    # per-frame np.concatenate re-copies the whole history every frame
+    # (O(frames^2) on long clips)
+    chans_parts: list[list[np.ndarray]] = [[] for _ in range(channels)]
     got = 0
     while pos < len(buf) and (total == 0 or got < total):
         frame_start = pos
@@ -376,9 +379,13 @@ def decode_flac(buf: bytes) -> tuple[np.ndarray, int]:
             raise FlacError("frame footer CRC-16 mismatch")
         pos = br.pos >> 3
         for c in range(channels):
-            chans[c] = np.concatenate([chans[c], subs[c]])
+            chans_parts[c].append(subs[c])
         got += blocksize
 
+    chans = [
+        np.concatenate(p) if p else np.empty(0, np.int64)
+        for p in chans_parts
+    ]
     if total and got < total:
         raise FlacError(f"stream ends early: {got}/{total} samples")
     if total:
@@ -503,9 +510,21 @@ def encode_flac(
         bw.write(0, 1)
         if frame_no < 0x80:
             bw.write(frame_no, 8)
-        else:  # 2-byte UTF-8
-            bw.write(0xC0 | (frame_no >> 6), 8)
-            bw.write(0x80 | (frame_no & 0x3F), 8)
+        else:
+            # general UTF-8-style multi-byte number (the decoder's
+            # _read_utf8_number reads any width): a 2-byte-only encode
+            # overflows its lead byte at frame 2048 into an invalid
+            # 3-byte prefix the decoder rightly rejects
+            # an n-byte form carries (7-n) lead + 6(n-1) continuation
+            # bits = 5n+1 payload bits
+            nbytes = 2
+            while frame_no >= (1 << (5 * nbytes + 1)):
+                nbytes += 1
+            lead_bits = 7 - nbytes
+            prefix = (0xFF << (lead_bits + 1)) & 0xFF
+            bw.write(prefix | (frame_no >> (6 * (nbytes - 1))), 8)
+            for k in range(nbytes - 2, -1, -1):
+                bw.write(0x80 | ((frame_no >> (6 * k)) & 0x3F), 8)
         bw.write(bs - 1, 16)
         hdr = bw.out[:]
         assert bw.nbits == 0

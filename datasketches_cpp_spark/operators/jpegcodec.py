@@ -5,7 +5,7 @@ no image libraries, and baseline sequential JPEG needs none.
 Decoder scope:
   * SOF0/SOF1 baseline sequential, 8-bit, 1 component (grayscale) or 3
     components (JFIF YCbCr), sampling factors 1-2 in each axis (4:4:4,
-    4:2:2, 4:2:0, 4:1:1 ...);
+    4:2:2, 4:2:0; 4:1:1 needs factor 4 and is out of scope);
   * SOF2 progressive: multi-scan spectral selection + successive
     approximation per T.81 G.2 — interleaved/single-component DC first
     and refinement scans, single-component AC band scans with EOB runs
@@ -333,6 +333,16 @@ def _decode_scan(buf, start, sof, scan, qts, dc_tabs, ac_tabs, restart_interval)
     width, height, comps = sof
     if len(scan) != len(comps):
         raise ImageCodecError("JPEG: non-interleaved multi-scan not supported")
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — data
+        # units cover the component's own ceil(w/8) x ceil(h/8) grid in
+        # raster order, and the declared sampling factors do not shape
+        # the MCU (a grayscale frame keeping 2x2 luma factors must not
+        # decode as 2x2-block MCUs). Normalizing the factors to 1x1
+        # makes the interleaved loop below BE that raster order, with
+        # restarts counting data units as required.
+        comps = [dict(comps[0], h=1, v=1)]
+        sof = (width, height, comps)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
@@ -669,6 +679,11 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # truncate the accumulator to the pending bits: an unbounded
+        # Python bigint grows by every bit ever written and turns each
+        # shift O(total output) — quadratic encode (same mask discipline
+        # as the flac/tiff/gif bit writers)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:

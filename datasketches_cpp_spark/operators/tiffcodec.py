@@ -90,6 +90,10 @@ def _lzw_decode(data: bytes, n_expected: int) -> bytes:
         if not table:
             raise TiffError("LZW strip does not start with CLEAR")
         if prev is None:
+            if code >= len(table):
+                # first code after CLEAR must be a literal — typed error,
+                # not a bare IndexError (the fail-fast seam contract)
+                raise TiffError("corrupt LZW strip (code beyond table)")
             entry = table[code]
         else:
             if code < len(table):

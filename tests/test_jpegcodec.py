@@ -224,3 +224,38 @@ def test_jpeg_flows_through_image_lanes(spark):
     assert got["j1"]["n_pixels"] == got["r1"]["n_pixels"] == 24 * 24 * 3
     # lossy but gate-held: mean within a quantization step of the raw twin
     assert abs(got["j1"]["px_mean"] - got["r1"]["px_mean"]) < 2.0
+
+
+def test_grayscale_scan_with_sampling_factors_is_noninterleaved():
+    """T.81 A.2.2 regression: a single-component scan is NON-interleaved
+    raster order even when the frame declares 2x2 sampling factors (some
+    encoders keep luma factors when stripping chroma). A 32x16 grayscale
+    stream of eight flat DC-only blocks (d=1..8, each '010'+'1' then EOB
+    -> one 0x5A byte per block) must decode with blocks laid out in
+    raster order — the interleaved-MCU reading would swap the top-right
+    and bottom-left block pairs."""
+    qt = _QT_LUMA[_ZIGZAG].astype(np.uint8).tobytes()
+    dht_dc = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
+    entropy = bytes([0b01011010] * 8)
+    buf = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + qt
+        + b"\xff\xc0" + struct.pack(">HBHHB", 2 + 6 + 3, 8, 16, 32, 1)
+        + bytes([1, 0x22, 0])  # 2x2 factors on the only component
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc)) + dht_dc
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac)) + dht_ac
+        + b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1) + bytes([1, 0x00])
+        + bytes([0, 63, 0])
+        + entropy
+        + b"\xff\xd9"
+    )
+    px, w, h = decode_jpeg(buf)
+    assert (w, h) == (32, 16)
+    img = np.asarray(px, np.uint8).reshape(16, 32, 3)
+    # DC d at raster block k: pixel value 128 + 2*(k+1)
+    for by in range(2):
+        for bx in range(4):
+            k = by * 4 + bx
+            blk = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            assert set(blk.reshape(-1).tolist()) == {128 + 2 * (k + 1)}, (by, bx)

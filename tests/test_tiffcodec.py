@@ -318,3 +318,21 @@ def test_registry_roundtrip_and_rotation():
     # metadata mismatch fail-fast (shared decode() contract)
     with pytest.raises(imagecodec.ImageCodecError):
         imagecodec.decode(imagecodec.encode(px, 32, 16, "tiff"), 16, 32, "tiff")
+
+
+def test_lzw_first_code_after_clear_beyond_table_is_typed_error():
+    """Corrupt-strip hardening: the first code after CLEAR must be a
+    literal; a table-range code there raises TiffError (the typed
+    fail-fast contract), never a bare IndexError."""
+    from datasketches_cpp_spark.operators.tiffcodec import (
+        TiffError,
+        _lzw_decode,
+    )
+
+    # 9-bit codes, MSB-first: CLEAR (256) then 300 (beyond the reset table)
+    bits = "100000000" + format(300, "09b")
+    data = int(bits + "0" * (8 - len(bits) % 8), 2).to_bytes(
+        (len(bits) + 7) // 8, "big"
+    )
+    with pytest.raises(TiffError):
+        _lzw_decode(data, 8)

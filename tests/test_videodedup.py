@@ -215,3 +215,44 @@ def test_mjpeg_avi_container(spark):
     struct.pack_into("<i", bad, strf + 8 + 4, w + 8)  # biWidth lies
     with pytest.raises(AviError, match="stream header"):
         decode_avi(bytes(bad))
+
+
+def test_avi_audio_stream_first_and_rec_list():
+    """AVI stream-ordinal regression: when an audio strl is declared
+    before the video strl, video data chunks are '01db' (not '00db') and
+    interleaved files group them under 'rec ' LISTs — both must decode,
+    with pixels identical to the plain single-stream layout."""
+    import struct
+
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.avicodec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(21)
+    frame = rng.integers(0, 256, (2, 8, 3), np.uint8)  # h=2, w=8
+    rawv = frame.tobytes()
+    ref, w, h, n = decode_avi(encode_avi(rawv, 8, 2, 1))
+    assert (w, h, n) == (8, 2, 1)
+
+    def chunk(cc, body):
+        return cc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    # 24-bit DIB: bottom-up rows, BGR, stride 8*3=24 (already word-aligned)
+    dib = frame[::-1, :, ::-1].tobytes()
+    strh_auds = chunk(b"strh", b"auds" + b"\x00" * 52)
+    strh_vids = chunk(b"strh", b"vids" + b"\x00" * 52)
+    bih = struct.pack("<IiiHHI", 40, 8, 2, 1, 24, 0) + b"\x00" * 20
+    strf_vids = chunk(b"strf", bih)
+    hdrl = lst(b"hdrl", lst(b"strl", strh_auds) + lst(b"strl", strh_vids + strf_vids))
+    movi = lst(b"movi", lst(b"rec ", chunk(b"01db", dib)))
+    body = b"AVI " + hdrl + movi
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, w2, h2, n2 = decode_avi(buf)
+    assert (w2, h2, n2) == (8, 2, 1)
+    assert got == ref
