@@ -39,6 +39,21 @@ from pyspark.sql import DataFrame
 from .cc import assign_clusters
 
 
+def _check_landmark_params(window: int, fan_dt: int) -> None:
+    """Packed-landmark layout guard: (f1 << 24) | (f2 << 8) | dt gives the
+    second bin 16 bits and the frame gap 8 bits. Out-of-range values
+    would not error — they would silently overflow into neighboring
+    fields, making DISTINCT landmarks collide and unrelated clips merge.
+    rFFT bins run 0..window//2, so window caps at 2^17 - 2."""
+    if not 2 <= window <= (1 << 17) - 2:
+        raise ValueError(
+            f"window must be in [2, {(1 << 17) - 2}] "
+            f"(f2 field is 16 bits), got {window}"
+        )
+    if not 1 <= fan_dt <= 255:
+        raise ValueError(f"fan_dt must be in [1, 255] (8-bit field), got {fan_dt}")
+
+
 def audio_landmarks(
     audio: DataFrame,
     id_col: str = "audio_id",
@@ -52,6 +67,7 @@ def audio_landmarks(
     contributes its ``peaks_per_frame`` strongest rFFT bins (DC excluded),
     and every peak is paired with every peak of the next ``fan_dt`` frames
     to form (f1, f2, dt) landmarks. Sub-window clips yield no rows."""
+    _check_landmark_params(window, fan_dt)
     schema = f"{id_col} string, landmark long"
     cols = [id_col, "bytes", "fmt"]
     k = peaks_per_frame
@@ -166,7 +182,9 @@ def dedup_audio(
         window=window,
         peaks_per_frame=peaks_per_frame,
         fan_dt=fan_dt,
-    )
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint: the rFFT landmark kernel feeds the pair lane AND
+    # is returned for checkpointing — the audio_containment idiom
     pairs = audio_pairs(
         lm,
         id_col=id_col,
@@ -201,6 +219,7 @@ def audio_landmarks_timed(
     schema = f"{id_col} string, landmark long, t int"
     cols = [id_col, "bytes", "fmt"]
     k = peaks_per_frame
+    _check_landmark_params(window, fan_dt)
     hop = window if hop is None else hop
     if not (1 <= hop <= window):
         raise ValueError(f"hop must be in [1, window], got {hop}")

@@ -367,9 +367,16 @@ def line_dedup_stats(
     otherwise all collide: '}', '---', ...), matching the published
     recipes.
     """
+    import re as _re
+
+    # F.split takes a REGEX but sep is documented (and rejoined by
+    # array_join) as a literal separator — escape it, or sep='|' would
+    # split every character
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("_pos", "_line"),
     ).withColumn("_key", F.trim(F.col("_line")))
     eligible = F.length(F.col("_key")) >= min_line_chars
     hot = (

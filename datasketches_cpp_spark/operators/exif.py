@@ -203,16 +203,22 @@ def parse_exif(buf: bytes) -> dict | None:
 
 
 def strip_metadata_jpeg(buf: bytes) -> bytes:
-    """Remove APP1..APP15 and COM segments; every other byte — including
-    the entropy-coded scan data — passes through untouched, so the
-    decoded pixels are bit-identical and no generation loss occurs.
-    APP0/JFIF stays (it carries density, not PII). Non-JPEG input is
-    returned unchanged."""
+    """Remove PII-carrying APPn and COM segments; every other byte —
+    including the entropy-coded scan data — passes through untouched, so
+    the decoded pixels are bit-identical and no generation loss occurs.
+    Segments that shape pixel INTERPRETATION are kept, or stripping
+    would change rendered colors, violating the pixels-unchanged
+    contract: APP0/JFIF (density), APP2 (ICC color profile) and APP14
+    (Adobe color-transform flag — YCCK/CMYK JPEGs decode inverted
+    without it). Neither carries PII. Non-JPEG input is returned
+    unchanged."""
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != _SOI:
         return buf
+    keep = {_APP0, _APP0 + 2, _APP0 + 14}  # JFIF, ICC, Adobe
     drop: list[tuple[int, int]] = []
     for marker, s, e in _walk_segments(buf):
-        if (_APP0 + 1) <= marker <= _APP15 or marker == _COM:
+        if ((_APP0 + 1) <= marker <= _APP15 and marker not in keep) \
+                or marker == _COM:
             drop.append((s, e))
     if not drop:
         return buf

@@ -77,9 +77,17 @@ def image_quality_stats(
                 px = _decode_block(pdf["bytes"].iloc[idx].tolist(), w, h, fmt)
                 m = px.shape[0]
                 g = _gray(px, h, w)
-                lap = _laplacian(g)
-                lap_var = lap.var(axis=(1, 2))
-                edge_density = (np.abs(lap) > 16.0).mean(axis=(1, 2))
+                if h < 3 or w < 3:
+                    # no Laplacian interior: a 1x1/2x2 placeholder has no
+                    # measurable structure — report zero variance and
+                    # edge density (maximally blurry/featureless), never
+                    # NaN from empty-axis reductions
+                    lap_var = np.zeros(m, np.float64)
+                    edge_density = np.zeros(m, np.float64)
+                else:
+                    lap = _laplacian(g)
+                    lap_var = lap.var(axis=(1, 2))
+                    edge_density = (np.abs(lap) > 16.0).mean(axis=(1, 2))
                 # batched 256-bin histogram: bincount over (row_index*256
                 # + gray_level) — one pass, no per-image Python
                 gi = np.clip(g.reshape(m, -1).round(), 0, 255).astype(np.int64)

@@ -601,6 +601,7 @@ def pq_topk(
     )
     pids = probe_pdf[id_col].to_numpy()
     id_type = dict(corpus_codes.dtypes)["id"]
+    shortlist_k = k if rerank_with is None else max(k, rerank_shortlist)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -613,11 +614,23 @@ def pq_topk(
             for j in range(m):
                 scores += luts[:, j, :][:, codes[:, j]]
             ids = pdf["id"].to_numpy()
+            # per-batch top-k pre-reduction: only rows that can still
+            # reach the global top-k leave the task — emitting the full
+            # P x n cross product would put P x N rows through the
+            # window shuffle (and multi-GB frames through Arrow) at the
+            # billion-code scale this path exists for. kb = k+1 absorbs
+            # one self-match; ties AT the kb-th score are all kept, so
+            # the global (score desc, neighbor_id asc) order stays
+            # deterministic and exact.
+            kb = min(n, shortlist_k + 1)
+            kth = np.partition(scores, n - kb, axis=1)[:, n - kb]
+            keep = scores >= kth[:, None]
+            cnt = keep.sum(axis=1)
             yield pd.DataFrame(
                 {
-                    "probe_id": np.repeat(pids, n),
-                    "neighbor_id": np.tile(ids, len(pids)),
-                    "adc_cosine": scores.ravel().astype(np.float64),
+                    "probe_id": np.repeat(pids, cnt),
+                    "neighbor_id": ids[np.nonzero(keep)[1]],
+                    "adc_cosine": scores[keep].astype(np.float64),
                 }
             )
 
@@ -627,7 +640,6 @@ def pq_topk(
     wnd = Window.partitionBy("probe_id").orderBy(
         F.desc("adc_cosine"), F.asc("neighbor_id")
     )
-    shortlist_k = k if rerank_with is None else max(k, rerank_shortlist)
     shortlist = (
         scored.withColumn("rank", F.row_number().over(wnd))
         .where(F.col("rank") <= shortlist_k)

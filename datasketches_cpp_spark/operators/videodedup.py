@@ -131,7 +131,11 @@ def dedup_videos(
     partition-layout-invariant like the image flagship)."""
     cfg = cfg or SigConfig()
     frames = sample_frames(videos, every_k=every_k, id_col=id_col)
-    ph = with_frame_phash(frames, id_col=id_col)
+    # lazy checkpoint: the decode+pHash kernel feeds the pair lane AND is
+    # returned for checkpointing/inspection — without it, materializing
+    # each output re-runs frame sampling and hashing (same idiom as
+    # video_containment / imagededup)
+    ph = with_frame_phash(frames, id_col=id_col).localCheckpoint(eager=False)
     pairs = video_pairs(
         ph,
         cfg,

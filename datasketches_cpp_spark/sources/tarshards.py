@@ -46,6 +46,7 @@ import tarfile
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _IMAGE_EXTS = {
     "png": "png", "ppm": "ppm", "bmp": "bmp", "gif": "gif",
@@ -72,8 +73,11 @@ def _rows_from_shard(name: str, data: bytes) -> pd.DataFrame:
         for m in tf:
             if not m.isfile():
                 continue
-            base = os.path.basename(m.name)
-            key, dot, ext = base.rpartition(".")
+            # WebDataset keys are PATH-qualified (dir/0001.jpg pairs with
+            # dir/0001.txt, never dir2/0001.txt) — basename keying would
+            # mispair nested-directory shards
+            norm = m.name.lstrip("./")
+            key, dot, ext = norm.rpartition(".")
             if not dot:
                 continue  # extension-less member: not ours, skip structurally
             ext = ext.lower()
@@ -141,16 +145,28 @@ def read_tar_shards(
         reader.load(path) if isinstance(path, str) else reader.load(list(path))
     ).select("path", "length", "content")
 
+    # fail fast from the LISTING (path+length only — column pruning never
+    # touches content), before any shard body is materialized in a task;
+    # binaryFile itself caps content at Int.MaxValue, so oversize shards
+    # must be rejected here to surface as TarShardError, not an opaque
+    # reader error after a multi-GB load
+    over = (
+        shards.select("path", "length")
+        .where(F.col("length") > max_shard_bytes)
+        .limit(1)
+        .collect()
+    )
+    if over:
+        raise TarShardError(
+            f"{over[0]['path']}: shard is {over[0]['length']} bytes "
+            f"(> max_shard_bytes={max_shard_bytes}); re-shard the corpus "
+            "— shards are the unit of parallelism"
+        )
+
     def run(batches):
         for pdf in batches:
             for i in range(len(pdf)):
                 spath = pdf["path"].iloc[i]
-                if pdf["length"].iloc[i] > max_shard_bytes:
-                    raise TarShardError(
-                        f"{spath}: shard is {pdf['length'].iloc[i]} bytes "
-                        f"(> max_shard_bytes={max_shard_bytes}); re-shard "
-                        "the corpus — shards are the unit of parallelism"
-                    )
                 out = _rows_from_shard(spath, bytes(pdf["content"].iloc[i]))
                 if len(out) == 0:
                     continue

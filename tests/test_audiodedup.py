@@ -97,3 +97,21 @@ def test_subwindow_clip_yields_no_rows(spark):
     assert [(r["id"], r["cluster_id"]) for r in res["assignments"].collect()] == [
         ("tiny", "tiny")
     ]
+
+
+def test_landmark_params_validated(spark):
+    """fan_dt/window outside the packed bit layout must raise, not
+    silently overflow neighboring hash fields."""
+    from datasketches_cpp_spark.operators.audiodedup import (
+        audio_landmarks,
+        audio_landmarks_timed,
+    )
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"\x00" * 4096), "pcm16")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    with pytest.raises(ValueError, match="fan_dt"):
+        audio_landmarks(df, fan_dt=300)
+    with pytest.raises(ValueError, match="window"):
+        audio_landmarks_timed(df, window=(1 << 17))

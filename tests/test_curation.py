@@ -554,3 +554,22 @@ def test_shuffle_corpus_empty_input(spark):
     out = shuffle_corpus(df, "id", seed="e")
     assert out.count() == 0
     assert "shuffle_pos" in out.columns
+
+
+def test_line_dedup_sep_is_literal(spark):
+    """sep is a literal separator, not a regex: '|' must split on pipes
+    only (a regex alternation would split every character)."""
+    from datasketches_cpp_spark.operators.curation import line_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma|delta epsilon zeta"),
+         (2, "alpha beta gamma|other line here"),
+         (3, "alpha beta gamma|third body text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup_stats(
+        df, "doc_id", "text", sep="|", min_line_chars=8, max_doc_freq=2
+    ).collect()}
+    assert all(r["n_lines"] == 2 for r in out.values())
+    # 'alpha beta gamma' appears in 3 docs > max_doc_freq -> dup line
+    assert all(r["n_dup_lines"] == 1 for r in out.values())

@@ -175,3 +175,22 @@ def test_scrub_metadata_spark(spark):
     # scrubbed corpus re-parses clean through the Spark extractor too
     post = with_exif(scrubbed).collect()
     assert all(not r["has_gps"] and r["exif_make"] is None for r in post)
+
+
+def test_scrub_keeps_color_interpretation_segments():
+    """APP2 (ICC profile) and APP14 (Adobe transform) shape decoded
+    COLORS — scrubbing must keep them (they carry no PII) or the
+    pixels-unchanged contract breaks for Adobe/ICC JPEGs."""
+    import struct as _struct
+
+    from datasketches_cpp_spark.operators.exif import strip_metadata_jpeg
+
+    app2 = b"\xff\xe2" + _struct.pack(">H", 2 + 12) + b"ICC_PROFILE\x00"
+    app14 = b"\xff\xee" + _struct.pack(">H", 2 + 12) + b"Adobe\x00" + b"\x00" * 6
+    app1 = b"\xff\xe1" + _struct.pack(">H", 2 + 6) + b"Exif\x00\x00"
+    com = b"\xff\xfe" + _struct.pack(">H", 2 + 4) + b"gps!"
+    body = b"\xff\xdb" + _struct.pack(">H", 4) + b"\x00\x00"
+    buf = b"\xff\xd8" + app1 + app2 + app14 + com + body + b"\xff\xd9"
+    out = strip_metadata_jpeg(buf)
+    assert b"ICC_PROFILE" in out and b"Adobe" in out
+    assert b"Exif" not in out and b"gps!" not in out

@@ -249,3 +249,29 @@ def test_ssim_gate_separates_phash_identical_impostors(spark):
         ).collect()
     }
     assert gated == truth
+
+
+def test_tiny_images_get_zero_stats_not_nan(spark):
+    """1x1/2x2 placeholders have no Laplacian interior: stats must be 0
+    (maximally featureless), never NaN/NULL from empty reductions."""
+    import math
+
+    from datasketches_cpp_spark.operators.imagequality import (
+        image_quality_stats,
+    )
+
+    rows = [
+        ("t1", bytearray(b"\x10\x20\x30"), 1, 1, "raw"),
+        ("t2", bytearray(bytes(range(12))), 2, 2, "raw"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = {r["id"]: r for r in image_quality_stats(df).collect()}
+    for r in out.values():
+        assert r["laplacian_var"] == 0.0 and not math.isnan(r["laplacian_var"])
+        assert r["edge_density"] == 0.0
+    # the 1x1 is a single solid color -> entropy 0 -> low information
+    # (the 2x2 of four distinct colors has 2 bits of entropy: kept)
+    assert out["t1"]["is_low_information"]
+    assert not out["t2"]["is_low_information"]

@@ -289,3 +289,33 @@ def test_ingest_feeds_incremental_deduper(spark, tmp_path):
             "id", "cluster_id",
         )
     assert got == want
+
+
+def test_nested_directory_members_are_path_keyed():
+    """WebDataset keys are path-qualified: dir1/0001.jpg pairs with
+    dir1/0001.txt and never with dir2/0001.txt; two same-basename images
+    in different directories are distinct rows, not an error."""
+    import io
+    import tarfile
+
+    from datasketches_cpp_spark.operators.imagecodec import encode_image
+    from datasketches_cpp_spark.sources.tarshards import _rows_from_shard
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    img = encode_image(px.reshape(-1), 8, 8, "png")
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w") as tf:
+        for name, payload in [
+            ("dir1/0001.png", img),
+            ("dir1/0001.txt", b"caption one"),
+            ("dir2/0001.png", img),
+            ("dir2/0001.txt", b"caption two"),
+        ]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+    rows = _rows_from_shard("t.tar", bio.getvalue())
+    assert sorted(rows["image_id"]) == ["dir1/0001", "dir2/0001"]
+    got = dict(zip(rows["image_id"], rows["caption"]))
+    assert got == {"dir1/0001": "caption one", "dir2/0001": "caption two"}
