@@ -390,6 +390,11 @@ class HllState:
     __slots__ = ("lg_k", "regs", "kxq0", "kxq1", "hip", "ooo")
 
     def __init__(self, lg_k: int = 12):
+        if not 4 <= lg_k <= 21:
+            # same range the serde enforces; without it, the relErr
+            # tables would WRAP (lg_k=3 -> row -1 == the lg_k=12 row),
+            # a silent ~20x-too-tight bound
+            raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
         self.lg_k = lg_k
         self.regs = np.zeros(1 << lg_k, np.uint8)
         self.kxq0 = float(1 << lg_k)
@@ -621,8 +626,15 @@ def finalize_hll_sketches(
         lg_k_merged = int(k).bit_length() - 1
         row = {c: [pdf[c].iloc[0]] for c in group_cols}
         row["estimate"] = [est]
+        # numNonZeros floor (reference HllArray getLowerBound): at least
+        # as many distincts as provably-occupied registers — the relErr
+        # quotient alone dips below that for tiny groups
+        nnz = float(np.count_nonzero(regs))
         row["lower_bound"] = [
-            est / (1.0 + get_rel_err(False, True, lg_k_merged, num_std_devs))
+            max(
+                est / (1.0 + get_rel_err(False, True, lg_k_merged, num_std_devs)),
+                nnz,
+            )
         ]
         row["upper_bound"] = [
             est / (1.0 + get_rel_err(True, True, lg_k_merged, num_std_devs))

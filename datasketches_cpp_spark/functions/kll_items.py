@@ -34,7 +34,7 @@ DEFAULT_K = 200
 class KllItemSketch:
     """KLL over arbitrary totally-ordered Python items (object ndarray)."""
 
-    __slots__ = ("k", "seed", "levels", "n", "min_item", "max_item")
+    __slots__ = ("k", "seed", "levels", "n", "min_item", "max_item", "ncomp")
 
     def __init__(self, k: int = DEFAULT_K, seed: int = 9001):
         self.k = k
@@ -43,6 +43,8 @@ class KllItemSketch:
         self.n = 0
         self.min_item = None
         self.max_item = None
+        # per-compaction coin evolution — see quantiles.KllSketch.__init__
+        self.ncomp = 0
 
     # -- update ---------------------------------------------------------------
     def update_batch(self, items) -> None:
@@ -71,7 +73,10 @@ class KllItemSketch:
             if lvl is None:
                 break
             buf = np.sort(self.levels[lvl], kind="stable")
-            rng = np.random.default_rng((self.seed * 1_000_003 + lvl) ^ len(buf))
+            rng = np.random.default_rng(
+                (self.seed, lvl, len(buf), self.ncomp)
+            )
+            self.ncomp += 1
             start = int(rng.integers(0, 2))
             promoted = buf[start::2]
             self.levels[lvl] = np.empty(0, object)

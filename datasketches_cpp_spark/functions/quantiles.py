@@ -19,9 +19,10 @@ MIN_WIDE = 8). Normalized rank error uses the published KLL constants
 2.446/k^0.9 PMF).
 
 The random halving bit is drawn from an rng seeded by (seed, level,
-len(buffer)) — deterministic for a fixed partitioning (re-runs reproduce),
-while keeping the halving unbiased across levels/compactions, which is what
-the error analysis needs. Exactness below capacity mirrors the reference's
+len(buffer), compaction_counter) — deterministic for a fixed partitioning
+(re-runs reproduce), while the counter keeps repeated compactions at the
+same (level, fill) independent, which is what the unbiasedness argument
+in the error analysis needs (the reference draws a fresh bit each time). Exactness below capacity mirrors the reference's
 exact mode: until the first compaction the sketch IS the data.
 
 Spark mapping: partial sketches per input partition via ``mapInPandas``
@@ -59,7 +60,7 @@ def _level_cap(k: int, depth_from_top: int) -> int:
 class KllSketch:
     """Mutable KLL state over float64 items (pure numpy, no Spark)."""
 
-    __slots__ = ("k", "seed", "levels", "n", "min_item", "max_item", "min_k")
+    __slots__ = ("k", "seed", "levels", "n", "min_item", "max_item", "min_k", "ncomp")
 
     def __init__(self, k: int = DEFAULT_K, seed: int = 9001):
         self.k = k
@@ -71,6 +72,13 @@ class KllSketch:
         # smallest k that ever contributed while in estimation mode — the
         # honest error parameter after mixed-k merges (kll_sketch.hpp min_k_)
         self.min_k = k
+        # compaction counter: evolves the halving coin so repeated
+        # compactions of the same level at the same fill keep DIFFERENT
+        # parities (the reference draws a fresh bit per compaction;
+        # a (seed, level, len)-only coin is correlated and biases ranks
+        # directionally in steady state). Not wire state — resets on
+        # deserialize, like the reference's RNG.
+        self.ncomp = 0
 
     # -- update ---------------------------------------------------------------
     def update_batch(self, items: np.ndarray) -> None:
@@ -109,8 +117,13 @@ class KllSketch:
             if lvl is None:
                 break
             buf = np.sort(self.levels[lvl])
-            # deterministic-for-fixed-input unbiased halving
-            rng = np.random.default_rng((self.seed * 1_000_003 + lvl) ^ len(buf))
+            # deterministic-for-fixed-input unbiased halving; the ncomp
+            # term decorrelates repeated compactions at the same
+            # (level, fill) — see __init__
+            rng = np.random.default_rng(
+                (self.seed, lvl, len(buf), self.ncomp)
+            )
+            self.ncomp += 1
             start = int(rng.integers(0, 2))
             promoted = buf[start::2]
             self.levels[lvl] = np.empty(0, np.float64)
@@ -253,6 +266,11 @@ def ks_threshold(a, b, p_value: float) -> float:
     ``ks_epsilon()``, so any two of KLL / classic / REQ / t-digest can be
     tested against each other."""
     ra, rb = a.num_retained(), b.num_retained()
+    if ra == 0 or rb == 0:
+        # an empty sketch carries no distributional evidence: the
+        # threshold is +inf so ks_test never rejects (ks_delta's empty
+        # guard returns 0.0) — instead of ZeroDivisionError on ra*rb
+        return math.inf
     stat = math.sqrt(-0.5 * math.log(p_value / 2.0)) * math.sqrt((ra + rb) / (ra * rb))
     return stat + a.ks_epsilon() + b.ks_epsilon()
 

@@ -317,6 +317,16 @@ def plan_tiers(
     sk = with_bounds(theta_sketch_agg(keyed, [], "tkey", lg_k=lg_k),
                      num_std_devs)
     total = images.count()
+    if total == 0:
+        # the sketch agg emits ZERO rows over an empty corpus (no
+        # partials -> no group) — the promised one-row plan must still
+        # come back, or auto_plan crashes on .collect()[0]
+        return images.sparkSession.createDataFrame(
+            [(0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, False)],
+            "total_rows long, distinct_est double, distinct_lb double, "
+            "distinct_ub double, dup_ratio_est double, dup_ratio_lb "
+            "double, dup_ratio_ub double, exact_tier boolean",
+        )
     t = F.lit(float(total))
 
     def ratio(col):

@@ -36,10 +36,21 @@ from ..operators.verify import verify_pairs
 from .checkpoint import StageCheckpointer
 
 
-def run_fingerprint(cfg: SigConfig, bytes_cfg: SigConfig, byte_stride: int) -> str:
-    """One fingerprint for the whole run config — both lane configs plus the
-    stride knob. Any change ⇒ different fingerprint ⇒ resume refuses."""
-    return f"{cfg.fingerprint()}-{bytes_cfg.fingerprint()}-s{byte_stride}"
+def run_fingerprint(
+    cfg: SigConfig,
+    bytes_cfg: SigConfig,
+    byte_stride: int,
+    max_pairs_group: int = 256,
+) -> str:
+    """One fingerprint for the whole run config — both lane configs plus
+    every knob that shapes stage OUTPUTS (stride, hot-band cap). Any
+    change ⇒ different fingerprint ⇒ resume refuses; resuming committed
+    signatures under a different pair-stage cap would silently produce a
+    mixed-config result equal to neither clean run."""
+    return (
+        f"{cfg.fingerprint()}-{bytes_cfg.fingerprint()}"
+        f"-s{byte_stride}-g{max_pairs_group}"
+    )
 
 
 def dedup_images_resumable(
@@ -67,7 +78,8 @@ def dedup_images_resumable(
         jaccard_threshold=0.9,
     )
     ck = StageCheckpointer(
-        spark, ckpt_root, run_fingerprint(cfg, bytes_cfg, byte_stride)
+        spark, ckpt_root,
+        run_fingerprint(cfg, bytes_cfg, byte_stride, max_pairs_group),
     )
 
     # in-query counters (Observation) ride each stage's write job — no

@@ -250,6 +250,10 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
                 continue
             d = deserialize_cpc(bytes(b))
             c, lg, kappa = int(d["num_coupons"]), int(d["lg_k"]), int(s)
+            if not 1 <= kappa <= 3:
+                # the ICON branch validates inside icon_bounds; the HIP
+                # side tables would raise a raw IndexError instead
+                raise ValueError(f"kappa must be between 1 and 3, got {kappa}")
             if c == 0:
                 out.append(0.0)
             elif d["has_hip"]:
@@ -286,7 +290,25 @@ def register_sketch_sql(spark, prefix: str = "ds_") -> list[str]:
             return np.empty(0, np.uint64)
         if pd.api.types.is_integer_dtype(vals):
             return hash63_int64(vals.to_numpy(np.int64))
-        return hash63_str_many(vals.astype(str).tolist())
+        if pd.api.types.is_float_dtype(vals):
+            # A nullable BIGINT group reaches pandas as float64 (Arrow
+            # null widening) — it must hash exactly like the int64
+            # groups of the same column, or a later union double-counts.
+            # The reference's update(double) does the same canonical-
+            # ization (theta_update_sketch_base.hpp canonical_double):
+            # integral doubles hash as the equal int64, non-integral
+            # doubles hash their 8-byte pattern.
+            v = vals.to_numpy(np.float64)
+            integral = (v == np.floor(v)) & (np.abs(v) < 2**63)
+            out = np.empty(len(v), np.uint64)
+            if integral.any():
+                out[integral] = hash63_int64(v[integral].astype(np.int64))
+            if (~integral).any():
+                out[~integral] = hash63_int64(v[~integral].view(np.int64))
+            return out
+        # strings: empty strings are no-ops, same as theta._hash_series
+        strs = [s for s in vals.astype(str).tolist() if s != ""]
+        return hash63_str_many(strs)
 
     @pandas_udf("binary")
     def theta_data2sketch(vals: pd.Series) -> bytes:

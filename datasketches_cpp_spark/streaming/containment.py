@@ -235,5 +235,7 @@ class IncrementalContainmentProbe(_BucketedStateStore):
         return writer.start()
 
     def hits(self) -> DataFrame | None:
-        """Union of every committed epoch's containment hits."""
-        return self._read("hits")
+        """Union of every COMMITTED epoch's containment hits — an
+        uncommitted slot left by a crash before the epoch marker is
+        excluded (its replay will rewrite it)."""
+        return self._read_committed("hits")

@@ -133,6 +133,36 @@ class _BucketedStateStore:
             .parquet(self._p(name))
         )
 
+    def _read_committed(self, name: str) -> DataFrame | None:
+        """Plain epoch-store read restricted to COMMITTED epochs — the
+        public-surface variant of _read. A crash between a store write
+        and _mark_epoch leaves an uncommitted (possibly partial) slot
+        that the replay will rewrite; external readers must not observe
+        it. Internal probes keep using _read/_read_bucketed, where the
+        current epoch's own slot is part of the store∪new contract."""
+        if not self._exists(name):
+            return None
+        done: set[int] = set()
+        p = self._p("epochs.json")
+        if self._hfs.exists(p):
+            done = {
+                int(k)
+                for k in json.loads(self._hfs.read_bytes(p).decode())["done"]
+            }
+        root = self._p(name)
+        out = None
+        for d in self._hfs.list_dirs(root):
+            if d.startswith("epoch_") and int(d[len("epoch_"):]) not in done:
+                continue
+            full = HadoopFS.join(root, d)
+            if not self._hfs.has_file_with_suffix(full, ".parquet"):
+                continue
+            df = self.spark.read.option(
+                "recursiveFileLookup", "true"
+            ).parquet(full)
+            out = df if out is None else out.unionByName(df)
+        return out
+
     # -- bucketed stores ------------------------------------------------------
     # Layout: <store>/epoch_XXXX/bucket=Y/*.parquet plus an optional
     # <store>/_LIVE.json manifest written by compact_store. Each epoch dir is
@@ -1049,8 +1079,15 @@ class IncrementalDeduper(_BucketedStateStore):
         epoch (the epoch-delta rows ARE the cluster-frontier history).
         Valid back to the last `compact_clusters` call — resolved
         compaction collapses history to the current state (the generic
-        `compact_all` fold preserves it)."""
-        st = self._read_bucketed("clusters_by_id")
+        `compact_all` fold preserves it).
+
+        Only COMMITTED epoch slots are read: a crash between the store
+        write and the epoch marker leaves a partial slot the replay will
+        rewrite — external readers must not see it."""
+        st = self._read_bucketed(
+            "clusters_by_id",
+            dirs=self._committed_epoch_dirs("clusters_by_id"),
+        )
         if st is None:
             return None
         if as_of_epoch is not None:

@@ -248,3 +248,16 @@ def test_scheme_qualified_root_full_cycle(spark, tmp_path):
         f.truncate(8)
     with pytest.raises(CheckpointCorrupt):
         ck2.run_stage("s1", make)
+
+
+def test_run_fingerprint_covers_pair_stage_cap():
+    """max_pairs_group shapes the edges stage: resuming committed
+    signatures under a different cap must be refused via the
+    fingerprint, not silently blended."""
+    from datasketches_cpp_spark.operators.sigkernel import SigConfig
+    from datasketches_cpp_spark.plans.pipeline import run_fingerprint
+
+    cfg = SigConfig()
+    a = run_fingerprint(cfg, cfg, 4, max_pairs_group=256)
+    b = run_fingerprint(cfg, cfg, 4, max_pairs_group=64)
+    assert a != b

@@ -1030,3 +1030,37 @@ def test_tuple_jaccard_matches_theta_jaccard(spark, sf_dir):
     # |A∩B| = 1000, |A∪B| = 2000 → J = 0.5, exact mode collapses the CI
     assert est == pytest.approx(0.5, abs=1e-12)
     assert lb == est == ub
+
+
+def test_ks_test_empty_sketch_never_rejects():
+    from datasketches_cpp_spark.functions.quantiles import (
+        KllSketch,
+        ks_test,
+        ks_threshold,
+    )
+
+    a, b = KllSketch(), KllSketch()
+    a.update_batch(np.arange(1000.0))
+    assert ks_threshold(a, b, 0.05) == math.inf
+    assert ks_test(a, b, 0.05) is False  # no evidence, no rejection
+
+
+def test_hll_state_lg_k_validated():
+    from datasketches_cpp_spark.functions.hll import HllState
+
+    with pytest.raises(ValueError, match="lg_k"):
+        HllState(lg_k=3)
+    with pytest.raises(ValueError, match="lg_k"):
+        HllState(lg_k=22)
+
+
+def test_hll_agg_lower_bound_floored_at_nonzero_registers(spark):
+    """3 distinct items: the relErr quotient alone would report a lower
+    bound below 3, but 3 registers are provably occupied (reference
+    HllArray getLowerBound numNonZeros floor)."""
+    from datasketches_cpp_spark.functions.hll import hll_sketch_agg
+
+    df = spark.createDataFrame([(i,) for i in range(3)], "v long")
+    row = hll_sketch_agg(df, [], "v", lg_k=12).collect()[0]
+    assert row["estimate"] >= 3.0
+    assert row["lower_bound"] >= 3.0

@@ -297,3 +297,35 @@ def test_kll_classic_pmf_cdf_sql(sql_spark):
         assert len(pmf) == len(splits) + 1 and len(cdf) == len(splits) + 1
         assert abs(sum(pmf) - 1.0) < 1e-12
         assert cdf[-1] == 1.0
+
+
+def test_theta_data2sketch_nullable_bigint_groups_union_exactly(sql_spark):
+    """A BIGINT group containing a NULL reaches pandas as float64 (Arrow
+    null widening) — its values must hash exactly like the all-int
+    groups of the same column, or a union double-counts. 40 users split
+    across two groups (one with NULLs), 20 shared: exact-mode union must
+    report exactly 40."""
+    rows = [(1, int(v)) for v in range(40)]
+    rows += [(2, int(v)) for v in range(20, 60)]
+    rows += [(2, None), (2, None)]
+    from datasketches_cpp_spark import kmv
+    from datasketches_cpp_spark.functions import thetaserde
+
+    df = sql_spark.createDataFrame(rows, "g int, user_id long")
+    df.createOrReplaceTempView("t_nullable_ints")
+    blobs = {
+        r["g"]: bytes(r["sk"])
+        for r in sql_spark.sql(
+            "SELECT g, ds_theta_data2sketch(user_id) AS sk "
+            "FROM t_nullable_ints GROUP BY g"
+        ).collect()
+    }
+
+    def sk(b):
+        theta, hashes = thetaserde.deserialize_compact(b)
+        return kmv.ThetaSketch(
+            1 << 16, kmv.MAX_THETA if theta < 0 else theta, hashes
+        )
+
+    u = kmv.union([sk(blobs[1]), sk(blobs[2])])
+    assert u.get_estimate() == 60.0

@@ -729,6 +729,7 @@ def test_incremental_cc_adversarial_merge_cascades(spark, tmp_path):
         spark.createDataFrame([("q",)], "id string"),
         spark.createDataFrame([("q", "x")], "a string, b string"), 5,
     )
+    dd._mark_epoch(5, {"rows": 1})  # assignments() reads committed slots
     final2 = {r["id"]: r["cluster_id"] for r in dd.assignments().collect()}
     assert final2["q"] == "a" and len(final2) == 9
 

@@ -298,12 +298,12 @@ def test_nested_directory_members_are_path_keyed():
     import io
     import tarfile
 
-    from datasketches_cpp_spark.operators.imagecodec import encode_image
+    from datasketches_cpp_spark.operators.imagecodec import encode_png
     from datasketches_cpp_spark.sources.tarshards import _rows_from_shard
 
     rng = np.random.default_rng(5)
     px = rng.integers(0, 256, (8, 8, 3), np.uint8)
-    img = encode_image(px.reshape(-1), 8, 8, "png")
+    img = encode_png(px.reshape(-1), 8, 8)
     bio = io.BytesIO()
     with tarfile.open(fileobj=bio, mode="w") as tf:
         for name, payload in [

@@ -295,3 +295,14 @@ def test_exact_key_null_handling(spark):
     assert keys["n0"] == keys["n2"]   # NULL == NULL per part
     assert keys["n0"] != keys["n3"]   # NULL bytes != empty bytes
     assert keys["n4"] != keys["n5"]   # NULL caption != empty caption
+
+
+def test_plan_tiers_empty_corpus_one_row(spark):
+    from datasketches_cpp_spark.operators.tiered import plan_tiers
+
+    empty = spark.createDataFrame(
+        [], "image_id string, bytes binary, caption string"
+    )
+    rows = plan_tiers(empty).collect()
+    assert len(rows) == 1
+    assert rows[0]["total_rows"] == 0 and rows[0]["exact_tier"] is False
