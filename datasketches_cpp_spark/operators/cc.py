@@ -70,15 +70,15 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _canonical(rewired.union(self_edges))
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    # decimal(38) accumulator: ANSI-safe (no long overflow) and commutative
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
-        ).alias("cs"),
-    ).collect()[0]
-    return int(row["n"]), int(row["cs"])
+def _checksum(edges: DataFrame) -> tuple[int, str]:
+    """(edge count, commutative content checksum) of the edge set — the
+    checksum is the shared plans.checkpoint.checksum (count + decimal
+    xxhash64 sum), so the convergence test and the resume-identity
+    assertions use ONE definition."""
+    from ..plans.checkpoint import checksum
+
+    sig = checksum(edges, "a", "b")
+    return int(sig.split(":", 1)[0]), sig
 
 
 def _driver_min_label(pdf) -> "DataFrame":

@@ -42,7 +42,6 @@ def suffix_array(tokens: list[str]) -> np.ndarray:
     _, rank = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
     rank = rank.astype(np.int64)
     k = 1
-    idx = np.arange(n)
     while True:
         key2 = np.full(n, -1, dtype=np.int64)
         key2[: n - k] = rank[k:]
@@ -62,9 +61,7 @@ def suffix_array(tokens: list[str]) -> np.ndarray:
         if k >= n:
             # all ranks distinct not reached only for identical suffixes —
             # impossible with distinct positions; guard anyway
-            order = np.argsort(rank, kind="stable")
             break
-    _ = idx
     return np.argsort(rank, kind="stable")
 
 
@@ -95,10 +92,17 @@ def substring_pairs(
 ) -> DataFrame:
     """→ (a, b) pairs where one caption is an exact token-level substring of
     the other (a < b by id). Equal captions are excluded here (the MinHash
-    lane owns exact equality at J=1)."""
+    lane owns exact equality at J=1).
+
+    ``min_tokens`` is clamped to ``cfg.shingle_w``: a needle shorter than
+    the shingle window gets only a zero-padded shingle no host contains,
+    so its pairs would silently never surface — below-window needles are
+    excluded symmetrically instead (the MinHash lane still covers
+    them)."""
     cfg = cfg or SigConfig()
     seed = cfg.seed
     w = cfg.shingle_w
+    min_tokens = max(min_tokens, w)
     id_type = dict(df.dtypes)[id_col]
 
     shingle_schema = f"id {id_type}, shingle long, is_min boolean, n_tokens int"

@@ -194,6 +194,13 @@ class StageCheckpointer:
         actions, recorded under manifest['observed'] and in the lineage log."""
         t0 = time.time()
         data_dir = self._data_dir(stage)
+        # retire any committed manifest BEFORE touching the data dir: a
+        # crash mid-rewrite must look like "never committed" (recompute),
+        # never like a valid manifest over missing/partial data
+        # (CheckpointCorrupt hard-fail on the next load)
+        mpath = self._manifest_path(stage)
+        if self._fs.exists(mpath):
+            self._fs.delete(mpath, recursive=False)
         if self._fs.exists(data_dir):
             self._fs.delete(data_dir, recursive=True)  # partial previous attempt
         obs = None
@@ -241,8 +248,12 @@ class StageCheckpointer:
         """Idempotent stage entry: committed → read the snapshot (fn NOT
         invoked); else compute, commit, return. This is what makes the whole
         pipeline resumable from any stage boundary."""
-        if self.is_complete(stage):
-            return self.read(stage)
+        # ONE manifest load + listing on the resume path (is_complete +
+        # read would each do their own — 2N remote round trips per resume)
+        m = self.load_manifest(stage)
+        if m is not None:
+            self._log(stage, "resume", m)
+            return self.spark.read.parquet(self._data_dir(stage))
         return self.write(stage, fn(), observe=observe)
 
     # -- metrics ------------------------------------------------------------

@@ -236,7 +236,18 @@ class HadoopFS:
                     out.close()
                 return
             except Exception:
-                payload = self.read_bytes(path) + payload
+                # the failed native append may have PARTIALLY landed
+                # (write ok, close threw): re-read and repair before the
+                # rewrite — drop a torn trailing fragment (bytes after
+                # the last newline) and skip the concat entirely if the
+                # line already fully landed, so the log never carries a
+                # duplicate or an invalid JSONL record
+                existing = self.read_bytes(path)
+                if existing.endswith(payload):
+                    payload = existing
+                else:
+                    cut = existing.rfind(b"\n") + 1
+                    payload = existing[:cut] + payload
         self.write_bytes_atomic(path, payload)
 
     # -- parquet footers -------------------------------------------------------

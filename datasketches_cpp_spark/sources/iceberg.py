@@ -165,11 +165,16 @@ def read_changes(
         raise ValueError(f"unknown snapshot id {lo}; have {sorted(snaps)}")
     picked = [s for i, s in sorted(snaps.items()) if lo < i <= hi]
     gone = [s["id"] for s in picked if s.get("expired")]
-    if gone or (lo and snaps[lo].get("expired")):
+    if gone:
         raise ValueError(
             f"incremental read range ({lo}, {hi}] touches expired "
-            f"snapshot(s) {gone or [lo]}"
+            f"snapshot(s) {gone}"
         )
+    # lo itself MAY be expired: the delta (lo, hi] never reads lo's data
+    # — a consumer whose last_seen fell behind a retention pass must
+    # still resume (the docstring's prescribed crawl feed), exactly like
+    # Iceberg, whose incremental scan only requires the range's own
+    # snapshots to be readable.
     bad = [s["id"] for s in picked if s["mode"] != "append"]
     if bad:
         raise ValueError(

@@ -128,7 +128,10 @@ def iter_image_chunks(
     # ---- chunk 0 prologue: hot group + transitive caption chain ----------
     rows: list = []
     truth: list = []
-    n_hot = max(2, int(n * hot_group_frac))
+    # n >= 2: a 2-member hot group; n == 1: a single row (never emit MORE
+    # rows than n — "(n, seed, chunk_size) fully determine the corpus"
+    # includes its size). n >= 2 corpora are unchanged (checksum-stable).
+    n_hot = min(n, max(2, int(n * hot_group_frac)))
     w = h = 32
     hot_pixels = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
     hot_caption = " ".join(_VOCAB[rng.integers(0, VOCAB_SIZE, size=12)])

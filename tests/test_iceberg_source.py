@@ -164,3 +164,22 @@ def test_expire_snapshots_collects_stale_ancestors(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(root) if d.startswith("snap_"))
     assert dirs == ["snap_000000000003"]
     assert sorted(r["id"] for r in read_table(spark, root).collect()) == [9]
+
+
+def test_read_changes_resumes_past_expired_from_id(spark, tmp_path):
+    """CDC-after-retention regression: a consumer whose last_seen
+    snapshot expired must still read the (live) delta range — the delta
+    (lo, hi] never touches lo's data. Ranges CONTAINING an expired
+    snapshot still raise."""
+    root = str(tmp_path / "tbl")
+    _commit(spark, root, [1])
+    _commit(spark, root, [2])
+    _commit(spark, root, [3])
+    _commit(spark, root, [4])
+    assert expire_snapshots(root, keep_last=2) == [1, 2]
+    # last_seen == 2 (expired): delta (2, 4] is live — must succeed
+    got = sorted(r["id"] for r in read_changes(spark, root, from_id=2).collect())
+    assert got == [3, 4]
+    # a range that CONTAINS expired snapshot 2 still raises
+    with pytest.raises(ValueError, match="expired"):
+        read_changes(spark, root, from_id=1)
