@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 
 from ..hashing import DEFAULT_SEED, hash63_int64, hash63_str_many
 
-_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "date"}
+from ..hashing import INT_DTYPES as _INT_TYPES  # one shared definition
 
 
 def suggest_num_bits(n: int, fpp: float) -> int:
@@ -148,10 +148,19 @@ def might_contain(
             m = int(pdf["num_bits"].iloc[0])
             k = int(pdf["num_hashes"].iloc[0])
             seed = int(pdf["seed"].iloc[0])
-            pos = _bit_positions(pdf[item_col], item_dtype, m, k, seed)  # (n, k)
-            bits = (arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            # NULL probe keys: the filter was never updated with a null
+            # (updates drop notna rows), so membership is definitively
+            # False — without the mask a null-widened int column hashes
+            # NaN-cast garbage and answers randomly
+            valid = pdf[item_col].notna().to_numpy()
+            ans = np.zeros(len(pdf), bool)
+            if valid.any():
+                sub = pdf[item_col][valid]
+                pos = _bit_positions(sub, item_dtype, m, k, seed)  # (n, k)
+                bits = (arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+                ans[valid] = bits.all(axis=1)
             out = pdf[probe_cols].copy()
-            out[out_col] = bits.all(axis=1)
+            out[out_col] = ans
             yield out
 
     return joined.mapInPandas(probe, schema)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 
 from ..hashing import DEFAULT_SEED, hash63_int64, hash63_str_many
 
-_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "date"}
+from ..hashing import INT_DTYPES as _INT_TYPES  # one shared definition
 
 
 def suggest_num_buckets(relative_error: float) -> int:
@@ -193,11 +193,14 @@ def estimate_frequencies(
             d = int(pdf["num_hashes"].iloc[0])
             w = int(pdf["num_buckets"].iloc[0])
             seed = int(pdf["seed"].iloc[0])
-            # group probes by identical sketch row (usually all one)
+            # group probes by identical sketch CONTENT (bytes), not id():
+            # after Arrow conversion every row's buffer is a distinct
+            # object, so id() made every group a single row and the
+            # vectorized hash/gather degenerated to a per-row loop
             ests = np.empty(len(pdf), dtype=np.int64)
             eps_tot = np.empty(len(pdf), dtype=np.int64)
             for key, idx in pdf.groupby(
-                pdf["cm_matrix"].map(id), sort=False
+                pdf["cm_matrix"].map(bytes), sort=False
             ).indices.items():
                 mat = np.asarray(pdf["cm_matrix"].iloc[idx[0]], np.int64).reshape(d, w)
                 buckets = _row_hashes(pdf[item_col].iloc[idx], item_dtype, d, w, seed)

@@ -189,6 +189,11 @@ def density_sketch_agg(
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[tuple, DensitySketch] = {}
         for pdf in batches:
+            # null vectors are no-ops (the sketch-family convention —
+            # freq/theta/countmin drop notna rows); without the filter a
+            # single NULL crashes the whole batch with an inhomogeneous-
+            # shape ValueError
+            pdf = pdf[pdf[vec_col].notna()]
             vecs = np.array(
                 [np.asarray(v, np.float64) for v in pdf[vec_col]], np.float64
             ).reshape(len(pdf), dim) if len(pdf) else np.empty((0, dim))

@@ -69,11 +69,27 @@ class MGState:
         self._purge()
 
     def merge(self, items: list, weights: list, offset: int, total: int) -> None:
+        """Reference merge law (frequent_items_sketch: add stored counts
+        item-wise, ADD the offsets). Stored values here are FOLDED
+        (adjusted count + own offset), so with f = folded, off = offset,
+        the merged folded values are:
+          in both:   f_a + f_b
+          self-only: f_a + off_b   (the other side may have purged this
+                                    item up to off_b times — dropping
+                                    off_b breaks the over-estimate /
+                                    NO_FALSE_NEGATIVES guarantee)
+          other-only: f_b + off_a
+        """
         self.total += total
+        for k in self.counts:
+            self.counts[k] += offset
         for item, w in zip(items, weights):
             cur = self.counts.get(item)
-            # incoming weights already include the incoming offset
-            self.counts[item] = (cur if cur is not None else self.offset) + int(w)
+            if cur is None:
+                self.counts[item] = self.offset + int(w)
+            else:
+                # cur already gained +offset above; net f_a + f_b
+                self.counts[item] = cur + int(w) - offset
         self.offset += offset
         self._purge()
 

@@ -92,13 +92,35 @@ def _varopt_sample(
         kk -= 1
         tau = _tau_for(weights, kk)
         heavy = weights > tau
-    keep_light = rng.random(len(items)) < (weights / tau)
-    light = ~heavy & keep_light
-    out_items = np.concatenate([items[heavy], items[light]])
+    # EXACTLY k - h lights survive — systematic PPS over a hash-permuted
+    # order (the engine's ebpps discipline), not independent Bernoulli
+    # coins (which bound the size only in expectation and routinely
+    # overshoot k, Binomial tail). Each light's inclusion probability
+    # stays w/tau exactly, so subset-sum estimates remain unbiased; tau's
+    # defining equation makes the probabilities sum to k - h.
+    light_idx = np.nonzero(~heavy)[0]
+    slots = kk - int(heavy.sum())
+    if slots <= 0 or len(light_idx) == 0:
+        light_sel = light_idx[:0]
+    else:
+        order = np.argsort(
+            pd.util.hash_pandas_object(pd.Series(items[light_idx])).to_numpy(),
+            kind="stable",
+        )
+        li = light_idx[order]
+        p = weights[li] / tau
+        cum = np.cumsum(p)
+        u = rng.random()
+        # select i iff interval (c_{i-1}, c_i] contains a lattice point
+        # u + j (each p_i ≤ 1, so at most one point per interval)
+        prev = np.concatenate([[0.0], cum[:-1]])
+        hit = np.floor(cum - u) != np.floor(prev - u)
+        light_sel = li[hit][:slots]  # float-eps cap: hard ≤ k guarantee
+    out_items = np.concatenate([items[heavy], items[light_sel]])
     out_w = np.concatenate(
-        [weights[heavy].astype(np.float64), np.full(int(light.sum()), tau)]
+        [weights[heavy].astype(np.float64), np.full(len(light_sel), tau)]
     )
-    out_m = np.concatenate([marked[heavy], np.ones(int(light.sum()), bool)])
+    out_m = np.concatenate([marked[heavy], np.ones(len(light_sel), bool)])
     return out_items, out_w, out_m
 
 
@@ -385,7 +407,11 @@ def ebpps_sample(
     offset_expr = F.element_at(F.create_map(*map_args), F.col("_bkt"))
     win = (
         Window.partitionBy("_bkt")
-        .orderBy("_ord", "item")
+        # weight joins the tiebreak: two rows with the SAME item value
+        # but different weights share _ord and item, and an unresolved
+        # tie would make which row captures a lattice point
+        # layout-dependent (equal (item, weight) rows are interchangeable)
+        .orderBy("_ord", "item", "weight")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = (offset_expr + F.sum("inclusion_prob").over(win)).alias("_cum")

@@ -32,7 +32,7 @@ from pyspark.sql.types import (
 from ..hashing import DEFAULT_SEED, hash63_bytes_many, hash63_int64, hash63_str_many
 from ..kmv import MAX_THETA
 
-_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "date"}
+from ..hashing import INT_DTYPES as _INT_TYPES  # one shared definition
 
 
 def _hash_series(s: pd.Series, dtype: str, seed: int) -> np.ndarray:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from ..hashing import DEFAULT_SEED, hash63_int64, hash63_str_many
 from ..kmv import MAX_THETA
 
-_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "date"}
+from ..hashing import INT_DTYPES as _INT_TYPES  # one shared definition
 _POLICIES = {"sum": "sum", "max": "max", "min": "min", "one": "first"}
 
 

@@ -22,6 +22,10 @@ import struct
 
 import numpy as np
 
+# Spark SQL dtypes that hash through the int64 path (shared by every
+# sketch module's pandas-dtype dispatch — keep ONE definition)
+INT_DTYPES = frozenset({"tinyint", "smallint", "int", "bigint", "date"})
+
 DEFAULT_SEED = 9001  # same default-seed discipline as the reference
 MAX_HASH_63 = (1 << 63) - 1  # hash domain after >>1 is [0, 2**63)
 

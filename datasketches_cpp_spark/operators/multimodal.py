@@ -152,7 +152,30 @@ def image_features(
                 px = _decode_block(pdf["bytes"].iloc[idx].tolist(), w, h, fmt)
                 m = len(idx)
                 gray = px.reshape(m, h, w, 3).mean(axis=3)
-                bh, bw = max(h // grid, 1), max(w // grid, 1)
+                if h < grid or w < grid:
+                    # images smaller than the grid: edge-replicate up to
+                    # grid size (deterministic), so the reshape below
+                    # always has bh*grid rows — a 5x5 thumbnail must
+                    # yield features, not crash the Arrow batch
+                    if h < grid:
+                        reps = np.minimum(
+                            np.arange(grid) * h // grid, h - 1
+                        )
+                        gray = gray[:, reps, :]
+                        h2 = grid
+                    else:
+                        h2 = h
+                    if w < grid:
+                        reps = np.minimum(
+                            np.arange(grid) * w // grid, w - 1
+                        )
+                        gray = gray[:, :, reps]
+                        w2 = grid
+                    else:
+                        w2 = w
+                else:
+                    h2, w2 = h, w
+                bh, bw = max(h2 // grid, 1), max(w2 // grid, 1)
                 blocks = (
                     gray[:, : bh * grid, : bw * grid]
                     .reshape(m, grid, bh, grid, bw)

@@ -18,8 +18,10 @@ _STOPWORDS = (
 
 
 def with_token_count(df: DataFrame, text_col: str, out: str = "token_count") -> DataFrame:
-    """Whitespace token count; empty/blank text counts 0."""
-    trimmed = F.trim(F.col(text_col))
+    """Whitespace token count; empty/blank/NULL text counts 0 (without
+    the coalesce, NULL text slips past the ''-branch and size(NULL)
+    returns -1, which then leaks into quality_score)."""
+    trimmed = F.coalesce(F.trim(F.col(text_col)), F.lit(""))
     return df.withColumn(
         out,
         F.when(trimmed == "", F.lit(0)).otherwise(

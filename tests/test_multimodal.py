@@ -96,3 +96,21 @@ def test_audio_features(spark):
     zc = np.asarray(out["zero_crossings"].iloc[0])
     # 440 Hz at 48 kHz ⇒ ~18.8 crossings per 1024-sample window
     assert ((zc >= 16) & (zc <= 21)).all()
+
+
+def test_image_features_smaller_than_grid(spark):
+    """A 5x5 thumbnail must yield grid*grid features (edge-replicated),
+    not crash the Arrow batch on an impossible reshape."""
+    import numpy as np
+
+    from datasketches_cpp_spark.operators.multimodal import image_features
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, 5 * 5 * 3, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("tiny", bytearray(px.tobytes()), 5, 5, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = image_features(df, grid=8).collect()
+    assert len(rows) == 1 and len(rows[0]["features"]) == 64
+    assert abs(sum(f * f for f in rows[0]["features"]) - 1.0) < 1e-5

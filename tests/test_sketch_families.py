@@ -1064,3 +1064,65 @@ def test_hll_agg_lower_bound_floored_at_nonzero_registers(spark):
     row = hll_sketch_agg(df, [], "v", lg_k=12).collect()[0]
     assert row["estimate"] >= 3.0
     assert row["lower_bound"] >= 3.0
+
+
+def test_freq_merge_preserves_mg_guarantees():
+    """Merge absorbs the OTHER side's offset into self-only items (the
+    reference adds offsets): an item B purged away may have been seen up
+    to off_b times, so its merged upper bound must grow by off_b — and
+    the merged offset never drops below the accumulated floor."""
+    from datasketches_cpp_spark.functions.freq import MGState
+
+    a = MGState(4)
+    a.update_batch(pd.Series(["x"] * 200))
+    a.merge([], [], 50, 50)  # B: empty map, offset 50 (x purged there)
+    assert a.counts["x"] == 250  # upper bound covers the true count
+    assert a.offset == 50
+
+    b = MGState(2)
+    b.update_batch(pd.Series(["p"] * 100 + ["q"] * 90 + ["r"] * 60))
+    off = b.offset
+    assert off > 0
+    b.merge(["z"], [3], 0, 3)
+    assert b.offset >= off  # no offset collapse from a tiny merge
+
+
+def test_varopt_sample_size_is_exactly_k():
+    """var_opt retains EXACTLY k items when n > k (systematic PPS over
+    the lights) — independent coins bound the size only in expectation."""
+    from datasketches_cpp_spark.functions.sampling import _varopt_sample
+
+    for s in range(20):
+        rng = np.random.default_rng(s)
+        it, w, m = _varopt_sample(np.arange(5000), np.ones(5000), 64, rng)
+        assert len(it) == 64
+    # weighted: heavies exact, total size still k
+    rng = np.random.default_rng(99)
+    weights = np.concatenate([np.full(5, 1e4), np.ones(800)])
+    it, w, m = _varopt_sample(np.arange(805), weights, 32, rng)
+    assert len(it) == 32 and (w[:5] == 1e4).all()
+
+
+def test_bloom_might_contain_null_probe_is_false(spark):
+    from datasketches_cpp_spark.functions.bloom import (
+        bloom_filter_agg,
+        might_contain,
+    )
+
+    filt = bloom_filter_agg(
+        spark.createDataFrame([(i,) for i in range(50)], "k long"),
+        "k", num_bits=1024, num_hashes=4,
+    ).drop("n_items")
+    probes = spark.createDataFrame([(1,), (None,), (999,)], "k long")
+    got = {r["k"]: r["might_contain"]
+           for r in might_contain(probes, filt, "k").collect()}
+    assert got[1] is True and got[None] is False
+
+
+def test_density_agg_skips_null_vectors(spark):
+    from datasketches_cpp_spark.functions.density import density_sketch_agg
+
+    rows = [([float(i), 0.0],) for i in range(20)] + [(None,)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    out = density_sketch_agg(df, [], "v", k=16, dim=2).collect()
+    assert len(out) == 1  # null row skipped, not a batch crash

@@ -35,3 +35,14 @@ def test_zipf_fit_flat_for_uniform_vocab(spark):
     )
     [r] = zipf_fit(docs, "text").collect()
     assert abs(r.zipf_slope) < 1e-6  # perfectly uniform -> flat line
+
+
+def test_token_count_null_text_is_zero(spark):
+    from datasketches_cpp_spark.operators.textstats import with_token_count
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, None), (3, "   ")], "id long, text string"
+    )
+    got = {r["id"]: r["token_count"]
+           for r in with_token_count(df, "text").collect()}
+    assert got == {1: 2, 2: 0, 3: 0}
