@@ -107,9 +107,14 @@ def select_representatives(
     from pyspark.sql import Window
 
     sc = scores.select(F.col(id_col).alias("id"), F.col(score_col))
-    joined = assignments.join(sc, "id")
+    # LEFT join: a member the scorer skipped (decode failure upstream)
+    # must still appear in the output — an inner join would silently drop
+    # it from the audit, and a cluster whose every member is unscored
+    # would vanish. Unscored members sort last (desc_nulls_last), so they
+    # are kept only when nothing scored competes.
+    joined = assignments.join(sc, "id", "left")
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc(score_col), F.asc("id")
+        F.col(score_col).desc_nulls_last(), F.asc("id")
     )
     return (
         joined.withColumn("rep_id", F.first("id").over(w))

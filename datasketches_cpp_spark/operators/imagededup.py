@@ -391,7 +391,17 @@ def dedup_images(
         out["substring_pairs"] = sub
         edge_parts.append(("substring", sub))
 
-    edges, raw_edges = fuse_edges(edge_parts, edge_policy)
+    if not edge_parts:
+        # no recognized lanes enabled: every image is a singleton — an
+        # empty edge frame typed like the id column, not an IndexError
+        # (the streaming twin guards identically)
+        id_type = dict(images.dtypes)["image_id"]
+        empty = images.sparkSession.createDataFrame(
+            [], f"a {id_type}, b {id_type}"
+        )
+        edges, raw_edges = empty, empty
+    else:
+        edges, raw_edges = fuse_edges(edge_parts, edge_policy)
     edges = _bar("edges", edges)
     out["edges"] = edges
     t_cc = _time.time()

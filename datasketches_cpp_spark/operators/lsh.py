@@ -152,9 +152,18 @@ def pairs_from_bands(
         F.slice(ids, 3, sz),
         lambda b: F.struct(F.element_at(ids, 1).alias("a"), b.alias("b")),
     )
+    # self-pair guard: with a payload, two rows of the SAME id carrying
+    # different payloads (e.g. the D4 orbit's 8 pHash variants, which
+    # co-band whenever an image is near-symmetric) survive collect_set as
+    # distinct structs and would pair with themselves — (x, x) rows are
+    # meaningless as edges and the streaming twin already filters them
+    def _no_self(df: DataFrame) -> DataFrame:
+        df = df.where(F.col("a") != F.col("b"))
+        return pre_dedup_filter(df) if pre_dedup_filter is not None else df
+
     if hot_policy == "salted_full":
         return _salted_full_pairs(
-            grouped, all_pairs, max_pairs_group, out_cols, pre_dedup_filter
+            grouped, all_pairs, max_pairs_group, out_cols, _no_self
         )
     if hot_policy != "chain_hub":
         raise ValueError(f"unknown hot_policy {hot_policy!r}")
@@ -165,8 +174,7 @@ def pairs_from_bands(
     # exactly once; a when/otherwise inside separate union branches would
     # recompute the whole signature scan per branch
     pairs = grouped.select(F.explode(pair_arr).alias("p")).select(*out_cols)
-    if pre_dedup_filter is not None:
-        pairs = pre_dedup_filter(pairs)
+    pairs = _no_self(pairs)
     return pairs.dropDuplicates(["a", "b"])
 
 

@@ -227,8 +227,10 @@ class IncrementalContainmentProbe(_BucketedStateStore):
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(source_dir)
         )
+        ckpt = checkpoint_dir or self._p("_spark_checkpoint")
+        self._assert_checkpoint_live(ckpt)
         writer = reader.writeStream.foreachBatch(self.process_batch).option(
-            "checkpointLocation", checkpoint_dir or self._p("_spark_checkpoint")
+            "checkpointLocation", ckpt
         )
         if available_now:
             writer = writer.trigger(availableNow=True)

@@ -125,6 +125,27 @@ class _BucketedStateStore:
     def _exists(self, name: str) -> bool:
         return self._hfs.has_file_with_suffix(self._p(name), ".parquet")
 
+    def _assert_checkpoint_live(self, ckpt: str) -> None:
+        """Fail-fast on a RESET Spark checkpoint over live state: epoch
+        idempotency keys on Spark's batch id, so a fresh/wiped
+        checkpointLocation restarts ids at 0 and every redelivered batch
+        would match an old epoch in epochs.json and be silently SKIPPED —
+        new data lost with no error."""
+        epochs_p = self._p("epochs.json")
+        if not (self._hfs.exists(epochs_p) and json.loads(
+            self._hfs.read_bytes(epochs_p).decode()
+        )["done"]):
+            return
+        if not (self._hfs.exists(HadoopFS.join(ckpt, "offsets"))
+                or self._hfs.exists(HadoopFS.join(ckpt, "metadata"))):
+            raise StreamConfigMismatch(
+                f"state_dir {self.state_dir} holds committed epochs but "
+                f"the Spark checkpoint {ckpt} is empty/new — batch ids "
+                "would restart at 0 and collide with done epochs, "
+                "silently skipping new data. Restore the original "
+                "checkpointLocation or start a fresh state_dir."
+            )
+
     def _read(self, name: str) -> DataFrame | None:
         if not self._exists(name):
             return None
@@ -142,19 +163,11 @@ class _BucketedStateStore:
         current epoch's own slot is part of the store∪new contract."""
         if not self._exists(name):
             return None
-        done: set[int] = set()
-        p = self._p("epochs.json")
-        if self._hfs.exists(p):
-            done = {
-                int(k)
-                for k in json.loads(self._hfs.read_bytes(p).decode())["done"]
-            }
-        root = self._p(name)
         out = None
-        for d in self._hfs.list_dirs(root):
-            if d.startswith("epoch_") and int(d[len("epoch_"):]) not in done:
-                continue
-            full = HadoopFS.join(root, d)
+        # _committed_epoch_dirs is manifest-aware (_LIVE.json): after a
+        # compaction crash between the swap and the superseded-dir
+        # delete, a raw directory listing would read folded rows TWICE
+        for full in self._committed_epoch_dirs(name):
             if not self._hfs.has_file_with_suffix(full, ".parquet"):
                 continue
             df = self.spark.read.option(
@@ -250,6 +263,24 @@ class _BucketedStateStore:
         num_buckets, so the collect is a scalar-sized driver hop."""
         rows = (df.select(self._bucket_expr(*cols).alias("bucket"))
                   .distinct().collect())
+        return sorted(int(r["bucket"]) for r in rows)
+
+    def _touched_buckets_pair(self, df: DataFrame, col_a: str,
+                              col_b: str) -> list[int]:
+        """Buckets touched by EITHER endpoint column, in ONE Spark job —
+        two separate _touched_buckets calls would scan the (checkpointed)
+        pair frame twice and pay two driver collects per lane per epoch."""
+        rows = (
+            df.select(
+                F.explode(
+                    F.array(
+                        self._bucket_expr(col_a), self._bucket_expr(col_b)
+                    )
+                ).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        )
         return sorted(int(r["bucket"]) for r in rows)
 
     def compact_store(self, name: str) -> int:
@@ -488,7 +519,17 @@ class IncrementalDeduper(_BucketedStateStore):
         # broadcast probe join) — without the checkpoint the upstream
         # minhash/shingle mapInPandas kernel would run once per consumer
         sig_new = sig_new.localCheckpoint(eager=True)
-        self._write_epoch_bucketed(store_name, sig_new, epoch_id, ["id"])
+        # the persistent signature store keeps only what verification
+        # reads (id, kmv_theta, kmv_sig, simhash): mh_sig (num_perm
+        # longs) and the bands array have no store-side consumer — band
+        # keys live exploded in the *_bands store — and would roughly
+        # double PERMANENT state size (the batch pipeline drops mh_sig
+        # before checkpointing for the same reason)
+        self._write_epoch_bucketed(
+            store_name,
+            sig_new.select("id", "kmv_theta", "kmv_sig", "simhash"),
+            epoch_id, ["id"],
+        )
         self._write_epoch_bucketed(
             store_name + "_bands", bands_of(sig_new), epoch_id,
             ["band_idx", "band_hash"],
@@ -518,8 +559,7 @@ class IncrementalDeduper(_BucketedStateStore):
         )
         cand = cand.localCheckpoint(eager=True)  # reused for bucket calc + verify
         id_buckets = sorted(
-            set(self._touched_buckets(cand, "a"))
-            | set(self._touched_buckets(cand, "b"))
+            self._touched_buckets_pair(cand, "a", "b")
         )
         sig_lookup = self._read_bucketed(store_name, id_buckets)
         if sig_lookup is None:  # no stored signatures -> nothing verifies
@@ -850,8 +890,7 @@ class IncrementalDeduper(_BucketedStateStore):
             .localCheckpoint(eager=True)  # bucket calc + verify
         )
         id_buckets = sorted(
-            set(self._touched_buckets(cand, "a"))
-            | set(self._touched_buckets(cand, "b"))
+            self._touched_buckets_pair(cand, "a", "b")
         )
         vecs = self._read_bucketed("emb_vecs", id_buckets)
         if vecs is None:  # no candidates can verify without stored vectors
@@ -1053,14 +1092,25 @@ class IncrementalDeduper(_BucketedStateStore):
         """readStream over a directory of parquet drops → foreachBatch.
         With available_now=True the query drains everything currently in
         the source and stops (the test/backfill mode); otherwise it runs
-        continuously."""
+        continuously.
+
+        Fail-fast on a RESET Spark checkpoint over live state: epoch
+        idempotency keys on Spark's batch id, so a fresh/wiped
+        checkpointLocation restarts ids at 0 and every redelivered batch
+        would match an old epoch in epochs.json and be silently
+        SKIPPED — new data lost with no error. If the semantic state has
+        committed epochs but the Spark checkpoint is empty, refuse and
+        tell the user to either restore the checkpoint or start a fresh
+        state_dir."""
+        ckpt = checkpoint_dir or self._p("_spark_checkpoint")
+        self._assert_checkpoint_live(ckpt)
         reader = (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(source_dir)
         )
         writer = reader.writeStream.foreachBatch(self.process_batch).option(
-            "checkpointLocation", checkpoint_dir or self._p("_spark_checkpoint")
+            "checkpointLocation", ckpt
         )
         if available_now:
             writer = writer.trigger(availableNow=True)

@@ -62,12 +62,19 @@ def streaming_theta_distinct(
     item_col: str,
     lg_k: int = 12,
     seed: int = DEFAULT_SEED,
-    item_dtype: str = "string",
+    item_dtype: str | None = None,
 ) -> DataFrame:
     """groupBy(key).applyInPandasWithState: per-key running distinct-count
     sketch. Emits (key, estimate, theta, n_retained) every trigger for keys
-    present in the batch. State never exceeds k+1 longs per key."""
+    present in the batch. State never exceeds k+1 longs per key.
+
+    ``item_dtype`` defaults to the COLUMN's declared type (exactly like
+    the batch aggregate derives it) — a bigint column must hash through
+    the int64 path, or the streaming state would not merge/compare equal
+    with a batch sketch over the same column."""
     k = 1 << lg_k
+    if item_dtype is None:
+        item_dtype = dict(stream_df.dtypes)[item_col]
 
     def fold(
         key: Tuple[Any, ...],

@@ -367,3 +367,22 @@ def test_caption_conflicts_canonicalization_and_plan(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_select_representatives_keeps_unscored_members(spark):
+    """LEFT-join semantics: a cluster member the scorer skipped still
+    appears (unscored members lose to any scored one; an all-unscored
+    cluster keeps its smallest id)."""
+    from datasketches_cpp_spark.operators.dedup import select_representatives
+
+    asg = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")],
+        "id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("a", 1.0), ("b", 5.0)], "id string, score double"
+    )  # c unscored; d/e entirely unscored
+    rows = {r["id"]: r for r in select_representatives(asg, scores).collect()}
+    assert set(rows) == {"a", "b", "c", "d", "e"}
+    assert rows["c"]["rep_id"] == "b" and not rows["c"]["is_kept"]
+    assert rows["d"]["rep_id"] == "d" and rows["d"]["is_kept"]

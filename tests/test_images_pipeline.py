@@ -208,3 +208,33 @@ def test_substring_verify_regimes(spark):
     # kernel must find every brute-force pair whose needle min-shingle
     # blocking admits (full recall here: vocab is tiny, no posting caps hit)
     assert got == expect
+
+
+def test_phash_orbit_never_emits_self_pairs(spark):
+    """Payload banding regression: the same id carrying two orbit pHash
+    variants within the hamming radius must not pair with itself."""
+    from datasketches_cpp_spark.operators.imagededup import phash_pairs
+    from datasketches_cpp_spark.operators.sigkernel import SigConfig
+
+    cfg = SigConfig()
+    h = 0x0123456789ABCDEF
+    df = spark.createDataFrame(
+        [("x", h), ("x", h ^ 1), ("y", h ^ 3)],
+        "image_id string, phash long",
+    )
+    pairs = phash_pairs(df, cfg).collect()
+    assert all(r["a"] != r["b"] for r in pairs)
+    # the real cross-id near-dup still surfaces
+    assert {(r["a"], r["b"]) for r in pairs} == {("x", "y")}
+
+
+def test_dedup_images_no_lanes_yields_singletons(spark):
+    from datasketches_cpp_spark.operators.imagededup import dedup_images
+    from datasketches_cpp_spark.sources.images import generate_images
+
+    im, _ = generate_images(6, seed=3)
+    df = spark.createDataFrame(im)
+    out = dedup_images(df, enable_lanes=())
+    asg = {r["id"]: r["cluster_id"] for r in out["assignments"].collect()}
+    assert len(asg) == 6 and all(k == v for k, v in asg.items())
+    assert out["edges"].count() == 0

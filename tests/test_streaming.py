@@ -799,3 +799,22 @@ def test_compact_skips_uncommitted_epoch(spark, corpus_pdf, tmp_path):
     for epoch, sl in enumerate([slice(0, 60), slice(60, 130), slice(130, 200)]):
         clean.process_batch(spark.createDataFrame(corpus_pdf.iloc[sl]), epoch)
     assert got == checksum(clean.assignments(), "id", "cluster_id")
+
+
+def test_start_refuses_reset_spark_checkpoint(spark, tmp_path):
+    """Silent-skip guard: committed epochs + an empty/new Spark
+    checkpoint means batch ids would restart at 0 and collide with done
+    epochs (every new batch silently dropped) — start() must refuse."""
+    from datasketches_cpp_spark.streaming.incremental import (
+        StreamConfigMismatch,
+    )
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",),
+    )
+    dd._mark_epoch(0, {"rows": 10})
+    src = tmp_path / "src"
+    src.mkdir()
+    with pytest.raises(StreamConfigMismatch, match="checkpoint"):
+        dd.start(str(src), "image_id string, caption string")
