@@ -182,9 +182,11 @@ def semantic_dedup(
     vec_col: str = "embedding",
     bucket_col: str | None = None,
     threshold: float = 0.9,
-    n_centroids: int = 64,
+    n_centroids: int | None = None,
     policy: str = "canonical_min",
     seed: int = 9001,
+    target_bucket: int = 1024,
+    chunk: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540) for embedding-bearing training corpora: bucket the
@@ -195,11 +197,35 @@ def semantic_dedup(
     class label, a topic id); when None, the classic SemDeDup recipe runs
     — k-means-lite centroids (ivf_train_centroids, driver-side sample)
     and every vector joins its nearest centroid's bucket (ivf_assign,
-    nprobe=1). Either way the pairwise stage is a self-join keyed on the
-    bucket: the shuffle is by bucket, each task sees one bucket's slice,
-    and nothing quadratic ever crosses buckets (the property that makes
+    nprobe=1). Either way the pairwise stage runs ONLY within buckets —
+    nothing quadratic ever crosses buckets (the property that makes
     SemDeDup tractable where all-pairs cosine is not — at n vectors and
     B ~ n/k per bucket, candidate volume drops from C(n,2) to k*C(B,2)).
+
+    Two scale disciplines (both round-5; before, k was a fixed 64 and the
+    pairwise stage was a plain bucket-keyed self-join, so expected bucket
+    mass grew as n/64 and one hot bucket meant one Θ(B²) task):
+
+    * **k scales with n.** When ``n_centroids`` is None (the default) it
+      is derived from one corpus count: k = clamp(ceil(n/target_bucket),
+      1, 65536), so the expected bucket holds ``target_bucket`` vectors
+      and total candidate volume stays ~n·target_bucket/2 no matter how
+      big the corpus is. (SemDeDup itself used 50k clusters for LAION —
+      fixed k is a bench-scale artifact, not the recipe.) The 65536 cap
+      keeps the driver-side Lloyd training bounded; beyond it, bucket
+      mass grows only as n/65536 and the chunk discipline below still
+      bounds every task.
+    * **Hot buckets never blow up a task.** Pair generation reuses the
+      LSH lane's salted-full machinery (operators/lsh.pairs_from_bands,
+      hot_policy="salted_full", one band per bucket): a bucket larger
+      than ``chunk`` is cut into chunk-sized slices and every slice-pair
+      becomes its own shuffle row, so a task expands at most chunk²
+      candidate id pairs — full C(B,2) semantics, bounded memory, even
+      in the adversarial all-vectors-one-bucket case. Vectors do NOT
+      ride the band shuffle (an id is 8 bytes; an embedding is KBs, and
+      a degenerate bucket would otherwise concentrate the corpus's
+      vectors in one collect_set array): the candidate pairs join the
+      vector table twice, then the cosine filter runs JVM-side.
 
     Representative policies, both deterministic:
       * ``canonical_min``: rep(v) = min id among {v} ∪ {within-bucket
@@ -215,9 +241,19 @@ def semantic_dedup(
     Cosine is evaluated JVM-side (zip_with/aggregate — no Python in the
     pairwise hot path)."""
     if bucket_col is None:
-        dim = len(df.select(vec_col).first()[0])
+        if n_centroids is None:
+            # ONE metadata-cheap count drives the adaptive k; the
+            # dimension is taken from the training sample itself (no
+            # separate first() probe — the sample pass was happening
+            # anyway).
+            n = df.count()
+            n_centroids = int(min(max(1, -(-n // target_bucket)), 65536))
         cent = ivf_train_centroids(
-            df, dim, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+            df,
+            n_centroids=n_centroids,
+            vec_col=vec_col,
+            sample_size=min(max(10_000, 8 * n_centroids), 200_000),
+            seed=seed,
         )
         assigned = ivf_assign(df, cent, id_col=id_col, vec_col=vec_col, nprobe=1)
         base = assigned.select(
@@ -229,11 +265,17 @@ def semantic_dedup(
             F.col(bucket_col).alias("bucket"),
             F.col(vec_col).alias("vec"),
         )
-    l = base.select(F.col("bucket"), F.col("id").alias("a"), F.col("vec").alias("va"))
-    r = base.select(F.col("bucket"), F.col("id").alias("b"), F.col("vec").alias("vb"))
+    from .lsh import pairs_from_bands
+
+    bands = base.where(F.col("bucket").isNotNull()).select(
+        F.lit(0).alias("band_idx"), F.col("bucket").alias("band_hash"), "id"
+    )
+    cand = pairs_from_bands(bands, max_pairs_group=chunk, hot_policy="salted_full")
+    va = base.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
     pairs = (
-        l.join(r, "bucket")
-        .where(F.col("a") < F.col("b"))
+        cand.join(va, "a")
+        .join(vb, "b")
         .where(_cosine(F.col("va"), F.col("vb")) >= threshold)
         .select("a", "b")
     )
@@ -369,7 +411,7 @@ def _bounded_vec_sample(
 
 def ivf_train_centroids(
     df: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_centroids: int = 64,
     vec_col: str = "embedding",
     sample_size: int = 10_000,
@@ -379,7 +421,9 @@ def ivf_train_centroids(
     """k-means-lite coarse quantizer: Lloyd iterations on a driver-side
     sample (the standard IVF recipe — training is O(sample), never a full
     scan; the draw itself is one bounded pass, _bounded_vec_sample).
-    Returns (n_centroids, dim) float32, L2-normalized."""
+    Returns (n_centroids, dim) float32, L2-normalized. ``dim`` is
+    accepted for API compatibility but unused — the sample itself carries
+    the dimensionality (no separate probe action needed)."""
     sample = _bounded_vec_sample(df, vec_col, sample_size, seed)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
     rng = np.random.default_rng(seed)

@@ -200,3 +200,77 @@ def test_semantic_dedup_bad_policy(emb):
 
     with pytest.raises(ValueError):
         semantic_dedup(emb, bucket_col="label", policy="nope").collect()
+
+
+def test_semantic_dedup_one_bucket_adversarial(spark, emb):
+    """Adversarial skew: EVERY vector lands in one bucket (constant
+    bucket_col) and chunk is tiny, so the salted-full machinery must carry
+    the whole pairwise stage. Output must equal the brute-force
+    canonical_min over ALL pairs, and the hot path must actually engage
+    (the candidate plan is the chunk-pair self-join, not one giant
+    explode task)."""
+    from datasketches_cpp_spark.operators.knn import (
+        cosine_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    tau = 0.4
+    one = emb.withColumn("onebucket", F.lit(0))
+    out = {
+        r.id: (r.rep_id, r.is_kept)
+        for r in semantic_dedup(
+            one, "vec_id", "embedding", bucket_col="onebucket",
+            threshold=tau, chunk=16,
+        ).collect()
+    }
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    expect_rep = {v: v for v in ids}
+    for r in cosine_near_dup_pairs(emb, "vec_id", "embedding", tau).collect():
+        expect_rep[r.b] = min(expect_rep[r.b], r.a)
+    assert len(out) == len(ids)
+    for v, (rep, kept) in out.items():
+        assert rep == expect_rep[v], v
+        assert kept == (rep == v)
+
+
+def test_semantic_dedup_hot_bucket_chunk_rows_bounded(spark, emb):
+    """The scale contract behind the one-bucket case: a bucket of s ids at
+    chunk c becomes ceil(s/c)*(ceil(s/c)+1)/2 chunk-pair rows, each
+    expanding at most c*c candidate structs — NO task ever sees the
+    whole bucket's C(s,2). Verified on the internal salted frame."""
+    from datasketches_cpp_spark.operators.lsh import pairs_from_bands
+
+    s = emb.count()
+    c = 16
+    bands = emb.select(
+        F.lit(0).alias("band_idx"), F.lit(0).alias("band_hash"),
+        F.col("vec_id").alias("id"),
+    )
+    pairs = pairs_from_bands(bands, max_pairs_group=c, hot_policy="salted_full")
+    assert pairs.count() == s * (s - 1) // 2
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the salt IS a join on the band key — a plain single-group explode
+    # (unbounded task) would have no join at all
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_adaptive_centroids(spark, emb):
+    """n_centroids=None derives k from the corpus count and a target
+    bucket mass: k = ceil(n / target_bucket). Contract: one row per
+    vector, reps within-bucket, and small target_bucket => more buckets
+    than the fixed-k default would give."""
+    from datasketches_cpp_spark.operators.knn import semantic_dedup
+
+    n = emb.count()
+    out = semantic_dedup(emb, threshold=0.3, target_bucket=32).collect()
+    assert len(out) == n
+    n_buckets = len({r.bucket for r in out})
+    assert n_buckets > 1
+    # k was derived as ceil(n/32); buckets actually used can be fewer
+    # (empty lists) but must be bounded by it
+    assert n_buckets <= -(-n // 32)
+    bucket_of = {r.id: r.bucket for r in out}
+    for r in out:
+        if not r.is_kept:
+            assert bucket_of[r.rep_id] == r.bucket
