@@ -116,8 +116,8 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 40,
     min_rounds: int = 3,
-    check_every: int = 2,
-    driver_finish_edges: int = 2_000_000,
+    check_every: int = 1,
+    driver_finish_edges: int = 8_000_000,
 ) -> DataFrame:
     """Edge list (a, b) → assignments (id, cluster_id) where cluster_id is
     the component's minimum node id. Nodes absent from the edge list are
@@ -132,8 +132,14 @@ def connected_components(
       lazy checkpoint lets the *analyzed* tree grow ~5^r between
       materializations — measured ~18 s of single-threaded driver/Catalyst
       time at 10^6 images, Amdahl serial cost that scales with nothing);
-    * **driver finish** once |E| fits the threshold (default 2M edges ≈
-      32 MB) — collect + vectorized numpy min-label propagation. The same
+    * **driver finish** once |E| fits the threshold (default 8M edges ≈
+      128 MB) — collect + vectorized numpy min-label propagation. The
+      threshold is profile-tuned, not guessed: at 21.2M edges on local[32]
+      (scripts/profile_cc.py, round 5) the numpy finish took 42 s while
+      EACH distributed star round cost 20-50 s — so any edge set the
+      driver can safely hold is cheaper to finish there than to run even
+      one more distributed round over. 8M rows of two longs is a bounded
+      ~128 MB pandas frame; raise it on a fat driver. The same
       bounded-driver-work discipline as IVF coarse-quantizer training: a
       sub-second exact computation on one box replaces O(log n) cluster-
       wide barrier rounds of ~2 s fixed overhead each. On a 10^12-image
@@ -142,7 +148,14 @@ def connected_components(
       component-min labels), which tests/test_dedup_pipeline.py asserts.
 
     Convergence of the distributed regime is detected with the commutative
-    checksum every ``check_every`` rounds after ``min_rounds``.
+    checksum every ``check_every`` rounds after ``min_rounds``. The default
+    is now EVERY round: profiled runs (scripts/profile_cc.py, local[32],
+    round 5) measured the checksum barrier at 0.12-0.19 s vs 4-15 s per
+    star round at 5.3M edges, and 3-6 s vs 20-50 s at 21.2M — one agg
+    over the already-checkpointed frame, ~2-15% of a round — while a
+    skipped check costs a full wasted round once the fixpoint is reached
+    AND delays the size-triggered handoff to the driver finish. Both
+    costs scale with |E|, so the ratio holds at cluster scale.
 
     The regime choice itself costs ONE action, not three: a
     ``limit(threshold+1).toPandas()`` probe. If at most ``threshold``
