@@ -3316,6 +3316,96 @@ def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_mp3_rows():
+    """Planted compressed-domain MP3 corpus (operators/mp3parse): one
+    base encode, a retagged byte-identical copy (ID3v2 + ID3v1 wrappers),
+    a frame-aligned 10-frame excerpt, an unrelated encode, and a 6+6
+    concat of the two. Truth at min_shared=8: the concat shares only 6
+    frames with each parent so it stays its own cluster."""
+    from datasketches_cpp_spark.operators.mp3parse import (
+        excerpt_frames,
+        synth_mp3_stream,
+        with_id3v1,
+        with_id3v2,
+    )
+
+    base = synth_mp3_stream(40, seed=321)
+    other = synth_mp3_stream(40, seed=322)
+    rows = [
+        ("m_base", base),
+        ("m_retag", with_id3v1(with_id3v2(base, tag_bytes=200, seed=7), seed=8)),
+        ("m_excerpt", excerpt_frames(base, 12, 10)),
+        ("m_other", other),
+        ("m_concat", excerpt_frames(base, 0, 6) + excerpt_frames(other, 0, 6)),
+    ]
+    truth = {
+        "m_base": "m_base",
+        "m_retag": "m_base",
+        "m_excerpt": "m_base",
+        "m_other": "m_other",
+        "m_concat": "m_concat",
+    }
+    return rows, truth
+
+
+def q_mp3_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain MP3 dedup (mp3parse.dedup_mp3): per-frame
+    content hashes after tag stripping → shared-count pairs → CC. The
+    retagged copy and the frame-aligned excerpt must cluster with the
+    base encode with zero decode work; truth by construction."""
+    from datasketches_cpp_spark.operators.mp3parse import dedup_mp3
+
+    rows, _ = _planted_mp3_rows()
+    audio = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    return dedup_mp3(audio, min_shared=8)["assignments"]
+
+
+def q_mp3_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 excerpt containment (mp3parse.mp3_containment — the shared
+    offset-vote core over frame-hash landmarks): the 10-frame excerpt
+    localizes at frame offset 12 in both the base and its retagged twin;
+    the 6+6 concat localizes against all three parents (offset 0 / 0 /
+    -6). Truth by construction."""
+    from datasketches_cpp_spark.operators.mp3parse import mp3_containment
+
+    rows, _ = _planted_mp3_rows()
+    audio = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    return mp3_containment(audio, min_aligned=4).select(
+        "clip_id", "track_id", "aligned_anchors", "frame_offset"
+    )
+
+
+def _planted_mp3_containment_truth():
+    return [
+        ("m_base", "m_retag", 40, 0),
+        ("m_retag", "m_base", 40, 0),
+        ("m_excerpt", "m_base", 10, 12),
+        ("m_excerpt", "m_retag", 10, 12),
+        ("m_concat", "m_base", 6, 0),
+        ("m_concat", "m_retag", 6, 0),
+        ("m_concat", "m_other", 6, -6),
+    ]
+
+
+def q_mp3_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 stream metadata extraction (mp3parse.mp3_stream_meta): frame
+    count, sample rate, duration, mean bitrate, tag accounting — all
+    header-table arithmetic, re-derivable as a VALUES oracle because the
+    planted corpus is deterministic."""
+    from datasketches_cpp_spark.operators.mp3parse import mp3_stream_meta
+
+    rows, _ = _planted_mp3_rows()
+    audio = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    return mp3_stream_meta(audio).select(
+        "id",
+        "n_frames",
+        "sample_rate",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        "id3v2_bytes",
+        "id3v1",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
@@ -3421,6 +3511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilane_precision_planted": q_multilane_precision_planted,
         "leakage_safe_split": q_leakage_safe_split,
         "corpus_shuffle_order": q_corpus_shuffle_order,
+        "mp3_dedup_planted": q_mp3_dedup_planted,
+        "mp3_containment_planted": q_mp3_containment_planted,
+        "mp3_stream_meta": q_mp3_stream_meta,
     }
     # Registry-coverage insurance (round 5): the driver's correctness gate
     # samples the FIRST 50 entries each round, so rounds 1-4 hash-checked
@@ -3432,6 +3525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r0{1..4} records and the committed full local ledger
     # (CORRECTNESS_LOCAL_r5.json) covers the whole registry every round.
     front = [
+        "mp3_dedup_planted",
+        "mp3_containment_planted",
+        "mp3_stream_meta",
         "tiered_dedup_planted",
         "stream_tier_dedup_planted",
         "dup_ratio_plan",
@@ -4007,6 +4103,28 @@ def oracle_sql() -> dict[str, str]:
                 for c, t, o in _planted_audio_containment_rows()[1]
             )
             + ") AS t(clip_id, track_id, frame_offset)"
+        ),
+        "mp3_dedup_planted": _planted_truth_sql(_planted_mp3_rows()[1]),
+        "mp3_containment_planted": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{c}', '{t}', {a}, {o})"
+                for c, t, a, o in _planted_mp3_containment_truth()
+            )
+            + ") AS t(clip_id, track_id, aligned_anchors, frame_offset)"
+        ),
+        "mp3_stream_meta": (
+            # truth from the frame arithmetic, not from the parser:
+            # n_frames planted; duration = n*1152/44100 (MPEG1 L3);
+            # retag wrapper = 10-byte ID3v2 header + 200 payload
+            "SELECT * FROM (VALUES "
+            "('m_base', 40, 44100, 1.044898, 0, FALSE), "
+            "('m_retag', 40, 44100, 1.044898, 210, TRUE), "
+            "('m_excerpt', 10, 44100, 0.261224, 0, FALSE), "
+            "('m_other', 40, 44100, 1.044898, 0, FALSE), "
+            "('m_concat', 12, 44100, 0.313469, 0, FALSE)"
+            ") AS t(id, n_frames, sample_rate, duration_sec, "
+            "id3v2_bytes, id3v1)"
         ),
         "image_containment_planted": (
             "SELECT * FROM (VALUES "

@@ -331,6 +331,26 @@ def audio_containment(
         fan_dt=fan_dt,
         hop=hop,
     )
+    return containment_from_landmarks(
+        lm,
+        id_col=id_col,
+        min_aligned=min_aligned,
+        max_entries_per_landmark=max_entries_per_landmark,
+    )
+
+
+def containment_from_landmarks(
+    lm: DataFrame,
+    id_col: str = "audio_id",
+    min_aligned: int = 6,
+    max_entries_per_landmark: int = 64,
+) -> DataFrame:
+    """The offset-vote histogram core of audio_containment, factored out
+    so any (id, landmark, t) table can ride it — the rFFT constellation
+    lane above, and the compressed-domain MP3 frame-hash lane
+    (operators/mp3parse.py), which produces the identical schema with
+    landmark = per-frame content hash and t = frame index. Semantics and
+    plan shape documented at audio_containment."""
     # the landmark table fans out to three consumers (vote grouping +
     # clip/track span joins); without a checkpoint Spark re-runs the
     # decode+rFFT kernel per consumer — the imagededup signature-reuse

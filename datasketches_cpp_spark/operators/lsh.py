@@ -23,11 +23,12 @@ by `groupBy(band_idx, band_hash)`. Two scale guards, both deterministic:
    * ``"salted_full"`` (SURVEY §2B S5's salted repartition): hot groups
      keep FULL C(s,2) pair semantics. The sorted id array is cut into
      fixed-size chunks and every (chunk_i, chunk_j), i ≤ j, becomes its
-     own row; a self-join on the band key redistributes those chunk-pair
-     rows across the cluster (the salt), so no single task ever holds
-     more than one chunk-pair (≤ chunk² candidate structs) regardless of
-     group size. Same answers as brute-force all-pairs (pytest-gated),
-     bounded task memory under skew.
+     own row; the slice self-join is keyed on (band, i, j) — the salt —
+     so chunk-pair rows hash-distribute across the cluster and no single
+     task expands more than ~chunk² candidate structs per chunk-pair,
+     regardless of group size. Same answers as brute-force all-pairs
+     (pytest-gated), bounded task memory under skew (profiled:
+     BENCH/profile_salted.md).
 
 Why not a SQL self-join? `bands JOIN bands ON band` is JVM-only but its
 output *is* the quadratic blowup — AQE can split the skewed partition but
@@ -184,13 +185,28 @@ def _salted_full_pairs(
     """Full C(s,2) pair semantics for hot bands with bounded task memory.
 
     The sorted id array of a hot group is cut into ``chunk``-sized slices;
-    every (slice_i, slice_j) with i ≤ j becomes one row, and a self-join on
-    the band key spreads those rows across shuffle partitions (the salted
-    repartition of SURVEY §2B S5). Each task then expands at most chunk²
-    candidate structs — a band shared by a million documents costs many
-    TASKS, never a huge task. Sorting guarantees a < b: within a slice the
-    triangular expansion keeps order; across slices every element of
-    slice_i precedes every element of slice_j (i < j).
+    every (slice_i, slice_j) with i ≤ j becomes one row, and the self-join
+    that brings the two slices together is keyed on (band, i, j) — the
+    CHUNK-PAIR, not the band — so hot-band chunk-pairs hash-distribute
+    across the whole cluster and each task expands at most ~chunk²
+    candidate structs per chunk-pair row. A band shared by a million
+    documents costs many TASKS, never a huge task. Sorting guarantees
+    a < b: within a slice the triangular expansion keeps order; across
+    slices every element of slice_i precedes every element of slice_j
+    (i < j).
+
+    Two lessons a profiled 200k-row campaign taught (scripts/
+    profile_salted.py, round 5 — one band holding 10% of rows):
+
+    * the round-4 version joined on the band key ALONE, which parked
+      every chunk-pair of the hot band on one join partition: one task
+      peaked at 16.6 GB / 589 s expanding all 2·10⁸ pairs. Salting the
+      join key with (i, j) is what actually spreads the expansion.
+    * AQE's size-based partition coalescing sees only the join's INPUT
+      bytes (a few MB of slice arrays) and would merge the chunk-pairs
+      right back into one partition before the explode; the explicit
+      numbered ``repartition`` below is deliberate — it pins the spread
+      against an optimizer that cannot see generator output volume.
 
     All-JVM (whole-stage codegen): slicing is ``transform(sequence, ...)``;
     expansion is the same nested-transform algebra as the normal path.
@@ -207,16 +223,33 @@ def _salted_full_pairs(
     hot = grouped.where(sz > chunk).select(
         "band_idx",
         "band_hash",
+        n_chunks.alias("nc"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
                 lambda i: F.slice(F.col("ids"), i * chunk + 1, chunk),
             )
-        ).alias("ci", "ids"),
+        ).alias("ci", "chunk_ids"),
     )
-    left = hot.select("band_idx", "band_hash", F.col("ci").alias("i"), F.col("ids").alias("xs"))
-    right = hot.select("band_idx", "band_hash", F.col("ci").alias("j"), F.col("ids").alias("ys"))
-    joined = left.join(right, ["band_idx", "band_hash"]).where(F.col("i") <= F.col("j"))
+    left = hot.select(
+        "band_idx",
+        "band_hash",
+        F.col("ci").alias("i"),
+        F.explode(F.sequence(F.col("ci"), F.col("nc") - 1)).alias("j"),
+        F.col("chunk_ids").alias("xs"),
+    )
+    right = hot.select(
+        "band_idx",
+        "band_hash",
+        F.explode(F.sequence(F.lit(0), F.col("ci"))).alias("i"),
+        F.col("ci").alias("j"),
+        F.col("chunk_ids").alias("ys"),
+    )
+    joined = left.join(right, ["band_idx", "band_hash", "i", "j"])
+    n_part = int(
+        grouped.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    joined = joined.repartition(n_part, "band_idx", "band_hash", "i", "j")
     xs, ys = F.col("xs"), F.col("ys")
     tri = F.flatten(
         F.transform(
