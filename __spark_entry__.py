@@ -3406,6 +3406,74 @@ def q_mp3_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_avc_rows():
+    """Planted avc1 corpus (operators/avcparse): one base fixture encode
+    (40 samples, GOP 8 → 5 keyframes), a remux (same sample bytes,
+    different chunk layout), a keyframe-aligned trim (samples 8..31),
+    and an unrelated encode. Truth by construction."""
+    from datasketches_cpp_spark.operators.avcparse import (
+        remux,
+        synth_avc1_mp4,
+        trim_keyframe_aligned,
+    )
+
+    base = synth_avc1_mp4(40, gop=8, seed=451)
+    rows = [
+        ("a_base", base),
+        ("a_remux", remux(base, chunking=3)),
+        ("a_trim", trim_keyframe_aligned(base, 8, 24)),
+        ("a_other", synth_avc1_mp4(40, gop=8, seed=452)),
+    ]
+    truth = {
+        "a_base": "a_base",
+        "a_remux": "a_base",
+        "a_trim": "a_base",
+        "a_other": "a_other",
+    }
+    return rows, truth
+
+
+def q_avc_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain AVC/H.264 dedup (avcparse.dedup_avc): keyframe-
+    sample content hashes → shared-count pairs → CC. The remux and the
+    keyframe-aligned trim must cluster with the base encode with zero
+    pixel decode; truth by construction."""
+    from datasketches_cpp_spark.operators.avcparse import dedup_avc
+
+    rows, _ = _planted_avc_rows()
+    vids = spark.createDataFrame(rows, "video_id string, bytes binary")
+    return dedup_avc(vids, min_shared=2)["assignments"]
+
+
+def q_avc_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVC trim localization (avcparse.avc_containment — shared offset-
+    vote core over keyframe hashes): the trim localizes at sample offset
+    8 in both the base and its remux; base↔remux localize at 0 both
+    ways. Truth by construction."""
+    from datasketches_cpp_spark.operators.avcparse import avc_containment
+
+    rows, _ = _planted_avc_rows()
+    vids = spark.createDataFrame(rows, "video_id string, bytes binary")
+    return avc_containment(vids, min_aligned=2).select(
+        "clip_id", "track_id", "aligned_anchors", "frame_offset"
+    )
+
+
+def q_avc_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVC stream metadata (avcparse.avc_stream_meta): sample/keyframe
+    counts and the SPS's cropping-aware pixel dimensions, parsed via
+    exp-Golomb from the avcC record — VALUES-oracle-checkable because
+    the planted corpus is deterministic."""
+    from datasketches_cpp_spark.operators.avcparse import avc_stream_meta
+
+    rows, _ = _planted_avc_rows()
+    vids = spark.createDataFrame(rows, "video_id string, bytes binary")
+    return avc_stream_meta(vids).select(
+        "id", "n_samples", "n_keyframes", "width", "height",
+        "profile_idc", "nal_length_size",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "theta_distinct_orderkey": q_theta_distinct_orderkey,
@@ -3514,6 +3582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_dedup_planted": q_mp3_dedup_planted,
         "mp3_containment_planted": q_mp3_containment_planted,
         "mp3_stream_meta": q_mp3_stream_meta,
+        "avc_dedup_planted": q_avc_dedup_planted,
+        "avc_containment_planted": q_avc_containment_planted,
+        "avc_stream_meta": q_avc_stream_meta,
     }
     # Registry-coverage insurance (round 5): the driver's correctness gate
     # samples the FIRST 50 entries each round, so rounds 1-4 hash-checked
@@ -3528,6 +3599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_dedup_planted",
         "mp3_containment_planted",
         "mp3_stream_meta",
+        "avc_dedup_planted",
+        "avc_containment_planted",
+        "avc_stream_meta",
         "tiered_dedup_planted",
         "stream_tier_dedup_planted",
         "dup_ratio_plan",
@@ -4112,6 +4186,27 @@ def oracle_sql() -> dict[str, str]:
                 for c, t, a, o in _planted_mp3_containment_truth()
             )
             + ") AS t(clip_id, track_id, aligned_anchors, frame_offset)"
+        ),
+        "avc_dedup_planted": _planted_truth_sql(_planted_avc_rows()[1]),
+        "avc_containment_planted": (
+            "SELECT * FROM (VALUES "
+            "('a_trim', 'a_base', 3, 8), "
+            "('a_trim', 'a_remux', 3, 8), "
+            "('a_base', 'a_remux', 5, 0), "
+            "('a_remux', 'a_base', 5, 0)"
+            ") AS t(clip_id, track_id, aligned_anchors, frame_offset)"
+        ),
+        "avc_stream_meta": (
+            # truth by construction: 40 samples / GOP 8 -> keyframes at
+            # 0,8,16,24,32; trim keeps samples 8..31 -> 3 keyframes;
+            # SPS written for 640x360 baseline (profile 66), 4-byte NALs
+            "SELECT * FROM (VALUES "
+            "('a_base', 40, 5, 640, 360, 66, 4), "
+            "('a_remux', 40, 5, 640, 360, 66, 4), "
+            "('a_trim', 24, 3, 640, 360, 66, 4), "
+            "('a_other', 40, 5, 640, 360, 66, 4)"
+            ") AS t(id, n_samples, n_keyframes, width, height, "
+            "profile_idc, nal_length_size)"
         ),
         "mp3_stream_meta": (
             # truth from the frame arithmetic, not from the parser:

@@ -251,9 +251,12 @@ def decode_mp4(buf: bytes) -> tuple[bytes, int, int, int]:
             out[i] = np.frombuffer(buf, np.uint8, count=s, offset=o)
         return out.tobytes(), w, h, n
     raise Mp4Error(
-        f"MP4 video codec {entry_cc!r} unsupported; parsed here: "
-        "'jpeg'/'mjpa' (motion JPEG) and 'raw ' depth-24 RGB — compressed "
-        "bitstream codecs (avc1/hev1/mp4v/vp09/av01) are a documented seam"
+        f"MP4 video codec {entry_cc!r} unsupported for PIXEL decode; "
+        "parsed here: 'jpeg'/'mjpa' (motion JPEG) and 'raw ' depth-24 RGB. "
+        "avc1/avc3 tracks have full STRUCTURE support (sample tables, "
+        "keyframes, SPS dimensions) and compressed-domain dedup in "
+        "operators/avcparse.py; slice decode stays a documented seam "
+        "(as do hev1/mp4v/vp09/av01 entirely)"
     )
 
 
