@@ -303,7 +303,14 @@ class _BucketedStateStore:
             return 0  # every live slot is empty — nothing to fold
         tag = f"compacted_{int(time.time() * 1000):013d}"
         target = self._p(f"{name}/{tag}")
-        (df.write.mode("overwrite").partitionBy("bucket").parquet(target))
+        # repartition ON the bucket column before the fold write: without
+        # it every read task writes one file per bucket it holds, so the
+        # "compacted" dir fans out to O(read_partitions × num_buckets)
+        # files — the 500k profile measured 24k files in one fold output.
+        # Hashing each bucket to one task makes the output exactly one
+        # file per bucket: the O(num_buckets) contract this store promises.
+        (df.repartition(self.num_buckets, "bucket")
+           .write.mode("overwrite").partitionBy("bucket").parquet(target))
         manifest = self._p(f"{name}/_LIVE.json")
         prior_superseded: list[str] = []
         if self._hfs.exists(manifest):
@@ -407,6 +414,7 @@ class IncrementalDeduper(_BucketedStateStore):
         audio_fan_dt: int = 3,
         audio_min_shared: int = 8,
         audio_max_ids_per_landmark: int = 64,
+        compact_every: int = 0,
     ):
         super().__init__(spark, state_dir, num_buckets)
         self.cfg = cfg or SigConfig()
@@ -465,6 +473,15 @@ class IncrementalDeduper(_BucketedStateStore):
         self.audio_fan_dt = audio_fan_dt
         self.audio_min_shared = audio_min_shared
         self.audio_max_ids_per_landmark = audio_max_ids_per_landmark
+        # maintenance cadence: after every k-th COMMITTED epoch, fold the
+        # bucketed stores' epoch directories (compact_all) so file counts
+        # stay O(num_buckets) instead of O(num_buckets × epochs) — the
+        # 500k-image profile showed per-epoch wall creeping 74→210 s from
+        # listing 30k+ files/store without it (BENCH/stream_profile_r5.md).
+        # Deliberately NOT in _assert_config: cadence is operational, never
+        # semantic — any value may resume any state_dir and the assignments
+        # checksum is invariant to it (pinned in tests).
+        self.compact_every = int(compact_every)
         self._assert_config({
             # format 2 = incremental cluster maintenance (clusters_by_id/
             # clusters_by_cluster stores instead of a per-epoch full
@@ -637,6 +654,7 @@ class IncrementalDeduper(_BucketedStateStore):
         n = batch_df.count()
         if n == 0:
             self._mark_epoch(epoch_id, {"rows": 0})
+            self._maybe_compact(epoch_id, {"rows": 0})
             return
         lane_parts: list[tuple[str, DataFrame]] = []
         exact_edges = None
@@ -723,6 +741,26 @@ class IncrementalDeduper(_BucketedStateStore):
         meta.update(self._apply_edges(ids_new, new_edges, epoch_id))
         meta["cc_sec"] = round(time.time() - t_cc, 3)
         meta["wall_sec"] = round(time.time() - t0, 3)
+        self._mark_epoch(epoch_id, meta)
+        self._maybe_compact(epoch_id, meta)
+
+    def _maybe_compact(self, epoch_id: int, meta: dict) -> None:
+        """Scheduled maintenance at the tail of process_batch — AFTER
+        _mark_epoch, so compaction only ever sees committed epochs and a
+        crash mid-compaction replays nothing (the epoch is already done;
+        the half-written compacted_* dir is excluded by the _LIVE
+        manifest until the atomic swap). Cadence keys on epoch_id, so a
+        replayed epoch (early-returned above) never re-compacts and a
+        resumed run compacts at the same points the uninterrupted run
+        would. The fold duration lands in epochs.json so metrics() shows
+        maintenance cost next to cc_sec/wall_sec."""
+        if not self.compact_every or (epoch_id + 1) % self.compact_every:
+            return
+        t = time.time()
+        folded = self.compact_all()
+        meta = dict(meta)
+        meta["compact_sec"] = round(time.time() - t, 3)
+        meta["compact_folded"] = int(sum(folded.values()))
         self._mark_epoch(epoch_id, meta)
 
     # -- incremental connected components --------------------------------------
@@ -1166,6 +1204,8 @@ class IncrementalDeduper(_BucketedStateStore):
                 "moved_members": m.get("moved_members"),
                 "cc_sec": m.get("cc_sec"),
                 "wall_sec": m.get("wall_sec"),
+                "compact_sec": m.get("compact_sec"),
+                "compact_folded": m.get("compact_folded"),
             }
             for ep, m in sorted(done.items(), key=lambda kv: int(kv[0]))
         ]
@@ -1173,7 +1213,8 @@ class IncrementalDeduper(_BucketedStateStore):
             rows,
             "epoch int, rows bigint, novel_rows bigint, exact_collapsed "
             "bigint, fresh_ids bigint, moved_members bigint, cc_sec "
-            "double, wall_sec double",
+            "double, wall_sec double, compact_sec double, "
+            "compact_folded bigint",
         )
 
     def compact_clusters(self) -> int:
@@ -1204,6 +1245,7 @@ class IncrementalDeduper(_BucketedStateStore):
             tag = f"compacted_{int(time.time() * 1000):013d}"
             target = self._p(f"{name}/{tag}")
             (resolved.withColumn("bucket", self._bucket_expr(*key))
+             .repartition(self.num_buckets, "bucket")  # one file per bucket
              .write.mode("overwrite").partitionBy("bucket").parquet(target))
             manifest = self._p(f"{name}/_LIVE.json")
             prior: list[str] = []

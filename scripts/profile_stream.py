@@ -116,6 +116,12 @@ def run(work_dir: str, state_name: str) -> None:
     state_dir = os.path.join(work_dir, state_name)
     drops = os.path.join(work_dir, "drops")
 
+    # COMPACT_EVERY=k → the deduper's own maintenance cadence: fold
+    # committed epoch partitions into one directory per store every k
+    # epochs (per-epoch store directories otherwise accumulate
+    # O(buckets × epochs) small files and every probe pays the listing —
+    # the clean 500k run ended at 31,636 files per signature store).
+    compact_every = int(os.environ.get("COMPACT_EVERY", "0"))
     dd = IncrementalDeduper(
         spark,
         state_dir,
@@ -124,6 +130,7 @@ def run(work_dir: str, state_name: str) -> None:
         max_fanout=512,
         enable_lanes=("caption", "bytes", "phash"),
         exact_on=("bytes", "caption"),
+        compact_every=compact_every,
     )
 
     kill_after = int(os.environ.get("KILL_AFTER_EPOCHS", "0"))
@@ -145,13 +152,11 @@ def run(work_dir: str, state_name: str) -> None:
         threading.Thread(target=watcher, daemon=True).start()
 
     t0 = time.time()
-    q = dd.start(
-        drops,
+    schema = (
         "image_id string, bytes binary, w long, h long, fmt string, "
-        "caption string, phash long",
-        max_files_per_trigger=1,
-        available_now=True,
+        "caption string, phash long"
     )
+    q = dd.start(drops, schema, max_files_per_trigger=1, available_now=True)
     q.awaitTermination()
     wall = round(time.time() - t0, 2)
 
@@ -167,6 +172,10 @@ def run(work_dir: str, state_name: str) -> None:
         "assignments_checksum": ck,
         "n_assigned": int(ck.split(":", 1)[0]),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "compact_every": compact_every,
+        "compact_secs": [
+            m["compact_sec"] for m in metrics if m.get("compact_sec") is not None
+        ],
     }
     line = json.dumps(result)
     print(line)

@@ -413,6 +413,67 @@ def test_compact_all_folds_bucketed_stores_only(spark, corpus_pdf, tmp_path):
     assert dd.assignments().count() == 180
 
 
+def test_compact_every_cadence_semantically_invisible(spark, corpus_pdf, tmp_path):
+    """compact_every=k is the deduper's OWN maintenance cadence (folds the
+    bucketed stores after every k-th committed epoch, inside
+    process_batch, after the epoch commit). Operational only: assignments
+    checksum equals the never-compacted twin, file layout shrinks to the
+    compacted dir, metrics() reports compact_sec exactly on cadence
+    epochs, replaying a cadence epoch does NOT re-compact, and a resumed
+    deduper may change the cadence freely (not in the config
+    fingerprint)."""
+    chunks = [slice(0, 60), slice(60, 120), slice(120, 170), slice(170, 230)]
+
+    plain = IncrementalDeduper(
+        spark, str(tmp_path / "plain"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), exact_on=("caption",), num_buckets=8,
+    )
+    cadenced = IncrementalDeduper(
+        spark, str(tmp_path / "cad"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), exact_on=("caption",), num_buckets=8,
+        compact_every=2,
+    )
+    for epoch, sl in enumerate(chunks):
+        pdf = spark.createDataFrame(corpus_pdf.iloc[sl])
+        plain.process_batch(pdf, epoch)
+        cadenced.process_batch(pdf, epoch)
+
+    assert checksum(cadenced.assignments(), "id", "cluster_id") == checksum(
+        plain.assignments(), "id", "cluster_id"
+    )
+    # epochs 1 and 3 compacted: every bucketed store is down to ONE live
+    # dir (the epoch-3 fold ran after the last commit)
+    for store in ("sig_caption", "sig_caption_bands", "exact_keys"):
+        assert len(cadenced._live_epoch_dirs(store)) == 1, store
+        assert len(plain._live_epoch_dirs(store)) == len(chunks), store
+        # the fold output honors the O(num_buckets) FILE contract: one
+        # parquet file per bucket (the repartition-by-bucket write), not
+        # one per (read-partition × bucket)
+        (live,) = cadenced._live_epoch_dirs(store)
+        import glob as _glob
+        n_parquet = len(_glob.glob(os.path.join(
+            str(live).replace("file:", ""), "bucket=*", "*.parquet")))
+        assert 0 < n_parquet <= 8, (store, n_parquet)
+    m = {r["epoch"]: r for r in cadenced.metrics().collect()}
+    assert m[1]["compact_sec"] is not None and m[3]["compact_sec"] is not None
+    assert m[0]["compact_sec"] is None and m[2]["compact_sec"] is None
+    assert m[3]["compact_folded"] > 0
+
+    # replay of a committed cadence epoch: pure no-op, no re-fold (the
+    # post-replay layout still shows exactly the one compacted dir)
+    resumed = IncrementalDeduper(
+        spark, str(tmp_path / "cad"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), exact_on=("caption",), num_buckets=8,
+        compact_every=3,  # cadence change on resume is allowed
+    )
+    live_before = sorted(resumed._live_epoch_dirs("sig_caption"))
+    resumed.process_batch(spark.createDataFrame(corpus_pdf.iloc[chunks[3]]), 3)
+    assert sorted(resumed._live_epoch_dirs("sig_caption")) == live_before
+    assert checksum(resumed.assignments(), "id", "cluster_id") == checksum(
+        plain.assignments(), "id", "cluster_id"
+    )
+
+
 def test_dhash_lane_matches_batch(spark, corpus_pdf, tmp_path):
     """Streaming gradient-sign dHash lane: micro-batched epochs equal
     the one-shot batch dedup_images(enable_lanes=("dhash",)) run —
