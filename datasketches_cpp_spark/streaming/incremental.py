@@ -226,7 +226,14 @@ class _BucketedStateStore:
 
     def _write_epoch_bucketed(self, name: str, df: DataFrame, epoch_id: int,
                               key_cols: list[str]) -> None:
+        # repartition on bucket before the write: one file per bucket per
+        # epoch instead of one per (task × bucket) — the 500k profile
+        # measured ~2.8k files per epoch per store without it (44 write
+        # tasks × 64 buckets), which every bucket-pruned probe pays in
+        # listings and every fold pays in opens. The narrow extra shuffle
+        # is per-epoch signature data (MBs), dwarfed by the lane joins.
         (df.withColumn("bucket", self._bucket_expr(*key_cols))
+           .repartition(self.num_buckets, "bucket")
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(self._p(f"{name}/epoch_{epoch_id:012d}")))
 
