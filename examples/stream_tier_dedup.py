@@ -17,8 +17,10 @@ bytes/phash near lanes, so:
     edges against the stored representative;
   * the run then restarts from the same state dir and replays the last
     epoch (at-least-once delivery) — a no-op by epoch manifest;
-  * compact_all folds every bucketed store back to O(num_buckets)
-    files, read-identically.
+  * the deduper maintains its own stores (`compact_every=2`): every 2nd
+    committed epoch folds the bucketed stores back to O(num_buckets)
+    files, read-identically (compact_sec lands in the epoch funnel);
+    a final explicit compact_all shows the manual maintenance call too.
 
 Asserts planted-truth cluster recovery, the replay no-op, and
 compaction identity; prints the per-epoch novel/collapsed funnel.
@@ -83,6 +85,10 @@ state = os.path.join(root, "state")
 dd = IncrementalDeduper(
     spark, state, SigConfig(), enable_lanes=("bytes", "phash"),
     exact_on=("bytes", "caption"), num_buckets=32,
+    # self-maintaining store: fold epoch partitions every 2nd committed
+    # epoch — cadence is operational only (not in the config fingerprint,
+    # checksum-invariant); the 500k profile runs 1455->492 s with it
+    compact_every=2,
 )
 for e, rows in enumerate(epochs):
     dd.process_batch(spark.createDataFrame(rows, SCHEMA), e)
@@ -91,8 +97,9 @@ meta = json.load(open(os.path.join(state, "epochs.json")))["done"]
 print("epoch funnel (rows -> novel, collapsed, wall):")
 for e in sorted(meta, key=int):
     m = meta[e]
+    comp = f" compact={m['compact_sec']}s" if m.get("compact_sec") else ""
     print(f"  epoch {e}: rows={m['rows']} novel={m.get('novel_rows', m['rows'])}"
-          f" collapsed={m.get('exact_collapsed', 0)} wall={m['wall_sec']}s")
+          f" collapsed={m.get('exact_collapsed', 0)} wall={m['wall_sec']}s{comp}")
 
 # truth is min-id per content group: re-crawl reps are original uids,
 # and cluster ids are component minima, which is exactly the rep id
