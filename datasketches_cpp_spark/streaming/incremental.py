@@ -185,20 +185,36 @@ class _BucketedStateStore:
         return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
 
     def _live_epoch_dirs(self, name: str) -> list[str]:
+        """Visibility rule (the compaction commit protocol's read side):
+        epoch_* dirs are live unless named in the manifest's `superseded`
+        list; compacted_* dirs are live ONLY if named in the manifest's
+        `live` list. A compacted_* dir exists on disk but not in any
+        manifest exactly when a crash landed between the fold write and
+        the atomic manifest swap — treating it as live (the old rule:
+        "anything not superseded") would read the folded rows TWICE next
+        to their still-live source epoch dirs, or crash every probe on a
+        half-written parquet directory. Such orphans are invisible here
+        and garbage-collected by the next compact_store."""
         root = self._p(name)
         on_disk = [d for d in self._hfs.list_dirs(root)
                    if d.startswith("epoch_") or d.startswith("compacted_")]
         if not on_disk:
             return []
         manifest = HadoopFS.join(root, "_LIVE.json")
+        live_gens: set = set()
+        superseded: set = set()
         if self._hfs.exists(manifest):
             m = json.loads(self._hfs.read_bytes(manifest).decode())
             superseded = set(m.get("superseded", []))
-            # live = compacted output + anything written after the swap;
-            # directories named in `superseded` are folded-in duplicates
-            # (possibly orphaned by a crash before their delete) — excluded
-            on_disk = [d for d in on_disk if d not in superseded]
-        return [HadoopFS.join(root, d) for d in on_disk]
+            live_gens = set(m.get("live", []))
+        out = []
+        for d in on_disk:
+            if d.startswith("compacted_"):
+                if d in live_gens:
+                    out.append(d)
+            elif d not in superseded:
+                out.append(d)
+        return [HadoopFS.join(root, d) for d in out]
 
     def _committed_epoch_dirs(self, name: str) -> list[str]:
         """Live epoch directories that are safe to COMPACT: compacted_*
@@ -290,22 +306,76 @@ class _BucketedStateStore:
         )
         return sorted(int(r["bucket"]) for r in rows)
 
+    def _tree_size(self, path: str) -> int:
+        """Recursive byte size of a store directory (bucket=Y children +
+        files) — the input to the tiered-fold doubling rule."""
+        total = sum(sz for _n, sz in self._hfs.list_files(path))
+        for d in self._hfs.list_dirs(path):
+            total += self._tree_size(HadoopFS.join(path, d))
+        return total
+
     def compact_store(self, name: str) -> int:
-        """Fold the COMMITTED live epoch directories of a bucketed store
-        into one compacted directory (file count back to O(num_buckets)).
-        Only epochs marked done in epochs.json fold — an uncommitted
-        epoch_* slot left by a crash before _mark_epoch stays live
-        untouched, so the redelivered epoch's exclude_epoch probe can
-        still see past it (folding it would launder mid-flight data into
-        prior state). Commit protocol: write the merged directory,
-        atomically swap the _LIVE manifest to point at it, then delete the
-        superseded directories (crash between the last two steps leaves
-        harmless orphans that the manifest already excludes). Returns the
-        number of directories folded."""
-        dirs = self._committed_epoch_dirs(name)
-        if len(dirs) <= 1:
-            return 0
-        df = self._read_bucketed(name, dirs=dirs)
+        """Fold COMMITTED epoch directories of a bucketed store into a
+        compacted GENERATION (one file per bucket). Only epochs marked
+        done in epochs.json fold — an uncommitted epoch_* slot left by a
+        crash before _mark_epoch stays live untouched, so the redelivered
+        epoch's exclude_epoch probe can still see past it (folding it
+        would launder mid-flight data into prior state).
+
+        Tiered, not monolithic: a routine fold touches only the NEW epoch
+        deltas (cost O(data since last fold)); live generations merge
+        only under the doubling rule — when the younger generations plus
+        the incoming deltas together outweigh the oldest generation —
+        so total fold I/O over a stream's lifetime is O(N log N), never
+        the O(N²/cadence) of rewriting the whole store every fold. Live
+        directory count stays O(log) (in practice ≤3), so probe listings
+        stay O(files-per-bucket × generations).
+
+        Commit protocol: write the merged directory, atomically swap the
+        _LIVE manifest (live = surviving generations + the new one), then
+        delete the superseded directories. A crash BEFORE the swap leaves
+        the half-written dir invisible (_live_epoch_dirs admits compacted
+        dirs only via the manifest's `live` list) and it is deleted here
+        as an orphan on the next fold; a crash AFTER the swap leaves
+        already-excluded superseded dirs for the same cleanup. Returns
+        the number of directories folded."""
+        committed = self._committed_epoch_dirs(name)
+        epoch_dirs = [d for d in committed
+                      if d.rstrip("/").rsplit("/", 1)[-1].startswith("epoch_")]
+        gen_dirs = sorted(
+            d for d in committed
+            if d.rstrip("/").rsplit("/", 1)[-1].startswith("compacted_")
+        )  # tag = creation ms ⇒ lexicographic = chronological
+        manifest = self._p(f"{name}/_LIVE.json")
+        prior_live: set = set()
+        prior_superseded: set = set()
+        if self._hfs.exists(manifest):
+            m = json.loads(self._hfs.read_bytes(manifest).decode())
+            prior_live = set(m.get("live", []))
+            prior_superseded = set(m.get("superseded", []))
+        # garbage-collect orphans: compacted_* on disk referenced by no
+        # manifest list — a fold that crashed before its swap
+        for d in self._hfs.list_dirs(self._p(name)):
+            if (d.startswith("compacted_") and d not in prior_live
+                    and d not in prior_superseded):
+                try:
+                    self._hfs.delete(self._p(f"{name}/{d}"), recursive=True)
+                except Exception:
+                    pass
+
+        if not epoch_dirs:
+            return 0  # no new deltas — nothing to fold
+        full_merge = False
+        if gen_dirs:
+            oldest = gen_dirs[0]
+            young_and_delta = sum(
+                self._tree_size(d) for d in gen_dirs[1:] + epoch_dirs
+            )
+            full_merge = young_and_delta >= self._tree_size(oldest)
+        to_fold = epoch_dirs + (gen_dirs if full_merge else [])
+        if len(to_fold) <= 1 and not full_merge:
+            return 0  # a single delta dir is already one file per bucket
+        df = self._read_bucketed(name, dirs=to_fold)
         if df is None:
             return 0  # every live slot is empty — nothing to fold
         tag = f"compacted_{int(time.time() * 1000):013d}"
@@ -318,24 +388,22 @@ class _BucketedStateStore:
         # file per bucket: the O(num_buckets) contract this store promises.
         (df.repartition(self.num_buckets, "bucket")
            .write.mode("overwrite").partitionBy("bucket").parquet(target))
-        manifest = self._p(f"{name}/_LIVE.json")
-        prior_superseded: list[str] = []
-        if self._hfs.exists(manifest):
-            prior_superseded = json.loads(
-                self._hfs.read_bytes(manifest).decode()
-            ).get("superseded", [])
-        folded = sorted(
-            {d.rstrip("/").rsplit("/", 1)[-1] for d in dirs} | set(prior_superseded)
-        )
+        folded_names = {d.rstrip("/").rsplit("/", 1)[-1] for d in to_fold}
+        live = ([] if full_merge else
+                [d.rstrip("/").rsplit("/", 1)[-1] for d in gen_dirs]) + [tag]
         self._hfs.write_bytes_atomic(
-            manifest, json.dumps({"live": [tag], "superseded": folded}).encode()
+            manifest,
+            json.dumps({
+                "live": sorted(live),
+                "superseded": sorted(folded_names | prior_superseded),
+            }).encode(),
         )
-        for d in dirs:
+        for d in to_fold:
             try:
                 self._hfs.delete(d, recursive=True)
             except Exception:
                 pass  # orphan stays excluded via the manifest
-        return len(dirs)
+        return len(to_fold)
 
     def compact_all(self) -> dict[str, int]:
         """Run compact_store over every bucketed store under state_dir

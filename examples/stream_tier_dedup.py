@@ -97,7 +97,8 @@ meta = json.load(open(os.path.join(state, "epochs.json")))["done"]
 print("epoch funnel (rows -> novel, collapsed, wall):")
 for e in sorted(meta, key=int):
     m = meta[e]
-    comp = f" compact={m['compact_sec']}s" if m.get("compact_sec") else ""
+    comp = (f" compact={m['compact_sec']}s"
+            if m.get("compact_sec") is not None else "")
     print(f"  epoch {e}: rows={m['rows']} novel={m.get('novel_rows', m['rows'])}"
           f" collapsed={m.get('exact_collapsed', 0)} wall={m['wall_sec']}s{comp}")
 

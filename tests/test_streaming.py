@@ -441,19 +441,25 @@ def test_compact_every_cadence_semantically_invisible(spark, corpus_pdf, tmp_pat
     assert checksum(cadenced.assignments(), "id", "cluster_id") == checksum(
         plain.assignments(), "id", "cluster_id"
     )
-    # epochs 1 and 3 compacted: every bucketed store is down to ONE live
-    # dir (the epoch-3 fold ran after the last commit)
+    # epochs 1 and 3 compacted; folds are TIERED (delta generations under
+    # the doubling rule), so live dirs are a couple of generations — never
+    # the per-epoch pile-up of the unmaintained twin
+    import glob as _glob
     for store in ("sig_caption", "sig_caption_bands", "exact_keys"):
-        assert len(cadenced._live_epoch_dirs(store)) == 1, store
+        live = cadenced._live_epoch_dirs(store)
+        assert 1 <= len(live) <= 2, (store, live)
+        assert all(
+            d.rstrip("/").rsplit("/", 1)[-1].startswith("compacted_")
+            for d in live
+        ), (store, live)
         assert len(plain._live_epoch_dirs(store)) == len(chunks), store
-        # the fold output honors the O(num_buckets) FILE contract: one
+        # every fold output honors the O(num_buckets) FILE contract: one
         # parquet file per bucket (the repartition-by-bucket write), not
         # one per (read-partition × bucket)
-        (live,) = cadenced._live_epoch_dirs(store)
-        import glob as _glob
-        n_parquet = len(_glob.glob(os.path.join(
-            str(live).replace("file:", ""), "bucket=*", "*.parquet")))
-        assert 0 < n_parquet <= 8, (store, n_parquet)
+        for d in live:
+            n_parquet = len(_glob.glob(os.path.join(
+                str(d).replace("file:", ""), "bucket=*", "*.parquet")))
+            assert 0 < n_parquet <= 8, (store, d, n_parquet)
     m = {r["epoch"]: r for r in cadenced.metrics().collect()}
     assert m[1]["compact_sec"] is not None and m[3]["compact_sec"] is not None
     assert m[0]["compact_sec"] is None and m[2]["compact_sec"] is None
@@ -464,7 +470,9 @@ def test_compact_every_cadence_semantically_invisible(spark, corpus_pdf, tmp_pat
     resumed = IncrementalDeduper(
         spark, str(tmp_path / "cad"), CFG, BYTES_CFG,
         enable_lanes=("caption",), exact_on=("caption",), num_buckets=8,
-        compact_every=3,  # cadence change on resume is allowed
+        compact_every=2,  # cadence change on resume is allowed; epoch 3
+        # IS a cadence epoch under it, so this replay exercises the
+        # cadence branch itself (not just a non-firing modulus)
     )
     live_before = sorted(resumed._live_epoch_dirs("sig_caption"))
     resumed.process_batch(spark.createDataFrame(corpus_pdf.iloc[chunks[3]]), 3)
@@ -472,6 +480,105 @@ def test_compact_every_cadence_semantically_invisible(spark, corpus_pdf, tmp_pat
     assert checksum(resumed.assignments(), "id", "cluster_id") == checksum(
         plain.assignments(), "id", "cluster_id"
     )
+
+
+def test_fold_crash_before_manifest_swap_is_invisible(spark, corpus_pdf, tmp_path):
+    """A fold that crashes AFTER writing its compacted_* target but
+    BEFORE the atomic _LIVE.json swap must leave no trace in reads:
+    compacted dirs are live ONLY via the manifest's `live` list, so the
+    orphan (possibly half-written, unreadable parquet) is invisible to
+    every probe, never double-counts against its still-live source epoch
+    dirs, and is garbage-collected by the next compact_store."""
+    import shutil
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), exact_on=("caption",), num_buckets=8,
+    )
+    for epoch, sl in enumerate([slice(0, 60), slice(60, 120)]):
+        dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[sl]), epoch)
+    store = "sig_caption"
+    rows_before = dd._read_bucketed(store).count()
+    cs = checksum(dd.assignments(), "id", "cluster_id")
+
+    # simulate the pre-swap crash: a fold target exists on disk (here: a
+    # bit-identical copy of epoch 0's data — the worst case, real rows
+    # that would double-count) but no manifest references it
+    root = tmp_path / "state" / store
+    orphan = root / "compacted_9999999999999"
+    shutil.copytree(str(root / "epoch_000000000000"), str(orphan))
+    assert not any(
+        "compacted_9999999999999" in d for d in dd._live_epoch_dirs(store)
+    )
+    assert dd._read_bucketed(store).count() == rows_before  # no double-read
+    assert checksum(dd.assignments(), "id", "cluster_id") == cs
+
+    # half-written variant in a second store: an unreadable fold target
+    # must not break probes either
+    broken = tmp_path / "state" / "sig_caption_bands" / "compacted_9999999999998"
+    broken.mkdir()
+    (broken / "_temporary").mkdir()
+    (broken / "part-00000.parquet.crc").write_bytes(b"\x00" * 8)
+    band_rows = dd._read_bucketed("sig_caption_bands").count()
+    assert band_rows > 0
+
+    # the next fold garbage-collects the orphan and commits normally
+    folded = dd.compact_store(store)
+    assert folded == 2
+    assert not orphan.exists()
+    assert dd._read_bucketed(store).count() == rows_before
+    assert checksum(dd.assignments(), "id", "cluster_id") == cs
+
+
+def test_tiered_fold_doubling_rule(spark, corpus_pdf, tmp_path):
+    """Routine folds touch only the new epoch deltas (generation count
+    grows to 2); the generations merge only when the accumulated deltas
+    outweigh the oldest generation — bounding lifetime fold I/O at
+    O(N log N) instead of O(N²/cadence) full rewrites."""
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), exact_on=("caption",), num_buckets=8,
+    )
+    store = "sig_caption"
+    # big first generation: epochs 0-2 folded together
+    for epoch, sl in enumerate([slice(0, 60), slice(60, 120), slice(120, 180)]):
+        dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[sl]), epoch)
+    pre = dd._read_bucketed(store).count()
+    assert dd.compact_store(store) == 3
+    gens = [d for d in dd._live_epoch_dirs(store)]
+    assert len(gens) == 1
+    assert dd._read_bucketed(store).count() == pre  # fold is read-identity
+
+    # small delta: epoch 3 — a single already-one-file-per-bucket delta
+    # dir is never folded alone (no-op, deterministic)
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[180:210]), 3)
+    assert dd.compact_store(store) == 0
+    # two deltas DO fold; whether g1 joins the fold depends on the byte
+    # doubling rule (at unit scale parquet overhead can dominate, so pin
+    # the invariants, not the branch): 2 = delta-only fold, 3 = full merge
+    dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[210:240]), 4)
+    pre = dd._read_bucketed(store).count()
+    folded = dd.compact_store(store)
+    assert folded in (2, 3)
+    live = sorted(dd._live_epoch_dirs(store))
+    assert 1 <= len(live) <= 2
+    if len(live) == 2:
+        assert live[0] in gens  # delta fold left the oldest gen intact
+    assert dd._read_bucketed(store).count() == pre  # fold is read-identity
+
+    # deltas keep accumulating across further folds → generation count
+    # stays BOUNDED (the doubling rule merges before generations pile up)
+    # and every fold stays a read-identity
+    start = 240
+    for epoch in range(5, 9):
+        sl = slice(start, start + 40)
+        start += 40
+        dd.process_batch(spark.createDataFrame(corpus_pdf.iloc[sl]), epoch)
+        pre = dd._read_bucketed(store).count()
+        dd.compact_store(store)
+        assert dd._read_bucketed(store).count() == pre
+        assert len(dd._live_epoch_dirs(store)) <= 3  # bounded, always
+    assert dd.assignments().count() == start  # ids cover every row
 
 
 def test_dhash_lane_matches_batch(spark, corpus_pdf, tmp_path):
