@@ -665,10 +665,16 @@ def _build_avc1_container(
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n_samples, 512))
     n_chunks = (n_samples + chunking - 1) // chunking
-    stsc_runs = [(1, chunking, 1)]
     last = n_samples - (n_chunks - 1) * chunking
-    if last != chunking:
-        stsc_runs.append((n_chunks, last, 1))
+    if n_chunks == 1:
+        # a single (short) chunk must be ONE run — emitting the generic
+        # [(1, chunking), (1, last)] pair here put two runs at
+        # first_chunk=1, an stsc no parser (including ours) accepts
+        stsc_runs = [(1, last, 1)]
+    else:
+        stsc_runs = [(1, chunking, 1)]
+        if last != chunking:
+            stsc_runs.append((n_chunks, last, 1))
     stsc = _full(
         b"stsc",
         0,

@@ -259,6 +259,11 @@ def semantic_dedup(
         base = assigned.select(
             F.col("id"), F.col("list_id").alias("bucket"), F.col("vec")
         )
+        # base feeds FOUR consumers below (bands, va, vb, ids); without a
+        # checkpoint Spark re-runs the ivf_assign mapInPandas kernel — a
+        # full-corpus Python matmul pass — once per consumer (the same
+        # multi-consumer discipline as containment_from_landmarks)
+        base = base.localCheckpoint(eager=False)
     else:
         base = df.select(
             F.col(id_col).alias("id"),
@@ -409,6 +414,55 @@ def _bounded_vec_sample(
     return np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
 
 
+# With adaptive SemDeDup k (up to 65536 centroids), a monolithic
+# sims = X @ C.T materializes len(X) × k float32 — ~52 GB at the
+# 200k-sample / 65536-centroid regime the adaptivity targets. Above
+# _CENT_BLOCK centroids the argmax/top-n runs block-wise over C with a
+# running best, bounding memory at len(X) × _CENT_BLOCK while computing
+# the same dot products; at or below the threshold the original
+# single-matmul path runs, keeping every small-k result bit-identical
+# (BLAS float32 accumulation can differ in the last ulp across matrix
+# shapes, so the tested/oracle-checked small-k regime never switches).
+_CENT_BLOCK = 4096
+
+
+def _blocked_argmax(x: np.ndarray, cent: np.ndarray,
+                    block: int = _CENT_BLOCK) -> np.ndarray:
+    """argmax_j (x @ cent.T)[i, j] with memory O(len(x) × block).
+    Strict-greater updates keep the earliest index on ties — the same
+    tie rule as np.argmax over the full matrix."""
+    best = np.full(len(x), -np.inf, dtype=np.float32)
+    idx = np.zeros(len(x), dtype=np.int64)
+    for s in range(0, len(cent), block):
+        sims = x @ cent[s:s + block].T
+        bi = sims.argmax(axis=1)
+        bv = sims[np.arange(len(x)), bi]
+        upd = bv > best
+        best[upd] = bv[upd]
+        idx[upd] = bi[upd] + s
+    return idx
+
+
+def _blocked_topn(x: np.ndarray, cent: np.ndarray, n: int,
+                  block: int = _CENT_BLOCK) -> np.ndarray:
+    """Top-n centroid indices by similarity per row, descending, with
+    memory O(len(x) × (block + n))."""
+    best_val = np.full((len(x), 0), -np.inf, dtype=np.float32)
+    best_idx = np.zeros((len(x), 0), dtype=np.int64)
+    for s in range(0, len(cent), block):
+        sims = x @ cent[s:s + block].T
+        ids = np.arange(s, s + sims.shape[1], dtype=np.int64)
+        cand_val = np.concatenate(
+            [best_val, sims], axis=1)
+        cand_idx = np.concatenate(
+            [best_idx, np.broadcast_to(ids, sims.shape)], axis=1)
+        order = np.argsort(-cand_val, axis=1)[:, :n]
+        rows = np.arange(len(x))[:, None]
+        best_val = cand_val[rows, order]
+        best_idx = cand_idx[rows, order]
+    return best_idx
+
+
 def ivf_train_centroids(
     df: DataFrame,
     dim: int | None = None,
@@ -429,13 +483,28 @@ def ivf_train_centroids(
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):
-        sims = sample @ cent.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-9)
+        if len(cent) <= _CENT_BLOCK:
+            sims = sample @ cent.T
+            assign = sims.argmax(axis=1)
+            for c in range(len(cent)):
+                members = sample[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    cent[c] = v / max(np.linalg.norm(v), 1e-9)
+        else:
+            # big-k regime: blocked argmax (memory-bounded, above) and a
+            # sort-grouped mean update — O(occupied clusters), never an
+            # O(k) scan of mostly-empty clusters per iteration. Stable
+            # sort keeps each cluster's members in original order, so
+            # the per-cluster mean is bit-identical to the masked path.
+            assign = _blocked_argmax(sample, cent)
+            order = np.argsort(assign, kind="stable")
+            sa = assign[order]
+            starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+            for i, st in enumerate(starts):
+                en = starts[i + 1] if i + 1 < len(starts) else len(sa)
+                v = sample[order[st:en]].mean(axis=0)
+                cent[sa[st]] = v / max(np.linalg.norm(v), 1e-9)
     return cent
 
 
@@ -463,8 +532,14 @@ def ivf_assign(
                 continue
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
             norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
-            sims = norm @ cent.T  # (n, C)
-            top = np.argsort(-sims, axis=1)[:, :nprobe]  # (n, nprobe)
+            if len(cent) <= _CENT_BLOCK:
+                sims = norm @ cent.T  # (n, C)
+                top = np.argsort(-sims, axis=1)[:, :nprobe]  # (n, nprobe)
+            else:
+                # adaptive-k regime: a 10k-row Arrow batch × 65536
+                # centroids would be a 2.6 GB sims matrix per Python
+                # worker — run the top-n block-wise instead
+                top = _blocked_topn(norm, cent, nprobe)
             yield pd.DataFrame(
                 {
                     "id": np.repeat(pdf[id_col].to_numpy(), nprobe),

@@ -148,6 +148,7 @@ def parse_frames(buf: bytes) -> dict:
     junk = 0
     pos = 0
     sig = None  # (version, layer, sr_idx)
+    saw_free_format = False
     while pos + 4 <= n:
         b0, b1, b2 = body[pos], body[pos + 1], body[pos + 2]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -164,10 +165,16 @@ def parse_frames(buf: bytes) -> dict:
             junk += 1
             continue
         if br_idx == 0:
-            raise Mp3Error(
-                "free-format MPEG audio (bitrate index 0) has no "
-                "header-derivable frame length; unsupported at this seam"
-            )
+            # free-format: no header-derivable frame length. Mid-stream
+            # this is overwhelmingly a junk byte that happens to look
+            # like a sync word — resync past it like every other invalid
+            # header (a hard raise here would kill a whole Spark task on
+            # one recoverable stream). Only if the WHOLE stream yields no
+            # length-derivable frame does it raise as the honest seam.
+            saw_free_format = True
+            pos += 1
+            junk += 1
+            continue
         if sig is None:
             sig = (version, layer, sr_idx)
         elif (version, layer, sr_idx) != sig:
@@ -185,16 +192,23 @@ def parse_frames(buf: bytes) -> dict:
         brs.append(br)
         pos += flen
     if sig is None:
+        if saw_free_format:
+            raise Mp3Error(
+                "free-format MPEG audio (bitrate index 0) has no "
+                "header-derivable frame length; unsupported at this seam"
+            )
         raise Mp3Error("no valid MPEG audio frame found")
     version, layer, sr_idx = sig
     mode = (body[offsets[0] + 3] >> 6) & 0x03 if offsets else 3
     has_vbr = False
-    if offsets:
+    if offsets and layer == 1:  # Xing/Info/VBRI are Layer-III headers
         f0 = body[offsets[0]:offsets[0] + lengths[0]]
         # Xing/Info lives after the Layer-III side info: MPEG1 32 bytes
-        # stereo-ish / 17 mono; MPEG2/2.5 17 / 9 — plus the 4-byte header
+        # stereo-ish / 17 mono; MPEG2/2.5 17 / 9 — plus the 4-byte frame
+        # header AND the 2-byte CRC when protection_bit=0 (CRC present)
         side = {3: (17, 32)}.get(version, (9, 17))[0 if mode == 3 else 1]
-        tag_off = 4 + side
+        crc = 0 if (body[offsets[0] + 1] & 0x01) else 2
+        tag_off = 4 + crc + side
         has_vbr = f0[tag_off:tag_off + 4] in (b"Xing", b"Info") or (
             b"VBRI" in f0[:64]
         )

@@ -106,10 +106,19 @@ def main() -> None:
         F.col("id"),
     ).localCheckpoint(eager=True)
 
+    # background bands key on ABSOLUTE id // bg_group, so when hot_rows
+    # isn't a multiple of bg_group the first and last background bands
+    # are partial — count each band's true membership rather than
+    # assuming groups fill sequentially from hot_rows
+    import numpy as np
+
     expect_pairs = hot_rows * (hot_rows - 1) // 2
-    n_bg = n_rows - hot_rows
-    expect_pairs += (n_bg // bg_group) * (bg_group * (bg_group - 1) // 2)
-    expect_pairs += (n_bg % bg_group) * (n_bg % bg_group - 1) // 2
+    if n_rows > hot_rows:
+        g = np.arange(hot_rows // bg_group, (n_rows - 1) // bg_group + 1,
+                      dtype=np.int64)
+        cnt = (np.minimum((g + 1) * bg_group, n_rows)
+               - np.maximum(g * bg_group, hot_rows))
+        expect_pairs += int((cnt * (cnt - 1) // 2).sum())
 
     results = {}
     cc_checks = {}

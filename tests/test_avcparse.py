@@ -149,3 +149,21 @@ def test_avc_containment_offsets(avc_corpus):
     assert out[("a_remux", "a_base")] == (5, 0)
     assert ("a_trim", "a_other") not in out
     assert len(out) == 4
+
+
+def test_short_file_roundtrips():
+    """Fixtures shorter than one full chunk (n_samples < chunking) must
+    emit a single-run stsc the parser accepts — the two-runs-at-
+    first_chunk=1 layout it used to write is invalid ISO-BMFF."""
+    for n in (1, 2, 4):
+        buf = synth_avc1_mp4(n, seed=n)
+        t = parse_avc_track(buf)
+        assert t["n_samples"] == n
+    # trim down to a sub-chunk tail and re-parse
+    buf = synth_avc1_mp4(9, seed=3)
+    t = parse_avc_track(buf)
+    k0 = int(t["keyframes"][-1])
+    n_tail = t["n_samples"] - k0
+    if 0 < n_tail < 5:
+        short = trim_keyframe_aligned(buf, k0, n_tail)
+        assert parse_avc_track(short)["n_samples"] == n_tail

@@ -186,3 +186,36 @@ def test_mp3_frame_landmarks_schema(mp3_corpus):
         __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
     ).collect()}
     assert counts["m_base"] == 40 and counts["m_excerpt"] == 10
+
+
+def test_midstream_free_format_lookalike_resyncs():
+    """Junk bytes that happen to form a valid sync with bitrate index 0
+    (a free-format header lookalike) mid-stream must be RESYNCED past
+    like any other invalid header, not abort the whole stream — one
+    recoverable real-world file must never kill a Spark task."""
+    buf = synth_mp3_stream(8, seed=5)
+    info = parse_frames(buf)
+    cut = int(info["offsets"][4])
+    junk = bytes([0xFF, 0xFB, 0x00, 0x44])  # sync ok, br_idx=0
+    dirty = buf[:cut] + junk + buf[cut:]
+    got = parse_frames(dirty)
+    assert len(got["offsets"]) == len(info["offsets"])
+    assert got["junk_bytes"] == info["junk_bytes"] + len(junk)
+    # a stream that is ONLY free-format lookalikes still raises the seam
+    with pytest.raises(Mp3Error, match="free-format"):
+        parse_frames(junk * 30)
+
+
+def test_crc_protected_xing_detected():
+    """Xing after the 2-byte CRC (protection_bit=0): the VBR tag offset
+    must account for the CRC or a CRC-protected VBR file reads as CBR."""
+    buf = bytearray(synth_mp3_stream(6, seed=9))
+    info = parse_frames(buf)
+    off = int(info["offsets"][0])
+    # flip frame 0 to CRC-protected and plant Xing at 4 + 2 + side
+    buf[off + 1] &= 0xFE
+    side = 17 if ((buf[off + 3] >> 6) & 0x03) == 3 else 32
+    tag = off + 4 + 2 + side
+    buf[tag:tag + 4] = b"Xing"
+    got = parse_frames(bytes(buf))
+    assert got["has_vbr_header"] is True

@@ -274,3 +274,56 @@ def test_semantic_dedup_adaptive_centroids(spark, emb):
     for r in out:
         if not r.is_kept:
             assert bucket_of[r.rep_id] == r.bucket
+
+
+def test_blocked_centroid_search_matches_direct():
+    """Above _CENT_BLOCK centroids the argmax/top-n run block-wise with
+    a running best (memory O(rows × block) instead of rows × k — the
+    52 GB regime at 200k samples × 65536 adaptive centroids). The
+    blocked search must agree with the monolithic matmul: identical
+    argmax choices up to BLAS last-ulp ties, and every chosen index
+    achieving the row's max similarity."""
+    from datasketches_cpp_spark.operators.knn import (
+        _blocked_argmax, _blocked_topn,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(64, 12)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cent = rng.normal(size=(37, 12)).astype(np.float32)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    sims = x @ cent.T
+    got = _blocked_argmax(x, cent, block=8)
+    rows = np.arange(len(x))
+    assert np.allclose(sims[rows, got], sims.max(axis=1), atol=1e-6)
+    # random continuous sims: no ties, so the choice is exact
+    assert np.array_equal(got, sims.argmax(axis=1))
+
+    top = _blocked_topn(x, cent, 3, block=8)
+    want = np.argsort(-sims, axis=1)[:, :3]
+    assert np.array_equal(top, want)
+    # degenerate block bigger than k = single pass = direct
+    assert np.array_equal(_blocked_argmax(x, cent, block=512), got)
+
+
+def test_lloyd_big_k_branch_matches_small_k(monkeypatch):
+    """Force the big-k Lloyd branch (blocked argmax + sort-grouped mean
+    update) by shrinking the block threshold: centroids must match the
+    monolithic branch to float tolerance on the same sample."""
+    import datasketches_cpp_spark.operators.knn as knn
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(300, 8)).astype(np.float32)
+
+    class FakeDF:  # _bounded_vec_sample is monkeypatched around it
+        pass
+
+    monkeypatch.setattr(
+        knn, "_bounded_vec_sample", lambda df, c, s, seed: data.copy()
+    )
+    small = knn.ivf_train_centroids(FakeDF(), n_centroids=24, seed=3)
+    monkeypatch.setattr(knn, "_CENT_BLOCK", 7)
+    big = knn.ivf_train_centroids(FakeDF(), n_centroids=24, seed=3)
+    assert small.shape == big.shape == (24, 8)
+    assert np.allclose(small, big, atol=1e-5)
