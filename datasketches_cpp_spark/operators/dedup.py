@@ -46,16 +46,127 @@ def dedup(
     """
     cfg = cfg or SigConfig()
     if sig_df is None:
+        # signatures feed THREE consumers (banding + both verify sides);
+        # without a checkpoint Catalyst clones the Python signature stage
+        # into each subtree and the scan+hash work runs 3× per action
+        # (guide §2.4: share the computation, r6 measurement: the sig
+        # stage alone is ~1.3 s warm at 50k docs, ×3 in the old plan)
         sig_df = compute_signatures(
             df, id_col, content_col, cfg, kind=kind, byte_stride=byte_stride
-        )
+        ).localCheckpoint(eager=False)
+    pre_filter = exact_mode_prefilter(sig_df, cfg, use_simhash=use_simhash)
     pairs = candidate_pairs(
-        sig_df, max_pairs_group=max_pairs_group, hot_policy=hot_policy
+        sig_df,
+        max_pairs_group=max_pairs_group,
+        hot_policy=hot_policy,
+        pre_dedup_filter=pre_filter,
     )
     verified = verify_pairs(pairs, sig_df, cfg, use_simhash=use_simhash)
     edges = verified.where("passed").select("a", "b")
     assignments = assign_clusters(df.select(F.col(id_col).alias("id")), edges)
     return assignments, verified.where("passed"), sig_df
+
+
+#: row-count ceiling under which the signature table is collected and
+#: broadcast into the Python candidate pruner (padded kmv matrix ≈
+#: rows × kmv_k × 8 bytes → ≲ 160 MB at the default 150k/128). Above it
+#: the prefilter is skipped entirely and the plan is exactly the pre-r6
+#: one (candidate pairs → dedup shuffle → verify joins).
+PREFILTER_MAX_SIG_ROWS = 150_000
+
+
+def exact_mode_prefilter(sig_df: DataFrame, cfg: SigConfig, use_simhash: bool):
+    """Candidate-pair pruner applied BEFORE the pair dropDuplicates
+    shuffle (lsh.pairs_from_bands ``pre_dedup_filter`` hook).
+
+    Rationale (r6, guide §2.3/§8): on a degenerate corpus the banding
+    stage emits tens of millions of candidate pairs of which only a few
+    thousand verify; the old plan shuffled every candidate through the
+    pair dedup AND two sort-merge joins carrying kmv_k longs per side
+    (~1 KB/pair) into the Python kernel. This pruner broadcasts the
+    (small) signature table to the Python workers ONCE and screens the
+    freshly exploded pairs in-stage — only (a, b) crosses the Arrow
+    boundary, the signature arrays never travel per pair — so the pair
+    dedup shuffle and the verify joins see thousands of rows, not
+    millions. (A JVM broadcast-join variant was measured first: copying
+    the two kmv arrays into every joined row + per-row array_intersect
+    hash sets cost 22 s at 33.5M pairs vs 10 s for this path.)
+
+    Exactness contract (the verified output must be byte-identical):
+    * the keep-decision runs the SAME kernels verify_pairs runs
+      (_kmv_jaccard_flat + hamming64), so "passes verification" is
+      decided once, identically, by shared code — kept pairs re-verify
+      downstream with full diagnostics;
+    * estimation-mode pairs (either theta < 2^63) are kept
+      unconditionally: estimation-mode Jaccard could in principle differ
+      from the exact-mode intuition, so the downstream kernel stays the
+      only decision maker there (it recomputes the identical value
+      anyway — the prune is merely not allowed to drop them);
+    * sig tables larger than PREFILTER_MAX_SIG_ROWS: no pruning at all
+      (returns None) — at that scale the broadcast would not fit and the
+      shuffled verify plan is the right one.
+    """
+    n_sigs = sig_df.count()  # sig_df is checkpointed by callers: one cheap job
+    if n_sigs == 0 or n_sigs > PREFILTER_MAX_SIG_ROWS:
+        return None
+
+    import numpy as np
+
+    from .sigkernel import hamming64
+    from .verify import _kmv_jaccard_flat
+
+    pdf = sig_df.select("id", "kmv_theta", "kmv_sig", "simhash").toPandas()
+    import pandas as pd
+
+    idx = pd.Index(pdf["id"])
+    sigs = pdf["kmv_sig"].to_numpy()
+    lens = np.fromiter((len(s) for s in sigs), dtype=np.int64, count=len(sigs))
+    maxlen = max(int(lens.max()), 1)
+    # padded row-major matrix: row i = doc i's kmv sig, sentinel-padded —
+    # one fancy-index gather per batch rebuilds the ragged pair columns
+    pad = np.full((len(sigs), maxlen), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    for i, s in enumerate(sigs):
+        if len(s):
+            pad[i, : len(s)] = np.asarray(s, np.int64).view(np.uint64)
+    thetas = pdf["kmv_theta"].to_numpy(dtype=np.int64)
+    shs = pdf["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    sc = sig_df.sparkSession.sparkContext
+    bc = sc.broadcast((idx, pad, lens, thetas, shs))
+    thr = cfg.jaccard_threshold
+    max_ham = cfg.simhash_hamming
+    id_type = dict(sig_df.dtypes)["id"]
+
+    def prune(pairs_df: DataFrame) -> DataFrame:
+        assert pairs_df.columns == ["a", "b"], pairs_df.columns
+
+        def run(batches):
+            import pyarrow as pa
+
+            index, mat, ln, th, sh = bc.value
+            col_grid = np.arange(mat.shape[1])[None, :]
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                a_arr = rb.column(0)
+                b_arr = rb.column(1)
+                ia = index.get_indexer(a_arr.to_pandas())
+                ib = index.get_indexer(b_arr.to_pandas())
+                la, lb = ln[ia], ln[ib]
+                va = mat[ia][col_grid < la[:, None]]
+                vb = mat[ib][col_grid < lb[:, None]]
+                kj = _kmv_jaccard_flat(va, la, vb, lb, th[ia], th[ib])
+                keep = (th[ia] != -1) | (th[ib] != -1) | (kj >= thr)
+                if use_simhash:
+                    keep |= hamming64(sh[ia], sh[ib]) <= max_ham
+                keep_pa = pa.array(keep)
+                yield pa.RecordBatch.from_arrays(
+                    [a_arr.filter(keep_pa), b_arr.filter(keep_pa)],
+                    names=["a", "b"],
+                )
+
+        return pairs_df.mapInArrow(run, f"a {id_type}, b {id_type}")
+
+    return prune
 
 
 def cluster_stats(assignments: DataFrame) -> DataFrame:

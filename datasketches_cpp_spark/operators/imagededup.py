@@ -338,7 +338,19 @@ def dedup_images(
         # rows, ×2 lanes, ×3 consumers)
         cap_sig = cap_sig.drop("mh_sig")
         cap_sig = _bar("caption_sig", cap_sig.localCheckpoint(eager=False))
-        cap_pairs = candidate_pairs(cap_sig, max_pairs_group=max_pairs_group, hot_policy=hot_policy)
+        # r6: prune exploded caption candidates before the pair-dedup
+        # shuffle and the verify joins (see dedup.exact_mode_prefilter);
+        # short captions are exact-mode KMV, so the JVM keep-decision
+        # equals `passed` and the verified pair set is unchanged
+        from .dedup import exact_mode_prefilter
+
+        cap_pre = exact_mode_prefilter(cap_sig, cfg, use_simhash=True)
+        cap_pairs = candidate_pairs(
+            cap_sig,
+            max_pairs_group=max_pairs_group,
+            hot_policy=hot_policy,
+            pre_dedup_filter=cap_pre,
+        )
         cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True, include_mh=False).where("passed")
         cap_ver = _bar("caption_pairs", cap_ver)
         out["caption_sig"] = cap_sig

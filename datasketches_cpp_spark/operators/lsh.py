@@ -62,9 +62,18 @@ def candidate_pairs(
     sig_df: DataFrame,
     max_pairs_group: int = 256,
     hot_policy: str = "chain_hub",
+    pre_dedup_filter=None,
 ) -> DataFrame:
-    """sig table → deduplicated candidate pair table (a < b)."""
-    return pairs_from_bands(explode_bands(sig_df), max_pairs_group, hot_policy)
+    """sig table → deduplicated candidate pair table (a < b).
+    ``pre_dedup_filter`` is forwarded to pairs_from_bands: a
+    DataFrame→DataFrame pruner applied to the exploded pairs BEFORE the
+    dedup shuffle (see operators/dedup.exact_mode_prefilter)."""
+    return pairs_from_bands(
+        explode_bands(sig_df),
+        max_pairs_group,
+        hot_policy,
+        pre_dedup_filter=pre_dedup_filter,
+    )
 
 
 def pairs_from_bands(

@@ -89,6 +89,7 @@ def substring_pairs(
     cfg: SigConfig | None = None,
     max_posting_list: int = 64,
     min_tokens: int = 3,
+    broadcast_max_probes: int = 1_000_000,
 ) -> DataFrame:
     """→ (a, b) pairs where one caption is an exact token-level substring of
     the other (a < b by id). Equal captions are excluded here (the MinHash
@@ -105,7 +106,10 @@ def substring_pairs(
     min_tokens = max(min_tokens, w)
     id_type = dict(df.dtypes)[id_col]
 
-    shingle_schema = f"id {id_type}, shingle long, is_min boolean, n_tokens int"
+    shingle_schema = (
+        f"id {id_type}, shingle long, is_min boolean, n_tokens int, "
+        "sb1 long, sb2 long"
+    )
 
     def post(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,6 +119,7 @@ def substring_pairs(
             sh, off = token_shingle_hashes(texts, w, seed)
             n_tok = [len(t.split()) for t in texts]
             ids_out, sh_out, ismin, ntok_out = [], [], [], []
+            b1_out, b2_out = [], []
             for i, rid in enumerate(pdf[id_col]):
                 seg = np.unique(sh[off[i] : off[i + 1]])
                 if len(seg) == 0 or n_tok[i] < min_tokens:
@@ -125,6 +130,17 @@ def substring_pairs(
                 flags[0] = True  # seg is sorted → index 0 is the min shingle
                 ismin.append(flags)
                 ntok_out.extend([n_tok[i]] * len(seg))
+                # 128-bit bloom over the doc's WHOLE shingle set (bit =
+                # low 7 hash bits): containment A ⊆ B implies every bit of
+                # A's bloom is set in B's — a no-false-negative candidate
+                # screen evaluated with two 64-bit ANDs in codegen.
+                idx = seg & np.uint64(127)
+                lo = idx[idx < 64]
+                hi = idx[idx >= 64] - np.uint64(64)
+                b1 = np.bitwise_or.reduce(np.left_shift(np.uint64(1), lo)) if len(lo) else 0
+                b2 = np.bitwise_or.reduce(np.left_shift(np.uint64(1), hi)) if len(hi) else 0
+                b1_out.extend([np.uint64(b1).astype(np.int64)] * len(seg))
+                b2_out.extend([np.uint64(b2).astype(np.int64)] * len(seg))
             if not ids_out:
                 continue
             yield pd.DataFrame(
@@ -133,6 +149,8 @@ def substring_pairs(
                     "shingle": np.concatenate(sh_out),
                     "is_min": np.concatenate(ismin),
                     "n_tokens": np.array(ntok_out, dtype=np.int32),
+                    "sb1": np.array(b1_out, dtype=np.int64),
+                    "sb2": np.array(b2_out, dtype=np.int64),
                 }
             )
 
@@ -164,21 +182,47 @@ def substring_pairs(
             "shingle",
             F.col("id").alias("host_id"),
             F.col("n_tokens").alias("host_tokens"),
+            F.col("sb1").alias("hb1"),
+            F.col("sb2").alias("hb2"),
         )
     )
     probes = probes_min.select(
         F.col("id").alias("needle_id"),
         F.col("n_tokens").alias("needle_tokens"),
         "shingle",
+        F.col("sb1").alias("nb1"),
+        F.col("sb2").alias("nb2"),
     )
+    # Join strategy (guide §3.1): one probe row per doc, so up to
+    # ``broadcast_max_probes`` docs the probe side is hint-broadcast — the
+    # host side streams map-side with ZERO exchange for the candidate
+    # explosion (min-shingle keys are few and hot, so a shuffled join
+    # would also be key-skewed). Past the threshold the hint is dropped
+    # and Catalyst plans the shuffled join exactly as before.
+    if df.count() <= broadcast_max_probes:
+        joined = hosts.join(F.broadcast(probes), "shingle")
+    else:
+        joined = probes.join(hosts, "shingle")
+    # Bloom containment screen (no false negatives): if needle ⊆ host then
+    # every one of the needle's shingle-bloom bits is set in the host's —
+    # (nb & ~hb) == 0 on both words. Evaluated inline in the join stage,
+    # it removes the quadratic false-candidate mass of hot min-shingles
+    # BEFORE anything is shuffled (guide §2.3/§8: decide with small rows).
+    # True containment pairs always survive, so the verified output is
+    # byte-identical to the unscreened plan.
+    bloom_ok = (
+        F.col("nb1").bitwiseAND(F.bitwise_not(F.col("hb1"))) == 0
+    ) & (F.col("nb2").bitwiseAND(F.bitwise_not(F.col("hb2"))) == 0)
     cand = (
-        probes.join(hosts, "shingle")
+        joined
         # a strict substring is strictly shorter; equality excluded
         .where(
             (F.col("needle_id") != F.col("host_id"))
             & (F.col("needle_tokens") < F.col("host_tokens"))
+            & bloom_ok
         )
         .dropDuplicates(["needle_id", "host_id"])
+        .select("needle_id", "host_id")
     )
 
     texts_df = df.select(F.col(id_col).alias("tid"), F.col(text_col).alias("ttext"))

@@ -1,0 +1,128 @@
+"""Round-6 optimization guards: the candidate prefilters must be pure
+pruners — byte-identical query output with the pruning on or off.
+
+* substring bloom screen (operators/substring.py): the 128-bit
+  shingle-set bloom is a no-false-negative containment screen, so the
+  pair set must equal brute force on an adversarial corpus where every
+  doc shares the same hot min-shingle (the quadratic case it exists for).
+* dedup exact-mode prefilter (operators/dedup.exact_mode_prefilter): the
+  Python-broadcast prune reuses the verify kernels, so the verified pair
+  set and cluster assignments must be identical with the prefilter
+  disabled (threshold forced to 0).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import datasketches_cpp_spark.operators.dedup as D
+from datasketches_cpp_spark.operators.sigkernel import SigConfig
+from datasketches_cpp_spark.operators.substring import substring_pairs
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from datasketches_cpp_spark.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8, app_name="test_r06")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _brute_substring_pairs(rows, min_tokens=3):
+    out = set()
+    for a_id, a_txt in rows:
+        for b_id, b_txt in rows:
+            if a_id == b_id:
+                continue
+            ta, tb = a_txt.split(), b_txt.split()
+            if len(ta) < min_tokens or len(ta) >= len(tb):
+                continue
+            pa = " " + " ".join(ta) + " "
+            pb = " " + " ".join(tb) + " "
+            if pa in pb:
+                out.add((min(a_id, b_id), max(a_id, b_id)))
+    return sorted(out)
+
+
+def test_substring_bloom_screen_keeps_all_true_pairs(spark):
+    # every doc starts with the same hot bigram ("aa bb"), so every doc
+    # probes the same min-shingle posting list — the quadratic blocking
+    # case; planted containments at several offsets must all survive
+    base = "aa bb cc dd ee ff gg hh ii jj"
+    rows = [(0, base)]
+    rows += [(i, f"aa bb x{i} " + base) for i in range(1, 8)]  # contain base
+    rows += [(i, f"aa bb y{i} zz qq") for i in range(8, 40)]  # share min only
+    rows += [(40, "cc dd ee")]  # inner substring of base, different min
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cfg = SigConfig(num_perm=16, bands=8, kmv_k=32, shingle_w=2, jaccard_threshold=0.5)
+    got = sorted(
+        (r["a"], r["b"])
+        for r in substring_pairs(df, "doc_id", "text", cfg, max_posting_list=4096)
+        .select("a", "b")
+        .collect()
+    )
+    assert got == _brute_substring_pairs(rows)
+
+
+def test_substring_shuffle_join_path_same_pairs(spark):
+    # broadcast_max_probes=0 forces the (scale) shuffled-join branch;
+    # both join strategies must yield the identical pair set
+    rows = [(0, "aa bb cc dd ee")] + [
+        (i, f"aa bb cc dd ee pad{i} tail") for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cfg = SigConfig(num_perm=16, bands=8, kmv_k=32, shingle_w=2, jaccard_threshold=0.5)
+    bcast = sorted(
+        (r["a"], r["b"])
+        for r in substring_pairs(df, "doc_id", "text", cfg).select("a", "b").collect()
+    )
+    shuf = sorted(
+        (r["a"], r["b"])
+        for r in substring_pairs(
+            df, "doc_id", "text", cfg, broadcast_max_probes=0
+        )
+        .select("a", "b")
+        .collect()
+    )
+    assert bcast == shuf == _brute_substring_pairs(rows)
+
+
+def test_dedup_prefilter_identical_output(spark):
+    # near-dup clusters + noise; run dedup with the prefilter active
+    # (default) and disabled (threshold 0): assignments AND the verified
+    # pair diagnostics must match row for row
+    rows = []
+    for i in range(30):
+        rows.append((i, f"the quick brown fox jumps over dog number {i % 5}"))
+    for i in range(30, 40):
+        rows.append((i, "an entirely different sentence about ships " + "x" * (i % 3)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cfg = SigConfig(num_perm=16, bands=8, kmv_k=32, shingle_w=2, jaccard_threshold=0.5)
+
+    def run():
+        a, v, _ = D.dedup(df, "doc_id", "text", cfg)
+        return (
+            sorted((r["id"], r["cluster_id"]) for r in a.collect()),
+            sorted(
+                (
+                    r["a"],
+                    r["b"],
+                    r["jaccard"],
+                    r["simhash_hamming"],
+                    r["exact_match"],
+                )
+                for r in v.collect()
+            ),
+        )
+
+    on_assign, on_pairs = run()
+    old = D.PREFILTER_MAX_SIG_ROWS
+    D.PREFILTER_MAX_SIG_ROWS = 0
+    try:
+        off_assign, off_pairs = run()
+    finally:
+        D.PREFILTER_MAX_SIG_ROWS = old
+    assert on_assign == off_assign
+    assert on_pairs == off_pairs
+    assert len(on_pairs) > 0  # the corpus really produces verified pairs
