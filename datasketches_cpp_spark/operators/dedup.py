@@ -54,13 +54,22 @@ def dedup(
         sig_df = compute_signatures(
             df, id_col, content_col, cfg, kind=kind, byte_stride=byte_stride
         ).localCheckpoint(eager=False)
-    pre_filter = exact_mode_prefilter(sig_df, cfg, use_simhash=use_simhash)
-    pairs = candidate_pairs(
-        sig_df,
-        max_pairs_group=max_pairs_group,
-        hot_policy=hot_policy,
-        pre_dedup_filter=pre_filter,
-    )
+    pairs = None
+    if hot_policy == "chain_hub":
+        # fused Python expand+prune (survivors-only Arrow return); falls
+        # through to the JVM plan when the sig table is too big to
+        # broadcast — see python_pair_pruned
+        pairs = python_pair_pruned(
+            sig_df, cfg, max_pairs_group=max_pairs_group, use_simhash=use_simhash
+        )
+    if pairs is None:
+        pre_filter = exact_mode_prefilter(sig_df, cfg, use_simhash=use_simhash)
+        pairs = candidate_pairs(
+            sig_df,
+            max_pairs_group=max_pairs_group,
+            hot_policy=hot_policy,
+            pre_dedup_filter=pre_filter,
+        )
     verified = verify_pairs(pairs, sig_df, cfg, use_simhash=use_simhash)
     edges = verified.where("passed").select("a", "b")
     assignments = assign_clusters(df.select(F.col(id_col).alias("id")), edges)
@@ -106,18 +115,54 @@ def exact_mode_prefilter(sig_df: DataFrame, cfg: SigConfig, use_simhash: bool):
       (returns None) — at that scale the broadcast would not fit and the
       shuffled verify plan is the right one.
     """
+    decide = _make_pair_decider(sig_df, cfg, use_simhash)
+    if decide is None:
+        return None
+    id_type = dict(sig_df.dtypes)["id"]
+
+    def prune(pairs_df: DataFrame) -> DataFrame:
+        assert pairs_df.columns == ["a", "b"], pairs_df.columns
+
+        def run(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                a_arr = rb.column(0)
+                b_arr = rb.column(1)
+                keep_pa = pa.array(
+                    decide(
+                        a_arr.to_pandas().to_numpy(),
+                        b_arr.to_pandas().to_numpy(),
+                    )
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [a_arr.filter(keep_pa), b_arr.filter(keep_pa)],
+                    names=["a", "b"],
+                )
+
+        return pairs_df.mapInArrow(run, f"a {id_type}, b {id_type}")
+
+    return prune
+
+
+def _make_pair_decider(sig_df: DataFrame, cfg: SigConfig, use_simhash: bool):
+    """Collect+broadcast the signature table and return a worker-side
+    ``decide(a_ids, b_ids) -> keep mask`` closure implementing the
+    exact_mode_prefilter contract (see its docstring), or None when the
+    sig table exceeds PREFILTER_MAX_SIG_ROWS."""
     n_sigs = sig_df.count()  # sig_df is checkpointed by callers: one cheap job
     if n_sigs == 0 or n_sigs > PREFILTER_MAX_SIG_ROWS:
         return None
 
     import numpy as np
+    import pandas as pd
 
     from .sigkernel import hamming64
     from .verify import _kmv_jaccard_flat
 
     pdf = sig_df.select("id", "kmv_theta", "kmv_sig", "simhash").toPandas()
-    import pandas as pd
-
     idx = pd.Index(pdf["id"])
     sigs = pdf["kmv_sig"].to_numpy()
     lens = np.fromiter((len(s) for s in sigs), dtype=np.int64, count=len(sigs))
@@ -134,39 +179,121 @@ def exact_mode_prefilter(sig_df: DataFrame, cfg: SigConfig, use_simhash: bool):
     bc = sc.broadcast((idx, pad, lens, thetas, shs))
     thr = cfg.jaccard_threshold
     max_ham = cfg.simhash_hamming
+
+    def decide(a_ids, b_ids):
+        index, mat, ln, th, sh = bc.value
+        ia = index.get_indexer(a_ids)
+        ib = index.get_indexer(b_ids)
+        la, lb = ln[ia], ln[ib]
+        col_grid = np.arange(mat.shape[1])[None, :]
+        va = mat[ia][col_grid < la[:, None]]
+        vb = mat[ib][col_grid < lb[:, None]]
+        kj = _kmv_jaccard_flat(va, la, vb, lb, th[ia], th[ib])
+        keep = (th[ia] != -1) | (th[ib] != -1) | (kj >= thr)
+        if use_simhash:
+            keep |= hamming64(sh[ia], sh[ib]) <= max_ham
+        return keep
+
+    return decide
+
+
+#: pair-expansion chunk bound for the Python pair generator: size-class
+#: chunks are cut so no single expansion materializes more than this many
+#: candidate pairs before the prune mask is applied (memory bound per
+#: task, analogous to the salted_full chunk discipline).
+_PYGEN_MAX_PAIRS_CHUNK = 4_000_000
+
+
+def python_pair_pruned(
+    sig_df: DataFrame,
+    cfg: SigConfig,
+    max_pairs_group: int = 256,
+    use_simhash: bool = True,
+) -> DataFrame | None:
+    """Candidate generation + pruning fused into ONE Python stage for the
+    chain_hub policy (r6, guide §2.3/§4): the JVM path exploded tens of
+    millions of candidate (a, b) rows and shipped them across the Arrow
+    boundary into the pruner — at 33.5M pairs the 0.5 GB transfer plus
+    per-row explode dominated the query. Here the grouped band arrays
+    (one row per band group, total rows = corpus × bands worst case)
+    cross the boundary instead, pairs are expanded VECTORIZED in numpy
+    (triangular index templates per group-size class; chain+hub edges
+    for groups over ``max_pairs_group``, identical to the JVM expansion
+    semantics over the same sorted arrays), and the shared decider prunes
+    them before anything returns to the JVM — survivors only.
+
+    Returns None when the sig table is too large to broadcast
+    (PREFILTER_MAX_SIG_ROWS) — callers fall back to the JVM plan."""
+    from .lsh import explode_bands
+
+    decide = _make_pair_decider(sig_df, cfg, use_simhash)
+    if decide is None:
+        return None
     id_type = dict(sig_df.dtypes)["id"]
+    grouped = (
+        explode_bands(sig_df)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.col("id"))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cap = max_pairs_group
 
-    def prune(pairs_df: DataFrame) -> DataFrame:
-        assert pairs_df.columns == ["a", "b"], pairs_df.columns
+    def expand_prune(batches):
+        import numpy as np
+        import pyarrow as pa
 
-        def run(batches):
-            import pyarrow as pa
+        tri_cache: dict = {}
 
-            index, mat, ln, th, sh = bc.value
-            col_grid = np.arange(mat.shape[1])[None, :]
-            for rb in batches:
-                if rb.num_rows == 0:
+        def emit(a_vals, b_vals):
+            keep = decide(a_vals, b_vals)
+            if not keep.any():
+                return None
+            return pa.RecordBatch.from_arrays(
+                [pa.array(a_vals[keep]), pa.array(b_vals[keep])],
+                names=["a", "b"],
+            )
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = rb.column(rb.schema.get_field_index("ids"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.flatten().to_pandas().to_numpy()
+            starts, sizes = offs[:-1], np.diff(offs)
+            # small groups: all C(s,2) pairs, vectorized per size class
+            for s in np.unique(sizes[sizes <= cap]):
+                s = int(s)
+                if s < 2:
                     continue
-                a_arr = rb.column(0)
-                b_arr = rb.column(1)
-                ia = index.get_indexer(a_arr.to_pandas())
-                ib = index.get_indexer(b_arr.to_pandas())
-                la, lb = ln[ia], ln[ib]
-                va = mat[ia][col_grid < la[:, None]]
-                vb = mat[ib][col_grid < lb[:, None]]
-                kj = _kmv_jaccard_flat(va, la, vb, lb, th[ia], th[ib])
-                keep = (th[ia] != -1) | (th[ib] != -1) | (kj >= thr)
-                if use_simhash:
-                    keep |= hamming64(sh[ia], sh[ib]) <= max_ham
-                keep_pa = pa.array(keep)
-                yield pa.RecordBatch.from_arrays(
-                    [a_arr.filter(keep_pa), b_arr.filter(keep_pa)],
-                    names=["a", "b"],
-                )
+                rows = starts[(sizes == s) & (sizes <= cap)]
+                iu = tri_cache.get(s)
+                if iu is None:
+                    iu = np.triu_indices(s, 1)
+                    tri_cache[s] = iu
+                npairs = len(iu[0])
+                step = max(1, _PYGEN_MAX_PAIRS_CHUNK // max(npairs, 1))
+                for lo in range(0, len(rows), step):
+                    chunk = rows[lo : lo + step]
+                    ai = (chunk[:, None] + iu[0][None, :]).ravel()
+                    bi = (chunk[:, None] + iu[1][None, :]).ravel()
+                    out = emit(flat[ai], flat[bi])
+                    if out is not None:
+                        yield out
+            # hot groups: chain + hub (2(s-1) edges), ragged → per group
+            for r in np.where(sizes > cap)[0]:
+                seg = flat[starts[r] : starts[r] + sizes[r]]
+                a_vals = np.concatenate([seg[:-1], np.repeat(seg[:1], len(seg) - 2)])
+                b_vals = np.concatenate([seg[1:], seg[2:]])
+                out = emit(a_vals, b_vals)
+                if out is not None:
+                    yield out
 
-        return pairs_df.mapInArrow(run, f"a {id_type}, b {id_type}")
-
-    return prune
+    pairs = grouped.select("ids").mapInArrow(
+        expand_prune, f"a {id_type}, b {id_type}"
+    )
+    return pairs.dropDuplicates(["a", "b"])
 
 
 def cluster_stats(assignments: DataFrame) -> DataFrame:

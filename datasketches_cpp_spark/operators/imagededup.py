@@ -338,19 +338,26 @@ def dedup_images(
         # rows, ×2 lanes, ×3 consumers)
         cap_sig = cap_sig.drop("mh_sig")
         cap_sig = _bar("caption_sig", cap_sig.localCheckpoint(eager=False))
-        # r6: prune exploded caption candidates before the pair-dedup
-        # shuffle and the verify joins (see dedup.exact_mode_prefilter);
-        # short captions are exact-mode KMV, so the JVM keep-decision
-        # equals `passed` and the verified pair set is unchanged
-        from .dedup import exact_mode_prefilter
+        # r6: fused Python pair expand+prune before the pair-dedup
+        # shuffle and the verify joins (see dedup.python_pair_pruned);
+        # the prune runs the verify kernels, so the verified pair set is
+        # unchanged; falls back to the JVM plan at scale or for the
+        # salted_full policy
+        from .dedup import exact_mode_prefilter, python_pair_pruned
 
-        cap_pre = exact_mode_prefilter(cap_sig, cfg, use_simhash=True)
-        cap_pairs = candidate_pairs(
-            cap_sig,
-            max_pairs_group=max_pairs_group,
-            hot_policy=hot_policy,
-            pre_dedup_filter=cap_pre,
-        )
+        cap_pairs = None
+        if hot_policy == "chain_hub":
+            cap_pairs = python_pair_pruned(
+                cap_sig, cfg, max_pairs_group=max_pairs_group, use_simhash=True
+            )
+        if cap_pairs is None:
+            cap_pre = exact_mode_prefilter(cap_sig, cfg, use_simhash=True)
+            cap_pairs = candidate_pairs(
+                cap_sig,
+                max_pairs_group=max_pairs_group,
+                hot_policy=hot_policy,
+                pre_dedup_filter=cap_pre,
+            )
         cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True, include_mh=False).where("passed")
         cap_ver = _bar("caption_pairs", cap_ver)
         out["caption_sig"] = cap_sig
