@@ -160,7 +160,6 @@ def _make_pair_decider(sig_df: DataFrame, cfg: SigConfig, use_simhash: bool):
     import pandas as pd
 
     from .sigkernel import hamming64
-    from .verify import _kmv_jaccard_flat
 
     pdf = sig_df.select("id", "kmv_theta", "kmv_sig", "simhash").toPandas()
     idx = pd.Index(pdf["id"])
@@ -180,21 +179,33 @@ def _make_pair_decider(sig_df: DataFrame, cfg: SigConfig, use_simhash: bool):
     thr = cfg.jaccard_threshold
     max_ham = cfg.simhash_hamming
 
+    from .verify import _kmv_jaccard_padded
+
     def decide(a_ids, b_ids):
         index, mat, ln, th, sh = bc.value
         ia = index.get_indexer(a_ids)
         ib = index.get_indexer(b_ids)
-        la, lb = ln[ia], ln[ib]
-        col_grid = np.arange(mat.shape[1])[None, :]
-        va = mat[ia][col_grid < la[:, None]]
-        vb = mat[ib][col_grid < lb[:, None]]
-        kj = _kmv_jaccard_flat(va, la, vb, lb, th[ia], th[ib])
+        # per-doc rows are already sentinel-padded: hstack feeds the
+        # shared screen/sort/count core directly, skipping the ragged
+        # flatten + per-chunk scatter of the flat kernel (r6: ~35% of
+        # the decide cost at 33.5M pairs)
+        kj = _kmv_jaccard_padded(mat[ia], mat[ib], th[ia], th[ib])
         keep = (th[ia] != -1) | (th[ib] != -1) | (kj >= thr)
         if use_simhash:
             keep |= hamming64(sh[ia], sh[ib]) <= max_ham
         return keep
 
     return decide
+
+
+def _shuffle_partitions(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, falling back to
+    defaultParallelism when the conf is non-numeric (e.g. 'auto' on some
+    platforms — the crash class ADVICE r5 flagged in lsh.py)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
 
 
 #: pair-expansion chunk bound for the Python pair generator: size-class
@@ -236,6 +247,12 @@ def python_pair_pruned(
         .agg(F.sort_array(F.collect_set(F.col("id"))).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    # pin the expansion parallelism: AQE coalesces the tiny grouped-array
+    # shuffle (a few MB) into a handful of partitions, but the generator
+    # output is millions of pairs per partition — the same
+    # optimizer-can't-see-generator-volume trap the salted_full path
+    # documents (lsh._salted_full_pairs); measured 9.3 s → 6.9 s at sf1.0
+    grouped = grouped.repartition(_shuffle_partitions(sig_df.sparkSession))
     cap = max_pairs_group
 
     def expand_prune(batches):

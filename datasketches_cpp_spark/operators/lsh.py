@@ -255,9 +255,12 @@ def _salted_full_pairs(
         F.col("chunk_ids").alias("ys"),
     )
     joined = left.join(right, ["band_idx", "band_hash", "i", "j"])
-    n_part = int(
-        grouped.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        n_part = int(
+            grouped.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:  # non-numeric conf (e.g. 'auto') — ADVICE r5
+        n_part = grouped.sparkSession.sparkContext.defaultParallelism
     joined = joined.repartition(n_part, "band_idx", "band_hash", "i", "j")
     xs, ys = F.col("xs"), F.col("ys")
     tri = F.flatten(

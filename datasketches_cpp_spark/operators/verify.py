@@ -96,13 +96,52 @@ def _kmv_jaccard_flat(
         la_c = len_a[lo:hi, None]
         mat[grid < la_c] = vals_a[a0:a1]
         mat[(grid >= la_c) & (grid < la_c + len_b[lo:hi, None])] = vals_b[b0:b1]
-        mat[mat >= theta[lo:hi, None]] = _SENTINEL  # 2-D min-theta screen
-        mat.sort(axis=1)
-        not_pad = mat != _SENTINEL
-        dup = (mat[:, 1:] == mat[:, :-1]) & not_pad[:, :-1]
-        inter[lo:hi] = dup.sum(axis=1)
-        kept[lo:hi] = not_pad.sum(axis=1)
+        inter[lo:hi], kept[lo:hi] = _mat_inter_kept(mat, theta[lo:hi])
 
+    union = kept - inter
+    out = np.ones(n, dtype=np.float64)  # both-empty ⇒ 1.0
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    return out
+
+
+def _mat_inter_kept(mat: np.ndarray, theta: np.ndarray) -> tuple:
+    """Core of the KMV Jaccard: given a sentinel-padded (rows, width)
+    uint64 matrix whose row = concat(a_sig, b_sig) in any order, and the
+    per-row min-theta, return (|a∩b|, kept) per row. MUTATES mat.
+    Shared by the flat kernel above and the pair-decider's padded path
+    (operators/dedup) so the screen/sort/count math exists once."""
+    mat[mat >= theta[:, None]] = _SENTINEL  # 2-D min-theta screen
+    mat.sort(axis=1)
+    not_pad = mat != _SENTINEL
+    dup = (mat[:, 1:] == mat[:, :-1]) & not_pad[:, :-1]
+    return dup.sum(axis=1), not_pad.sum(axis=1)
+
+
+def _kmv_jaccard_padded(
+    mat_a: np.ndarray,
+    mat_b: np.ndarray,
+    theta_a: np.ndarray,
+    theta_b: np.ndarray,
+) -> np.ndarray:
+    """KMV Jaccard over two already-sentinel-padded per-pair matrices
+    (rows aligned): hstack + the shared core — skips the ragged
+    flatten/scatter round trip of the flat kernel when callers (the pair
+    decider) hold padded per-doc rows anyway. Identical math: padding is
+    the sorts-last sentinel, the screen maps sentinels to themselves, and
+    kept counts only sub-theta values."""
+    n = len(mat_a)
+    if n == 0:
+        return np.empty(0, np.float64)
+    ta = np.where(theta_a < 0, np.uint64(MAX_THETA), theta_a.astype(np.uint64))
+    tb = np.where(theta_b < 0, np.uint64(MAX_THETA), theta_b.astype(np.uint64))
+    theta = np.minimum(ta, tb)
+    inter = np.zeros(n, dtype=np.int64)
+    kept = np.zeros(n, dtype=np.int64)
+    for lo in range(0, n, _VERIFY_CHUNK):
+        hi = min(lo + _VERIFY_CHUNK, n)
+        mat = np.hstack([mat_a[lo:hi], mat_b[lo:hi]])
+        inter[lo:hi], kept[lo:hi] = _mat_inter_kept(mat, theta[lo:hi])
     union = kept - inter
     out = np.ones(n, dtype=np.float64)  # both-empty ⇒ 1.0
     nz = union > 0
