@@ -54,15 +54,14 @@ def dedup(
         sig_df = compute_signatures(
             df, id_col, content_col, cfg, kind=kind, byte_stride=byte_stride
         ).localCheckpoint(eager=False)
-    pairs = None
     if hot_policy == "chain_hub":
-        # fused Python expand+prune (survivors-only Arrow return); falls
-        # through to the JVM plan when the sig table is too big to
-        # broadcast — see python_pair_pruned
-        pairs = python_pair_pruned(
+        # volume-adaptive pair generation: pygen+prune only when the
+        # estimated candidate volume warrants its fixed costs — see
+        # candidate_pairs_adaptive
+        pairs = candidate_pairs_adaptive(
             sig_df, cfg, max_pairs_group=max_pairs_group, use_simhash=use_simhash
         )
-    if pairs is None:
+    else:
         pre_filter = exact_mode_prefilter(sig_df, cfg, use_simhash=use_simhash)
         pairs = candidate_pairs(
             sig_df,
@@ -215,12 +214,67 @@ def _shuffle_partitions(spark) -> int:
 _PYGEN_MAX_PAIRS_CHUNK = 4_000_000
 
 
-def python_pair_pruned(
+#: estimated candidate-pair floor above which the fused Python
+#: expand+prune path replaces the plain JVM expansion. Below it, the
+#: pygen fixed costs (sig-table collect + broadcast + an Arrow stage)
+#: exceed what pruning saves — the r6 flagship caption lane (338k
+#: candidates) measured SLOWER under pygen while doc_dedup (33.5M
+#: candidates) is 4× faster with it.
+PYGEN_MIN_PAIRS = 2_000_000
+
+
+def candidate_pairs_adaptive(
     sig_df: DataFrame,
     cfg: SigConfig,
     max_pairs_group: int = 256,
     use_simhash: bool = True,
-) -> DataFrame | None:
+) -> DataFrame:
+    """chain_hub candidate generation with a measured, volume-adaptive
+    plan choice (r6): the band-group table is built ONCE (checkpointed),
+    its exact chain_hub pair count is computed with one map-side
+    combinable agg over the group sizes, and then either
+
+    * ``>= PYGEN_MIN_PAIRS`` and the sig table broadcasts: the fused
+      Python expand+prune stage (see ``python_pair_pruned``) — survivors
+      only cross back to the JVM; or
+    * otherwise: the plain JVM expansion over the SAME checkpointed
+      groups (lsh.pairs_from_groups) — no pruning machinery, no sig
+      collect, exactly the pre-r6 plan minus the re-shuffle.
+
+    Output pair set is identical either way (pruning only removes pairs
+    verification would reject)."""
+    from .lsh import explode_bands, pairs_from_groups
+
+    grouped = (
+        explode_bands(sig_df)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.col("id"))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    ).localCheckpoint(eager=False)
+    sz = F.size("ids")
+    est_row = grouped.agg(
+        F.sum(
+            F.when(sz <= max_pairs_group, sz * (sz - 1) / 2).otherwise(
+                2 * (sz - 1)
+            )
+        ).alias("est")
+    ).collect()[0]
+    est_pairs = int(est_row["est"] or 0)
+    if est_pairs >= PYGEN_MIN_PAIRS:
+        decide = _make_pair_decider(sig_df, cfg, use_simhash)
+        if decide is not None:
+            return python_pair_pruned(
+                grouped, sig_df, decide, max_pairs_group=max_pairs_group
+            )
+    return pairs_from_groups(grouped, max_pairs_group, "chain_hub")
+
+
+def python_pair_pruned(
+    grouped: DataFrame,
+    sig_df: DataFrame,
+    decide,
+    max_pairs_group: int = 256,
+) -> DataFrame:
     """Candidate generation + pruning fused into ONE Python stage for the
     chain_hub policy (r6, guide §2.3/§4): the JVM path exploded tens of
     millions of candidate (a, b) rows and shipped them across the Arrow
@@ -231,22 +285,8 @@ def python_pair_pruned(
     (triangular index templates per group-size class; chain+hub edges
     for groups over ``max_pairs_group``, identical to the JVM expansion
     semantics over the same sorted arrays), and the shared decider prunes
-    them before anything returns to the JVM — survivors only.
-
-    Returns None when the sig table is too large to broadcast
-    (PREFILTER_MAX_SIG_ROWS) — callers fall back to the JVM plan."""
-    from .lsh import explode_bands
-
-    decide = _make_pair_decider(sig_df, cfg, use_simhash)
-    if decide is None:
-        return None
+    them before anything returns to the JVM — survivors only."""
     id_type = dict(sig_df.dtypes)["id"]
-    grouped = (
-        explode_bands(sig_df)
-        .groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_set(F.col("id"))).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
     # pin the expansion parallelism: AQE coalesces the tiny grouped-array
     # shuffle (a few MB) into a handful of partitions, but the generator
     # output is millions of pairs per partition — the same

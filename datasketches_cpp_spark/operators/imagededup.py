@@ -338,25 +338,20 @@ def dedup_images(
         # rows, ×2 lanes, ×3 consumers)
         cap_sig = cap_sig.drop("mh_sig")
         cap_sig = _bar("caption_sig", cap_sig.localCheckpoint(eager=False))
-        # r6: fused Python pair expand+prune before the pair-dedup
-        # shuffle and the verify joins (see dedup.python_pair_pruned);
-        # the prune runs the verify kernels, so the verified pair set is
-        # unchanged; falls back to the JVM plan at scale or for the
-        # salted_full policy
-        from .dedup import exact_mode_prefilter, python_pair_pruned
+        # r6: volume-adaptive pair generation (dedup.candidate_pairs_
+        # adaptive): fused Python expand+prune only when the estimated
+        # candidate volume warrants it, else the plain JVM expansion over
+        # the same checkpointed groups; the prune runs the verify
+        # kernels, so the verified pair set is unchanged either way
+        from .dedup import candidate_pairs_adaptive
 
-        cap_pairs = None
         if hot_policy == "chain_hub":
-            cap_pairs = python_pair_pruned(
+            cap_pairs = candidate_pairs_adaptive(
                 cap_sig, cfg, max_pairs_group=max_pairs_group, use_simhash=True
             )
-        if cap_pairs is None:
-            cap_pre = exact_mode_prefilter(cap_sig, cfg, use_simhash=True)
+        else:
             cap_pairs = candidate_pairs(
-                cap_sig,
-                max_pairs_group=max_pairs_group,
-                hot_policy=hot_policy,
-                pre_dedup_filter=cap_pre,
+                cap_sig, max_pairs_group=max_pairs_group, hot_policy=hot_policy
             )
         cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True, include_mh=False).where("passed")
         cap_ver = _bar("caption_pairs", cap_ver)
@@ -420,6 +415,30 @@ def dedup_images(
         )
         edges, raw_edges = empty, empty
     else:
+        if profile is None and len(edge_parts) > 1:
+            # r6 (guide §2.6): the lanes are independent subtrees that all
+            # converge on the CC probe action, and measured end-to-end the
+            # single-action plan ran them back-to-back (lane-only walls
+            # summed to the all-lanes wall within ~15%). Materializing
+            # each lane's pair set as a concurrent job from driver
+            # threads lets one lane's tail back-fill another's idle
+            # executors; per-lane results are unchanged (localCheckpoint
+            # only truncates lineage) and CC's canonical distinct is
+            # order-insensitive, so assignments are identical.
+            from concurrent.futures import ThreadPoolExecutor
+
+            sc = images.sparkSession.sparkContext
+
+            def _mat(item):
+                name, pairs_df = item
+                sc.setJobDescription(f"dedup_images lane: {name}")
+                try:
+                    return name, pairs_df.localCheckpoint(eager=True)
+                finally:
+                    sc.setJobDescription(None)
+
+            with ThreadPoolExecutor(max_workers=len(edge_parts)) as pool:
+                edge_parts = list(pool.map(_mat, edge_parts))
         edges, raw_edges = fuse_edges(edge_parts, edge_policy)
     edges = _bar("edges", edges)
     out["edges"] = edges

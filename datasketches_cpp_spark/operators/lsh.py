@@ -123,6 +123,31 @@ def pairs_from_bands(
     only verified pairs."""
     if payload_col is not None:
         elem = F.struct(F.col("id"), F.col(payload_col))
+    else:
+        elem = F.col("id")
+    grouped = (
+        bands_df.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set(elem)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return pairs_from_groups(
+        grouped, max_pairs_group, hot_policy, payload_col, pre_dedup_filter
+    )
+
+
+def pairs_from_groups(
+    grouped: DataFrame,
+    max_pairs_group: int = 256,
+    hot_policy: str = "chain_hub",
+    payload_col: str | None = None,
+    pre_dedup_filter=None,
+) -> DataFrame:
+    """JVM pair expansion over an already-built band-group table
+    (band_idx, band_hash, ids sorted array) — split out of
+    pairs_from_bands (r6) so callers that materialize the grouped frame
+    for a pair-volume estimate can expand the SAME frame without
+    re-running the band shuffle."""
+    if payload_col is not None:
         out_cols = [
             F.col("p.a.id").alias("a"),
             F.col("p.b.id").alias("b"),
@@ -130,13 +155,7 @@ def pairs_from_bands(
             F.col(f"p.b.{payload_col}").alias("payload_b"),
         ]
     else:
-        elem = F.col("id")
         out_cols = [F.col("p.a").alias("a"), F.col("p.b").alias("b")]
-    grouped = (
-        bands_df.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_set(elem)).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
 
     ids = F.col("ids")
     sz = F.size("ids")

@@ -154,15 +154,7 @@ def substring_pairs(
                 }
             )
 
-    # CPU-heavy narrow stage over a possibly single-row-group input file:
-    # rebalance first so tokenization parallelizes (same discipline as
-    # minhash.compute_signatures; a no-op at real scale where the scan
-    # has >> cores splits)
-    src = df.select(id_col, text_col)
-    sc = df.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism * 2)
-    postings = src.mapInPandas(post, shingle_schema)
+    postings = df.select(id_col, text_col).mapInPandas(post, shingle_schema)
     postings = postings.localCheckpoint(eager=False)
 
     probes_min = postings.where("is_min")
@@ -177,39 +169,23 @@ def substring_pairs(
         F.broadcast(min_shingles), "shingle", "left_semi"
     )
 
-    # cap hot posting lists deterministically (keep smallest host ids).
-    # r6: the windowed rank is only NEEDED for shingles whose posting
-    # list exceeds the cap — a tiny, bounded set by construction — so a
-    # map-side-combinable size pre-count routes only those through the
-    # window (which spills safely on degenerate lists) and every
-    # under-cap posting row skips the global sort entirely. Identical
-    # host set: under-cap rows all have rn <= cap by definition.
+    # cap hot posting lists deterministically (keep smallest host ids) via a
+    # windowed rank — unlike collect_list this spills instead of
+    # materializing a degenerate shingle's full posting list in memory
     from pyspark.sql import Window
 
-    over_cap = (
-        pruned_postings.groupBy("shingle")
-        .count()
-        .where(F.col("count") > max_posting_list)
-        .select("shingle")
-    )
-    host_cols = [
-        "shingle",
-        F.col("id").alias("host_id"),
-        F.col("n_tokens").alias("host_tokens"),
-        F.col("sb1").alias("hb1"),
-        F.col("sb2").alias("hb2"),
-    ]
     wnd = Window.partitionBy("shingle").orderBy("id")
-    hosts_hot = (
-        pruned_postings.join(F.broadcast(over_cap), "shingle", "left_semi")
-        .withColumn("rn", F.row_number().over(wnd))
+    hosts = (
+        pruned_postings.withColumn("rn", F.row_number().over(wnd))
         .where(F.col("rn") <= max_posting_list)
-        .select(*host_cols)
+        .select(
+            "shingle",
+            F.col("id").alias("host_id"),
+            F.col("n_tokens").alias("host_tokens"),
+            F.col("sb1").alias("hb1"),
+            F.col("sb2").alias("hb2"),
+        )
     )
-    hosts_cool = pruned_postings.join(
-        F.broadcast(over_cap), "shingle", "left_anti"
-    ).select(*host_cols)
-    hosts = hosts_cool.unionByName(hosts_hot)
     probes = probes_min.select(
         F.col("id").alias("needle_id"),
         F.col("n_tokens").alias("needle_tokens"),
@@ -225,17 +201,7 @@ def substring_pairs(
     # and Catalyst plans the shuffled join exactly as before.
     small_corpus = df.count() <= broadcast_max_probes
     if small_corpus:
-        # pin the explosion parallelism: AQE coalesces the small window
-        # exchange (tens of MB) into a couple of partitions, but this
-        # stage GENERATES probes×hosts rows per partition — the
-        # optimizer-can't-see-generator-volume trap (cf. lsh salted_full)
-        try:
-            n_part = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-        except ValueError:
-            n_part = df.sparkSession.sparkContext.defaultParallelism
-        joined = hosts.repartition(n_part).join(F.broadcast(probes), "shingle")
+        joined = hosts.join(F.broadcast(probes), "shingle")
     else:
         joined = probes.join(hosts, "shingle")
     # Bloom containment screen (no false negatives): if needle ⊆ host then
