@@ -3596,6 +3596,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r0{1..4} records and the committed full local ledger
     # (CORRECTNESS_LOCAL_r5.json) covers the whole registry every round.
     front = [
+        # r6: the five registry queries the driver gate has NEVER sampled
+        # (r5's front list had 55 entries but the gate samples the first
+        # 50, so these five kept escaping — ADVICE r5). They lead the
+        # window now; everything displaced into 51+ has at least one
+        # green driver record from r01-r05.
+        "leakage_safe_split",
+        "corpus_shuffle_order",
+        "kll_string_rank_coverage",
+        "density_kde_coverage",
+        "aod_orderkey_sums",
         "mp3_dedup_planted",
         "mp3_containment_planted",
         "mp3_stream_meta",
@@ -3646,11 +3656,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_quality",
         "data_mixing_weights",
         "pack_sequences",
-        "leakage_safe_split",
-        "corpus_shuffle_order",
-        "kll_string_rank_coverage",
-        "density_kde_coverage",
-        "aod_orderkey_sums",
     ]
     assert all(k in q for k in front), "front-list names must exist in registry"
     return {k: q[k] for k in front + [k for k in q if k not in front]}

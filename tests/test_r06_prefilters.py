@@ -126,3 +126,23 @@ def test_dedup_prefilter_identical_output(spark):
     assert on_assign == off_assign
     assert on_pairs == off_pairs
     assert len(on_pairs) > 0  # the corpus really produces verified pairs
+
+
+def test_driver_gate_window_covers_rotated_queries():
+    # the driver correctness gate samples the FIRST 50 queries() entries;
+    # r6 rotated the five never-sampled queries into that window (ADVICE
+    # r5: registry insertion order silently encodes gate-coverage policy
+    # — pin it)
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    window = set(names[:50])
+    for q in (
+        "leakage_safe_split",
+        "corpus_shuffle_order",
+        "kll_string_rank_coverage",
+        "density_kde_coverage",
+        "aod_orderkey_sums",
+    ):
+        assert q in window, f"{q} escaped the driver's 50-query sample window"
+    assert len(names) == len(set(names))
