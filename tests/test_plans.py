@@ -77,7 +77,22 @@ def test_knn_probes_broadcast(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.where(F.col("vec_id") < 5)
     plan = _plan(brute_force_topk(emb, probes, "vec_id", "embedding", k=5))
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # r6: small probe sets are shipped in the mapInArrow closure (one
+    # numpy scoring stage over the corpus, no join at all); larger probe
+    # sets keep the broadcast crossJoin. Either way the corpus must never
+    # shuffle before scoring.
+    assert (
+        "MapInArrow" in plan
+        or "BroadcastExchange" in plan
+        or "BroadcastNestedLoopJoin" in plan
+    ), plan
+
+    from datasketches_cpp_spark.operators.knn import BRUTE_FORCE_COLLECT_PROBES
+
+    # sf0.001 has only 500 embeddings — union past the collect threshold
+    big_probes = emb.union(emb).union(emb).limit(BRUTE_FORCE_COLLECT_PROBES + 1)
+    plan_big = _plan(brute_force_topk(emb, big_probes, "vec_id", "embedding", k=5))
+    assert "BroadcastExchange" in plan_big or "BroadcastNestedLoopJoin" in plan_big
 
 
 def test_theta_partial_agg_shuffles_sketches_not_rows(spark, sf_dir):
