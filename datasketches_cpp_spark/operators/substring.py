@@ -154,8 +154,24 @@ def substring_pairs(
                 }
             )
 
-    postings = df.select(id_col, text_col).mapInPandas(post, shingle_schema)
+    # CPU-heavy narrow stage over a possibly-unsplittable input (one fat
+    # parquet file scans as 1-2 partitions): rebalance so the tokenize+
+    # hash work uses the whole cluster (guide §2.5 input-skew remedy). At
+    # real scale the scan has >> cores splits and this is a no-op.
+    src = df.select(id_col, text_col)
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism * 2)
+    postings = src.mapInPandas(post, shingle_schema)
     postings = postings.localCheckpoint(eager=False)
+
+    small_corpus = df.count() <= broadcast_max_probes
+    if small_corpus:
+        cand = _dense_domain_candidates(postings, id_type)
+        if cand is not None:
+            return _verify_candidates(
+                cand, df, id_col, text_col, id_type, small_corpus=True
+            )
 
     probes_min = postings.where("is_min")
 
@@ -199,7 +215,6 @@ def substring_pairs(
     # explosion (min-shingle keys are few and hot, so a shuffled join
     # would also be key-skewed). Past the threshold the hint is dropped
     # and Catalyst plans the shuffled join exactly as before.
-    small_corpus = df.count() <= broadcast_max_probes
     if small_corpus:
         joined = hosts.join(F.broadcast(probes), "shingle")
     else:
@@ -226,6 +241,153 @@ def substring_pairs(
         .select("needle_id", "host_id")
     )
 
+    return _verify_candidates(cand, df, id_col, text_col, id_type, small_corpus)
+
+
+#: dense-domain gate: the bitmap index costs distinct_shingles × n_docs/8
+#: bytes; build+broadcast it only under this budget (and only when the doc
+#: set is small enough for a driver-side dense id index).
+_BITMAP_BUDGET_BYTES = 128 * 1024 * 1024
+_BITMAP_MAX_DOCS = 2_000_000
+_BITMAP_MAX_POSTINGS = 30_000_000
+
+
+def _dense_domain_candidates(postings: DataFrame, id_type: str) -> DataFrame | None:
+    """Exact containment-candidate generation for SMALL SHINGLE DOMAINS.
+
+    When the corpus' distinct-shingle count is tiny relative to the corpus
+    (short token vocabulary — caption corpora), single-shingle blocking
+    explodes: every posting list holds ~n_docs/|domain| hosts, so the
+    probe join streams ~n_docs²/|domain| pairs (measured 90.6M at sf1.0)
+    only for the bloom screen to discard nearly all of them. Here the
+    inverted index is materialized as DENSE BITSETS instead — one
+    n_docs-bit bitmap per distinct shingle, Σ = |domain| × n_docs/8 bytes
+    (6 MB at sf1.0) — and the candidate set is computed EXACTLY as the
+    bitwise AND over each needle's full shingle set: host ⊇ needle's
+    shingles, a strict superset of true containment and a subset of every
+    single-shingle block. No pair ever materializes that doesn't already
+    pass the old path's bloom screen, and no true pair can be missed
+    (A ⊆ B ⇒ every shingle of A is in B). Returns None when the domain or
+    corpus outgrows the budget — callers fall back to the general
+    min-shingle/posting-list plan, which scales to arbitrary domains.
+    """
+    import pandas as pd
+
+    spark = postings.sparkSession
+    # ONE job builds the whole index: the posting table projected to
+    # (id, shingle, n_tokens) is collected (Arrow) with a row cap — the
+    # limit doubles as the size gate, so no separate count/stats jobs
+    # serialize ahead of the real work. ~16 B/row → ≤ ~500 MB at the cap.
+    if postings.count() > _BITMAP_MAX_POSTINGS:
+        return None
+    pdf = postings.select("id", "shingle", "n_tokens").toPandas()
+    if len(pdf) == 0:
+        return None
+    ids_arr, doc_inv = np.unique(pdf["id"].to_numpy(), return_inverse=True)
+    n_docs = len(ids_arr)
+    if n_docs > _BITMAP_MAX_DOCS:
+        return None
+    words = (n_docs + 63) // 64
+    sh_arr, sh_inv = np.unique(pdf["shingle"].to_numpy(), return_inverse=True)
+    if len(sh_arr) * words * 8 > _BITMAP_BUDGET_BYTES:
+        return None
+    ntok_arr = np.zeros(n_docs, dtype=np.int32)
+    ntok_arr[doc_inv] = pdf["n_tokens"].to_numpy(dtype=np.int32)
+
+    # bitmaps via sort + segmented OR (ufunc.at is ~1 µs/row — too slow):
+    # flat word address per posting row, grouped by address, bits OR-ed
+    # per group with reduceat
+    flat = sh_inv.astype(np.int64) * words + doc_inv // 64
+    bit = np.uint64(1) << np.uint64(doc_inv % 64)
+    order = np.argsort(flat, kind="stable")
+    flat_s, bit_s = flat[order], bit[order]
+    starts = np.flatnonzero(np.r_[True, flat_s[1:] != flat_s[:-1]])
+    bitmaps = np.zeros(len(sh_arr) * words, dtype=np.uint64)
+    bitmaps[flat_s[starts]] = np.bitwise_or.reduceat(bit_s, starts)
+    bitmaps = bitmaps.reshape(len(sh_arr), words)
+
+    sh_index = pd.Index(sh_arr)
+    bc = spark.sparkContext.broadcast((sh_index, bitmaps, ids_arr, ntok_arr))
+
+    # per-needle work: AND a handful of full-width bitmaps, sparsify to
+    # the (tiny) surviving host set, then probe the remaining shingles'
+    # bitmaps only at those hosts — ~25 KB of memory traffic per needle
+    # vs ~360 KB + an n_docs-bit unpack for the dense fold (the dense
+    # version measured 30 s single-threaded at sf1.0; this one ~2 s)
+    _DENSE_ANDS = 4
+
+    def cands(batches):
+        shi, bms, ids_a, ntok_a = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # a doc's postings are emitted contiguously by the builder, so
+            # within a batch the stable argsort keeps them grouped; a doc
+            # split across batch boundaries just gets two partial-AND
+            # candidate sets — both supersets of its true candidates, both
+            # verified exactly downstream, duplicates dropped at the end
+            order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+            pid = pdf["id"].to_numpy()[order]
+            psh = pdf["shingle"].to_numpy()[order]
+            pnt = pdf["n_tokens"].to_numpy()[order]
+            starts = np.flatnonzero(np.r_[True, pid[1:] != pid[:-1]])
+            ends = np.r_[starts[1:], len(pid)]
+            rows = shi.get_indexer(psh)
+            n_out_a, n_out_b = [], []
+            for s, e in zip(starts, ends):
+                rws = rows[s:e]
+                acc = np.bitwise_and.reduce(bms[rws[: _DENSE_ANDS]], axis=0)
+                nzw = np.flatnonzero(acc)
+                if len(nzw) == 0:
+                    continue
+                sub = np.unpackbits(
+                    acc[nzw].reshape(-1, 1).view(np.uint8),
+                    axis=1,
+                    bitorder="little",
+                )
+                wi, bi = np.nonzero(sub)
+                hosts = nzw[wi] * 64 + bi
+                hosts = hosts[hosts < len(ids_a)]
+                rem = rws[_DENSE_ANDS:]
+                if len(rem) and len(hosts):
+                    probe = (
+                        bms[np.ix_(rem, hosts // 64)]
+                        >> (hosts % 64).astype(np.uint64)
+                    ) & np.uint64(1)
+                    hosts = hosts[probe.all(axis=0)]
+                if len(hosts) == 0:
+                    continue
+                nid = pid[s]
+                ntk = pnt[s]
+                h_ids = ids_a[hosts]
+                keep = (ntk < ntok_a[hosts]) & (h_ids != nid)
+                if keep.any():
+                    h = h_ids[keep]
+                    n_out_a.append(np.full(len(h), nid, dtype=h_ids.dtype))
+                    n_out_b.append(h)
+            if n_out_a:
+                yield pd.DataFrame(
+                    {
+                        "needle_id": np.concatenate(n_out_a),
+                        "host_id": np.concatenate(n_out_b),
+                    }
+                )
+
+    # no shuffle: the checkpointed postings stream straight into the
+    # candidate kernel (per-doc contiguity is preserved by the builder)
+    return postings.mapInPandas(cands, f"needle_id {id_type}, host_id {id_type}")
+
+
+def _verify_candidates(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    id_type: str,
+    small_corpus: bool,
+) -> DataFrame:
+    """Shared verification tail: (needle_id, host_id) candidates → exact
+    token-substring check against the re-joined texts → (a, b)."""
     texts_df = df.select(F.col(id_col).alias("tid"), F.col(text_col).alias("ttext"))
     needle_texts = texts_df.withColumnRenamed("tid", "needle_id").withColumnRenamed("ttext", "needle_text")
     host_texts = texts_df.withColumnRenamed("tid", "host_id").withColumnRenamed("ttext", "host_text")

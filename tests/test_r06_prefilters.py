@@ -88,6 +88,42 @@ def test_substring_shuffle_join_path_same_pairs(spark):
     assert bcast == shuf == _brute_substring_pairs(rows)
 
 
+def test_substring_dense_bitmap_path_identical(spark):
+    # the dense-domain bitmap candidate path (small shingle vocabulary)
+    # must yield the exact pair set of the general min-shingle plan AND
+    # of brute force; also exercise the fallback gates
+    import datasketches_cpp_spark.operators.substring as S
+
+    rows = [(0, "aa bb cc dd ee ff gg hh")]
+    rows += [(i, f"aa bb p{i % 3} cc dd ee ff gg hh q{i % 2}") for i in range(1, 12)]
+    rows += [(i, "cc dd ee ff") for i in range(12, 15)]  # identical needles
+    rows += [(i, f"zz yy xx w{i}") for i in range(15, 25)]  # unrelated
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cfg = SigConfig(num_perm=16, bands=8, kmv_k=32, shingle_w=2, jaccard_threshold=0.5)
+
+    def run():
+        return sorted(
+            (r["a"], r["b"])
+            for r in S.substring_pairs(df, "doc_id", "text", cfg).select("a", "b").collect()
+        )
+
+    bitmap = run()
+    # force every fallback gate in turn — all must produce the same set
+    for attr, val in (
+        ("_BITMAP_MAX_POSTINGS", 0),
+        ("_BITMAP_MAX_DOCS", 0),
+        ("_BITMAP_BUDGET_BYTES", 0),
+    ):
+        old = getattr(S, attr)
+        setattr(S, attr, val)
+        try:
+            assert run() == bitmap, attr
+        finally:
+            setattr(S, attr, old)
+    assert bitmap == _brute_substring_pairs(rows)
+    assert len(bitmap) > 0
+
+
 def test_dedup_prefilter_identical_output(spark):
     # near-dup clusters + noise; run dedup with the prefilter active
     # (default) and disabled (threshold 0): assignments AND the verified
