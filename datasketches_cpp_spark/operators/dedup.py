@@ -101,15 +101,13 @@ def exact_mode_prefilter(sig_df: DataFrame, cfg: SigConfig, use_simhash: bool):
     hash sets cost 22 s at 33.5M pairs vs 10 s for this path.)
 
     Exactness contract (the verified output must be byte-identical):
-    * the keep-decision runs the SAME kernels verify_pairs runs
-      (_kmv_jaccard_flat + hamming64), so "passes verification" is
-      decided once, identically, by shared code — kept pairs re-verify
-      downstream with full diagnostics;
-    * estimation-mode pairs (either theta < 2^63) are kept
-      unconditionally: estimation-mode Jaccard could in principle differ
-      from the exact-mode intuition, so the downstream kernel stays the
-      only decision maker there (it recomputes the identical value
-      anyway — the prune is merely not allowed to drop them);
+    * the keep-decision runs the SAME kernels verify_pairs runs (the
+      shared _mat_inter_kept screen/sort/count core + hamming64), in
+      BOTH theta modes, so "passes verification" is decided once,
+      identically, by shared code — kept pairs re-verify downstream with
+      full diagnostics (r6: estimation-mode pairs were previously kept
+      unconditionally; the kernels are shared, so pruning them is
+      equally exact — the bytes lane is all estimation mode);
     * sig tables larger than PREFILTER_MAX_SIG_ROWS: no pruning at all
       (returns None) — at that scale the broadcast would not fit and the
       shuffled verify plan is the right one.
@@ -217,41 +215,51 @@ def _make_pair_decider(sig_df: DataFrame, cfg: SigConfig, use_simhash: bool):
         ia = index.get_indexer(a_ids)
         ib = index.get_indexer(b_ids)
         tha, thb = th[ia], th[ib]
-        # cheap screens first (r6, guide §1.2 per-task work): estimation-
-        # mode pairs are kept unconditionally, simhash is one XOR+popcount
-        # per pair, and for exact-mode pairs J = |∩|/|∪| ≤ min(|A|,|B|)/
-        # max(|A|,|B|) — a pair below threshold on that bound cannot pass,
-        # so only the undecided remainder pays the padded sort kernel
-        # (~40% of pairs skip it on the doc corpus; identical keep set)
-        keep = (tha != -1) | (thb != -1)
+        # cheap screens first (r6, guide §1.2 per-task work): simhash is
+        # one XOR+popcount per pair, and exact-mode pairs below the
+        # length-ratio upper bound J ≤ min(|A|,|B|)/max(|A|,|B|) cannot
+        # pass (INVALID under theta screening, so estimation-mode pairs
+        # always reach the kernel). The keep decision for every pair is
+        # the same kmv-Jaccard verify computes — decide and verify share
+        # _mat_inter_kept, so inter/kept integers and the final float
+        # division are identical and no pair verify would pass is dropped.
+        keep = np.zeros(len(ia), dtype=bool)
         if use_simhash:
-            keep |= hamming64(sh[ia], sh[ib]) <= max_ham
+            keep = hamming64(sh[ia], sh[ib]) <= max_ham
         la, lb = ln[ia], ln[ib]
-        todo = np.flatnonzero(
-            ~keep & (np.minimum(la, lb) >= thr * np.maximum(la, lb))
+        exact_pair = (tha == -1) & (thb == -1)
+        ratio_fail = exact_pair & (
+            np.minimum(la, lb) < thr * np.maximum(la, lb)
         )
+        todo = np.flatnonzero(~keep & ~ratio_fail)
         if len(todo):
-            if bm is not None:
-                # todo pairs are all exact-mode (both thetas MAX): the
-                # intersection is popcount(bitmap AND), the union la+lb−∩,
-                # and the final division replicates the sort kernel's
+            kj = np.empty(len(todo), dtype=np.float64)
+            ex = exact_pair[todo] if bm is not None else np.zeros(len(todo), bool)
+            ti_ex = todo[ex]
+            if len(ti_ex):
+                # exact-mode (both thetas MAX) via dense bitmaps: the
+                # intersection is popcount(bitmap AND), the union
+                # la+lb−∩, the division replicates the sort kernel's
                 # float math term for term
-                band = bm[ia[todo]] & bm[ib[todo]]
+                band = bm[ia[ti_ex]] & bm[ib[ti_ex]]
                 inter = (
                     _POPCOUNT_TABLE[band.view(np.uint8)]
                     .sum(axis=1)
                     .astype(np.int64)
                 )
-                union = la[todo] + lb[todo] - inter
-                kj = np.ones(len(todo), dtype=np.float64)
+                union = la[ti_ex] + lb[ti_ex] - inter
+                kje = np.ones(len(ti_ex), dtype=np.float64)
                 nz = union > 0
-                kj[nz] = inter[nz] / union[nz]
-            else:
+                kje[nz] = inter[nz] / union[nz]
+                kj[ex] = kje
+            ti_sort = todo[~ex]
+            if len(ti_sort):
                 # per-doc rows are already sentinel-padded: hstack feeds
                 # the shared screen/sort/count core directly, skipping the
                 # ragged flatten + per-chunk scatter of the flat kernel
-                kj = _kmv_jaccard_padded(
-                    mat[ia[todo]], mat[ib[todo]], tha[todo], thb[todo]
+                kj[~ex] = _kmv_jaccard_padded(
+                    mat[ia[ti_sort]], mat[ib[ti_sort]],
+                    tha[ti_sort], thb[ti_sort],
                 )
             keep[todo] |= kj >= thr
         return keep

@@ -330,6 +330,16 @@ def dedup_images(
         profile[name] = round(_time.time() - t0, 2)
         return df
 
+    # r6: each lane is built by a THUNK. The adaptive pair generators run
+    # driver-side actions while constructing the DAG (band-volume agg,
+    # decider sig collect), so building lanes sequentially serializes
+    # those barriers; with >1 lane and no profile barriers the thunks run
+    # on driver threads (guide §2.6) so every lane's planning actions AND
+    # its materialization overlap. Per-lane results are unchanged
+    # (localCheckpoint only truncates lineage) and CC's canonical
+    # distinct is order-insensitive, so assignments are identical.
+    lane_builders: list = []
+
     if "caption" in enable_lanes:
         cap_sig = compute_signatures(images, "image_id", "caption", cfg, kind="text")
         # mh_sig (num_perm longs/row) feeds only the mh_jaccard diagnostic,
@@ -338,26 +348,29 @@ def dedup_images(
         # rows, ×2 lanes, ×3 consumers)
         cap_sig = cap_sig.drop("mh_sig")
         cap_sig = _bar("caption_sig", cap_sig.localCheckpoint(eager=False))
-        # r6: volume-adaptive pair generation (dedup.candidate_pairs_
-        # adaptive): fused Python expand+prune only when the estimated
-        # candidate volume warrants it, else the plain JVM expansion over
-        # the same checkpointed groups; the prune runs the verify
-        # kernels, so the verified pair set is unchanged either way
-        from .dedup import candidate_pairs_adaptive
-
-        if hot_policy == "chain_hub":
-            cap_pairs = candidate_pairs_adaptive(
-                cap_sig, cfg, max_pairs_group=max_pairs_group, use_simhash=True
-            )
-        else:
-            cap_pairs = candidate_pairs(
-                cap_sig, max_pairs_group=max_pairs_group, hot_policy=hot_policy
-            )
-        cap_ver = verify_pairs(cap_pairs, cap_sig, cfg, use_simhash=True, include_mh=False).where("passed")
-        cap_ver = _bar("caption_pairs", cap_ver)
         out["caption_sig"] = cap_sig
-        out["caption_pairs"] = cap_ver
-        edge_parts.append(("caption", cap_ver.select("a", "b")))
+
+        def _build_caption():
+            # volume-adaptive pair generation (dedup.candidate_pairs_
+            # adaptive): fused Python expand+prune only when the estimated
+            # candidate volume warrants it, else the plain JVM expansion
+            # over the same checkpointed groups; the prune runs the verify
+            # kernels, so the verified pair set is unchanged either way
+            from .dedup import candidate_pairs_adaptive
+
+            if hot_policy == "chain_hub":
+                cap_pairs = candidate_pairs_adaptive(
+                    cap_sig, cfg, max_pairs_group=max_pairs_group, use_simhash=True
+                )
+            else:
+                cap_pairs = candidate_pairs(
+                    cap_sig, max_pairs_group=max_pairs_group, hot_policy=hot_policy
+                )
+            return verify_pairs(
+                cap_pairs, cap_sig, cfg, use_simhash=True, include_mh=False
+            ).where("passed")
+
+        lane_builders.append(("caption", "caption_pairs", _build_caption))
 
     if "bytes" in enable_lanes:
         byt_sig = compute_signatures(
@@ -365,12 +378,31 @@ def dedup_images(
         )
         byt_sig = byt_sig.drop("mh_sig")  # same pruning as the caption lane
         byt_sig = _bar("bytes_sig", byt_sig.localCheckpoint(eager=False))
-        byt_pairs = candidate_pairs(byt_sig, max_pairs_group=max_pairs_group, hot_policy=hot_policy)
-        byt_ver = verify_pairs(byt_pairs, byt_sig, bytes_cfg, use_simhash=False, include_mh=False).where("passed")
-        byt_ver = _bar("bytes_pairs", byt_ver)
         out["bytes_sig"] = byt_sig
-        out["bytes_pairs"] = byt_ver
-        edge_parts.append(("bytes", byt_ver.select("a", "b")))
+
+        def _build_bytes():
+            # r6: same volume-adaptive generation as the caption lane —
+            # the decider now prunes estimation-mode pairs with the shared
+            # verify kernel too (byte sigs are all estimation mode at
+            # k=128), so the candidate dropDuplicates shuffle and the
+            # verify joins see survivors only; plain JVM expansion below
+            # the volume threshold
+            if hot_policy == "chain_hub":
+                from .dedup import candidate_pairs_adaptive
+
+                byt_pairs = candidate_pairs_adaptive(
+                    byt_sig, bytes_cfg, max_pairs_group=max_pairs_group,
+                    use_simhash=False,
+                )
+            else:
+                byt_pairs = candidate_pairs(
+                    byt_sig, max_pairs_group=max_pairs_group, hot_policy=hot_policy
+                )
+            return verify_pairs(
+                byt_pairs, byt_sig, bytes_cfg, use_simhash=False, include_mh=False
+            ).where("passed")
+
+        lane_builders.append(("bytes", "bytes_pairs", _build_bytes))
 
     if "phash" in enable_lanes:
         # crop_invariant: re-hash each image's auto-trimmed content box so
@@ -382,28 +414,63 @@ def dedup_images(
         # rotation_invariant: band the full D4 orbit so rotated/mirrored
         # copies meet under their aligning transform (see with_phash_orbit)
         ph_src = with_phash_orbit(ph_src) if rotation_invariant else ph_src
-        ph_ver = _bar("phash_pairs", phash_pairs(ph_src, cfg, max_pairs_group=max_pairs_group, hot_policy=hot_policy))
-        out["phash_pairs"] = ph_ver
-        edge_parts.append(("phash", ph_ver.select("a", "b")))
+        lane_builders.append(
+            (
+                "phash",
+                "phash_pairs",
+                lambda: phash_pairs(
+                    ph_src, cfg, max_pairs_group=max_pairs_group, hot_policy=hot_policy
+                ),
+            )
+        )
 
     if "dhash" in enable_lanes:
         # gradient-sign lane: catches smooth-lighting edits the block-mean
         # pHash misses (see with_dhash); same fused band machinery, the
         # 64-bit dhash rides the shuffle as the verify payload
-        dh_ver = _bar(
-            "dhash_pairs",
-            phash_pairs(
-                with_dhash(images), cfg, phash_col="dhash",
-                max_pairs_group=max_pairs_group, hot_policy=hot_policy,
-            ),
+        lane_builders.append(
+            (
+                "dhash",
+                "dhash_pairs",
+                lambda: phash_pairs(
+                    with_dhash(images), cfg, phash_col="dhash",
+                    max_pairs_group=max_pairs_group, hot_policy=hot_policy,
+                ),
+            )
         )
-        out["dhash_pairs"] = dh_ver
-        edge_parts.append(("dhash", dh_ver.select("a", "b")))
 
     if "substring" in enable_lanes:
-        sub = _bar("substring_pairs", substring_pairs(images, "image_id", "caption", cfg))
-        out["substring_pairs"] = sub
-        edge_parts.append(("substring", sub))
+        lane_builders.append(
+            (
+                "substring",
+                "substring_pairs",
+                lambda: substring_pairs(images, "image_id", "caption", cfg),
+            )
+        )
+
+    if profile is None and len(lane_builders) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = images.sparkSession.sparkContext
+
+        def _run(item):
+            name, key, build = item
+            sc.setJobDescription(f"dedup_images lane: {name}")
+            try:
+                return name, key, build().localCheckpoint(eager=True)
+            finally:
+                sc.setJobDescription(None)
+
+        with ThreadPoolExecutor(max_workers=len(lane_builders)) as pool:
+            built = list(pool.map(_run, lane_builders))
+    else:
+        built = [
+            (name, key, _bar(key, build()))
+            for name, key, build in lane_builders
+        ]
+    for name, key, ver in built:
+        out[key] = ver
+        edge_parts.append((name, ver.select("a", "b")))
 
     if not edge_parts:
         # no recognized lanes enabled: every image is a singleton — an
@@ -415,30 +482,6 @@ def dedup_images(
         )
         edges, raw_edges = empty, empty
     else:
-        if profile is None and len(edge_parts) > 1:
-            # r6 (guide §2.6): the lanes are independent subtrees that all
-            # converge on the CC probe action, and measured end-to-end the
-            # single-action plan ran them back-to-back (lane-only walls
-            # summed to the all-lanes wall within ~15%). Materializing
-            # each lane's pair set as a concurrent job from driver
-            # threads lets one lane's tail back-fill another's idle
-            # executors; per-lane results are unchanged (localCheckpoint
-            # only truncates lineage) and CC's canonical distinct is
-            # order-insensitive, so assignments are identical.
-            from concurrent.futures import ThreadPoolExecutor
-
-            sc = images.sparkSession.sparkContext
-
-            def _mat(item):
-                name, pairs_df = item
-                sc.setJobDescription(f"dedup_images lane: {name}")
-                try:
-                    return name, pairs_df.localCheckpoint(eager=True)
-                finally:
-                    sc.setJobDescription(None)
-
-            with ThreadPoolExecutor(max_workers=len(edge_parts)) as pool:
-                edge_parts = list(pool.map(_mat, edge_parts))
         edges, raw_edges = fuse_edges(edge_parts, edge_policy)
     edges = _bar("edges", edges)
     out["edges"] = edges

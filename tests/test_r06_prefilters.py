@@ -164,6 +164,37 @@ def test_dedup_prefilter_identical_output(spark):
     assert len(on_pairs) > 0  # the corpus really produces verified pairs
 
 
+def test_dedup_prefilter_identical_output_estimation_mode(spark):
+    # kmv_k below the shingle counts forces ESTIMATION mode (theta < MAX):
+    # r6 lets the decider prune these pairs with the shared verify kernel,
+    # so on/off must still be byte-identical — and simhash off exercises
+    # the bytes-lane shape where the kernel is the only keep criterion
+    rows = []
+    base = "w%d " * 30
+    for i in range(24):
+        rows.append((i, (base % tuple((j + i // 8) % 19 for j in range(30)))))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cfg = SigConfig(num_perm=16, bands=8, kmv_k=8, shingle_w=2, jaccard_threshold=0.5)
+
+    def run():
+        a, v, _ = D.dedup(df, "doc_id", "text", cfg, use_simhash=False)
+        return (
+            sorted((r["id"], r["cluster_id"]) for r in a.collect()),
+            sorted((r["a"], r["b"], r["jaccard"]) for r in v.collect()),
+        )
+
+    on_assign, on_pairs = run()
+    old = D.PREFILTER_MAX_SIG_ROWS
+    D.PREFILTER_MAX_SIG_ROWS = 0
+    try:
+        off_assign, off_pairs = run()
+    finally:
+        D.PREFILTER_MAX_SIG_ROWS = old
+    assert on_assign == off_assign
+    assert on_pairs == off_pairs
+    assert len(on_pairs) > 0
+
+
 def test_driver_gate_window_covers_rotated_queries():
     # the driver correctness gate samples the FIRST 50 queries() entries;
     # r6 rotated the five never-sampled queries into that window (ADVICE
