@@ -313,6 +313,8 @@ def candidate_pairs_adaptive(
 
     Output pair set is identical either way (pruning only removes pairs
     verification would reject)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .lsh import explode_bands, pairs_from_groups
 
     grouped = (
@@ -322,16 +324,29 @@ def candidate_pairs_adaptive(
         .where(F.size("ids") >= 2)
     ).localCheckpoint(eager=False)
     sz = F.size("ids")
-    est_row = grouped.agg(
-        F.sum(
-            F.when(sz <= max_pairs_group, sz * (sz - 1) / 2).otherwise(
-                2 * (sz - 1)
-            )
-        ).alias("est")
-    ).collect()[0]
-    est_pairs = int(est_row["est"] or 0)
+
+    def _estimate() -> int:
+        est_row = grouped.agg(
+            F.sum(
+                F.when(sz <= max_pairs_group, sz * (sz - 1) / 2).otherwise(
+                    2 * (sz - 1)
+                )
+            ).alias("est")
+        ).collect()[0]
+        return int(est_row["est"] or 0)
+
+    # the volume estimate (grouped materialization) and the decider build
+    # (sig count + collect + broadcast) touch disjoint subtrees — run the
+    # two driver actions concurrently (guide §2.6) instead of back-to-back.
+    # If the estimate lands under the threshold the decider goes unused —
+    # its cost is bounded by PREFILTER_MAX_SIG_ROWS and was previously paid
+    # serially anyway whenever pruning ran.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        est_f = pool.submit(_estimate)
+        decide_f = pool.submit(_make_pair_decider, sig_df, cfg, use_simhash)
+        est_pairs = est_f.result()
+        decide = decide_f.result()
     if est_pairs >= PYGEN_MIN_PAIRS:
-        decide = _make_pair_decider(sig_df, cfg, use_simhash)
         if decide is not None:
             return python_pair_pruned(
                 grouped, sig_df, decide, max_pairs_group=max_pairs_group

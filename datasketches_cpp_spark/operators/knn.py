@@ -532,7 +532,12 @@ def _blocked_topn(x: np.ndarray, cent: np.ndarray, n: int,
             [best_val, sims], axis=1)
         cand_idx = np.concatenate(
             [best_idx, np.broadcast_to(ids, sims.shape)], axis=1)
-        order = np.argsort(-cand_val, axis=1)[:, :n]
+        # stable + lowest-index tie-break (ADVICE r5): carried best
+        # entries sit left of the new block and hold smaller centroid
+        # ids (inductively value-desc, id-asc), so a stable sort picks
+        # the same ids the monolithic stable argsort would — crossing
+        # _CENT_BLOCK can never flip a tied vector's nprobe lists
+        order = np.argsort(-cand_val, axis=1, kind="stable")[:, :n]
         rows = np.arange(len(x))[:, None]
         best_val = cand_val[rows, order]
         best_idx = cand_idx[rows, order]
@@ -610,7 +615,9 @@ def ivf_assign(
             norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
             if len(cent) <= _CENT_BLOCK:
                 sims = norm @ cent.T  # (n, C)
-                top = np.argsort(-sims, axis=1)[:, :nprobe]  # (n, nprobe)
+                # stable ⇒ ties resolve to the lowest centroid id, the
+                # same rule as the blocked path (ADVICE r5)
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             else:
                 # adaptive-k regime: a 10k-row Arrow batch × 65536
                 # centroids would be a 2.6 GB sims matrix per Python

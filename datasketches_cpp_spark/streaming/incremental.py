@@ -87,6 +87,8 @@ class _BucketedStateStore:
         self.num_buckets = num_buckets
         self._hfs = HadoopFS(spark, state_dir)
         self._hfs.mkdirs(state_dir)
+        # write-once dir sizes for the tiered-fold doubling rule
+        self._size_cache: dict[str, int] = {}
 
     def close(self) -> None:
         """Release the private Hadoop FileSystem (connections/thread pools
@@ -308,10 +310,17 @@ class _BucketedStateStore:
 
     def _tree_size(self, path: str) -> int:
         """Recursive byte size of a store directory (bucket=Y children +
-        files) — the input to the tiered-fold doubling rule."""
+        files) — the input to the tiered-fold doubling rule. epoch_*/
+        compacted_* directories are write-once after commit, so sizes are
+        memoized per path (ADVICE r5: the fold re-listed every live
+        generation each cadence)."""
+        cached = self._size_cache.get(path)
+        if cached is not None:
+            return cached
         total = sum(sz for _n, sz in self._hfs.list_files(path))
         for d in self._hfs.list_dirs(path):
             total += self._tree_size(HadoopFS.join(path, d))
+        self._size_cache[path] = total
         return total
 
     def compact_store(self, name: str) -> int:
@@ -365,14 +374,27 @@ class _BucketedStateStore:
 
         if not epoch_dirs:
             return 0  # no new deltas — nothing to fold
-        full_merge = False
-        if gen_dirs:
-            oldest = gen_dirs[0]
-            young_and_delta = sum(
-                self._tree_size(d) for d in gen_dirs[1:] + epoch_dirs
-            )
-            full_merge = young_and_delta >= self._tree_size(oldest)
-        to_fold = epoch_dirs + (gen_dirs if full_merge else [])
+        # per-tier doubling rule (ADVICE r5: with only the two actions
+        # "new generation" / "merge everything", young generations were
+        # never merged among themselves, so live dirs grew by one per
+        # cadence until the full-merge trigger — ~N/delta dirs worst
+        # case). Walking young→old, a generation joins the fold whenever
+        # the mass folding in front of it already outweighs it; the fold
+        # that would have been "everything" under the old rule still is
+        # (the cumulative mass passes each older tier in turn), and live
+        # generation sizes stay geometric, so the count is O(log) by
+        # construction, not by cadence luck.
+        fold_mass = sum(self._tree_size(d) for d in epoch_dirs)
+        folded_gens: list[str] = []
+        for g in reversed(gen_dirs):  # youngest generation first
+            g_sz = self._tree_size(g)
+            if fold_mass >= g_sz:
+                folded_gens.append(g)
+                fold_mass += g_sz
+            else:
+                break
+        full_merge = bool(gen_dirs) and len(folded_gens) == len(gen_dirs)
+        to_fold = epoch_dirs + folded_gens
         if len(to_fold) <= 1 and not full_merge:
             return 0  # a single delta dir is already one file per bucket
         df = self._read_bucketed(name, dirs=to_fold)
@@ -389,8 +411,11 @@ class _BucketedStateStore:
         (df.repartition(self.num_buckets, "bucket")
            .write.mode("overwrite").partitionBy("bucket").parquet(target))
         folded_names = {d.rstrip("/").rsplit("/", 1)[-1] for d in to_fold}
-        live = ([] if full_merge else
-                [d.rstrip("/").rsplit("/", 1)[-1] for d in gen_dirs]) + [tag]
+        live = [
+            d.rstrip("/").rsplit("/", 1)[-1]
+            for d in gen_dirs
+            if d not in folded_gens
+        ] + [tag]
         self._hfs.write_bytes_atomic(
             manifest,
             json.dumps({
@@ -403,6 +428,12 @@ class _BucketedStateStore:
                 self._hfs.delete(d, recursive=True)
             except Exception:
                 pass  # orphan stays excluded via the manifest
+            # evict folded paths (and their subtrees) so the size cache
+            # stays O(live dirs) over a long stream
+            self._size_cache = {
+                k: v for k, v in self._size_cache.items()
+                if not k.startswith(d)
+            }
         return len(to_fold)
 
     def compact_all(self) -> dict[str, int]:

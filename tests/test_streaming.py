@@ -204,6 +204,34 @@ def test_compaction_preserves_store_and_prunes_dirs(spark, corpus_pdf, tmp_path)
     assert assignments.count() == 260
 
 
+def test_compaction_generation_count_stays_logarithmic(spark, corpus_pdf, tmp_path):
+    """ADVICE r5 (tiered-fold growth): with only 'new generation' vs
+    'merge everything', equal-size cadence folds grew one live
+    compacted_* dir each until the full-merge trigger. The per-tier
+    doubling rule must keep the live generation count O(log folds) —
+    and every fold must preserve the store's contents exactly."""
+    import math
+
+    dd = IncrementalDeduper(
+        spark, str(tmp_path / "state"), CFG, BYTES_CFG,
+        enable_lanes=("caption",), num_buckets=4,
+    )
+    store = "sig_caption_bands"
+    n_cycles = 8
+    step = 30
+    for i in range(n_cycles):
+        dd.process_batch(
+            spark.createDataFrame(corpus_pdf.iloc[i * step:(i + 1) * step]), i
+        )
+        dd.compact_store(store)
+        live = dd._live_epoch_dirs(store)
+        gens = [d for d in live if "compacted_" in d]
+        assert len(gens) <= int(math.log2(i + 1)) + 2, (i, live)
+    total = dd._read_bucketed(store).count()
+    assert total > 0
+    assert dd.assignments().count() == n_cycles * step
+
+
 def test_store_over_scheme_qualified_uri(spark, corpus_pdf, tmp_path):
     """The streaming state_dir is scheme-agnostic (same Hadoop FileSystem
     facade as plans/checkpoint.py): a file:// URI exercises epoch-bucketed
