@@ -165,9 +165,18 @@ def substring_pairs(
     postings = src.mapInPandas(post, shingle_schema)
     postings = postings.localCheckpoint(eager=False)
 
-    small_corpus = df.count() <= broadcast_max_probes
+    # the corpus-size gate and the posting-table materialization are
+    # disjoint subtrees — overlap the two driver actions (guide §2.6;
+    # each is a serial round trip that otherwise adds to every call)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        n_docs_f = _pool.submit(df.count)
+        n_postings_f = _pool.submit(postings.count)
+        small_corpus = n_docs_f.result() <= broadcast_max_probes
+        n_postings = n_postings_f.result()
     if small_corpus:
-        cand = _dense_domain_candidates(postings, id_type)
+        cand = _dense_domain_candidates(postings, id_type, n_postings)
         if cand is not None:
             return _verify_candidates(
                 cand, df, id_col, text_col, id_type, small_corpus=True
@@ -252,7 +261,9 @@ _BITMAP_MAX_DOCS = 2_000_000
 _BITMAP_MAX_POSTINGS = 30_000_000
 
 
-def _dense_domain_candidates(postings: DataFrame, id_type: str) -> DataFrame | None:
+def _dense_domain_candidates(
+    postings: DataFrame, id_type: str, n_postings: int
+) -> DataFrame | None:
     """Exact containment-candidate generation for SMALL SHINGLE DOMAINS.
 
     When the corpus' distinct-shingle count is tiny relative to the corpus
@@ -274,11 +285,11 @@ def _dense_domain_candidates(postings: DataFrame, id_type: str) -> DataFrame | N
     import pandas as pd
 
     spark = postings.sparkSession
-    # ONE job builds the whole index: the posting table projected to
-    # (id, shingle, n_tokens) is collected (Arrow) with a row cap — the
-    # limit doubles as the size gate, so no separate count/stats jobs
-    # serialize ahead of the real work. ~16 B/row → ≤ ~500 MB at the cap.
-    if postings.count() > _BITMAP_MAX_POSTINGS:
+    # ONE collect builds the whole index: the posting table projected to
+    # (id, shingle, n_tokens) comes back via Arrow toPandas (the caller
+    # supplies the row count from its overlapped gate action).
+    # ~16 B/row → ≤ ~500 MB at the cap.
+    if n_postings > _BITMAP_MAX_POSTINGS:
         return None
     pdf = postings.select("id", "shingle", "n_tokens").toPandas()
     if len(pdf) == 0:
